@@ -1,0 +1,344 @@
+"""Crawl driver: rounds of select → fetch → extract → discover → offer.
+
+The Ray-Data-native lifecycle from SURVEY.md §3.4.  Each round is one
+streaming Dataset pipeline; the loop lives on the driver (Ray Data is a
+DAG per round).  The per-round flow:
+
+    ready set (from frontier shards, deterministic order, fetch_seq
+    assigned)
+      → ray.data.from_arrow(one block per host_bucket)
+      → map_batches(FetchActor, pyarrow, actor pool)       [M1, T1-T3]
+      → map_batches(extract_stage)                          [M4, M12, M18]
+      → map_batches(router.offer: explode links, normalize,
+                    bloom pre-screen, shard actor offers)   [M2, M3, J4]
+      → write_parquet(out/pages/round=r/)                   [K2→Parquet]
+
+Then shards ``finalize_round`` (the determinism barrier), manifest rows
+are appended, and shard state is checkpointed.  Resume = restore shards
+from the latest checkpoint and continue; completed rounds' Parquet is
+never rewritten (resumable-output contract).
+
+Skew: candidates are routed to shards by host hash; the HOT-host risk
+is bounded by the per-host politeness quota (a host yields at most
+round_ms/crawl_delay URLs per round regardless of queue size) and by
+``max_per_host`` queue depth.  Fetch blocks are built one per
+host_bucket so a single host's pages never split across blocks
+mid-round (politeness accounting stays per-actor coherent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..functions.urlnorm import hash64, hosts_of, host_buckets, normalize_url
+from ..schema import CRAWL_OUT_SCHEMA, MANIFEST_SCHEMA
+from ..sources.corpus import NUM_HOST_BUCKETS
+from ..stages.extract import make_extract_stage
+from ..stages.fetch import FetchActor
+from ..state.bloom import BloomFilter
+from .shard import FrontierShard
+
+
+@dataclass
+class CrawlConfig:
+    num_shards: int = 4
+    round_ms: int = 10_000
+    per_shard_budget: int = 2_000
+    max_rounds: int = 50
+    max_pages: int = 1_000_000
+    shard_capacity: int = 1 << 20
+    max_per_host: int = 10_000
+    exclude_external: bool = False
+    bloom_prescreen: bool = False  # lossy mode: drop bloom-positive candidates batch-side
+    fetch_concurrency: int = 4
+    checkpoint: bool = True
+    extra: dict = field(default_factory=dict)
+
+
+class _Router:
+    """Link → frontier offer stage (runs inside map_batches tasks).
+
+    Explodes the ``links`` column, normalizes (M2), routes each URL to
+    its shard by host hash, and calls ``shard.offer`` remotely.  With
+    ``bloom_prescreen`` a read-only bloom snapshot (merged across
+    shards, broadcast via ray.put once per round) drops
+    almost-certainly-seen URLs batch-side, cutting shard traffic at the
+    cost of ~FPR lost new URLs — off by default so the seen set stays
+    exact (conformance mode).
+    """
+
+    def __init__(self, shards, num_shards: int, bloom_ref=None):
+        self.shards = shards
+        self.num_shards = num_shards
+        self.bloom_ref = bloom_ref
+        self._bloom = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        links_col = batch.column("links").to_pylist()
+        prios = batch.column("priority").to_pylist()
+        urls: List[str] = []
+        cand_prio: List[int] = []
+        for links, p in zip(links_col, prios):
+            for u in links:
+                urls.append(normalize_url(u))
+                cand_prio.append(p + 1)  # discovered depth = parent + 1
+        if urls:
+            arr = np.asarray(urls, dtype=object)
+            pr = np.asarray(cand_prio, dtype=np.int64)
+            if self.bloom_ref is not None:
+                if self._bloom is None:
+                    self._bloom = BloomFilter.from_bytes(ray.get(self.bloom_ref))
+                keep = ~self._bloom.contains_many(hash64(arr))
+                arr, pr = arr[keep], pr[keep]
+            if arr.size:
+                hosts = hosts_of(arr)
+                sid = (hash64(hosts) % np.uint64(self.num_shards)).astype(np.int64)
+                refs = []
+                for s in range(self.num_shards):
+                    m = sid == s
+                    if m.any():
+                        refs.append(
+                            self.shards[s].offer.remote(
+                                list(arr[m]), [int(x) for x in pr[m]], list(hosts[m])
+                            )
+                        )
+                ray.get(refs)  # backpressure: don't let offers pile up unacked
+        return batch.drop_columns(["links"])
+
+
+class Crawler:
+    def __init__(self, corpus_dir: str, out_dir: str, cfg: Optional[CrawlConfig] = None):
+        self.corpus_dir = corpus_dir
+        self.out_dir = out_dir
+        self.cfg = cfg or CrawlConfig()
+        os.makedirs(os.path.join(out_dir, "pages"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "checkpoint"), exist_ok=True)
+        robots = self._host_delays()
+        RemoteShard = ray.remote(num_cpus=0.25)(FrontierShard)
+        self.shards = [
+            RemoteShard.remote(
+                s,
+                capacity=self.cfg.shard_capacity,
+                round_ms=self.cfg.round_ms,
+                max_per_host=self.cfg.max_per_host,
+                host_delays=robots,
+            )
+            for s in range(self.cfg.num_shards)
+        ]
+        self.next_round = 0
+        self.total_fetched = 0
+        self.fetch_seq = 0
+
+    def _host_delays(self) -> Dict[str, int]:
+        path = os.path.join(self.corpus_dir, "robots.parquet")
+        if not os.path.exists(path):
+            return {}
+        t = pq.read_table(path, columns=["host", "crawl_delay_ms"])
+        return dict(zip(t.column("host").to_pylist(), t.column("crawl_delay_ms").to_pylist()))
+
+    # ------------------------------------------------------------------ seeds
+    def offer_seeds(self) -> None:
+        t = pq.read_table(os.path.join(self.corpus_dir, "seeds.parquet"))
+        urls = [normalize_url(u) for u in t.column("url").to_pylist()]
+        prios = t.column("priority").to_pylist()
+        arr = np.asarray(urls, dtype=object)
+        hosts = hosts_of(arr)
+        sid = (hash64(hosts) % np.uint64(self.cfg.num_shards)).astype(np.int64)
+        refs = []
+        for s in range(self.cfg.num_shards):
+            m = sid == s
+            if m.any():
+                refs.append(
+                    self.shards[s].offer.remote(
+                        list(arr[m]), [int(prios[i]) for i in np.nonzero(m)[0]], list(hosts[m])
+                    )
+                )
+        ray.get(refs)
+        ray.get([s.finalize_round.remote() for s in self.shards])
+
+    # ------------------------------------------------------------------ round
+    def run_round(self, r: int) -> Dict[str, int]:
+        cfg = self.cfg
+        selected = ray.get(
+            [s.select.remote(r, cfg.per_shard_budget) for s in self.shards]
+        )
+        rows = []
+        for sel in selected:
+            rows.extend(zip(sel["priority"], sel["host"], sel["url"]))
+        if not rows:
+            return {"fetched": 0}
+        # deterministic global crawl order: (priority, host, url)
+        rows.sort()
+        prio = np.fromiter((p for p, _, _ in rows), dtype=np.int32, count=len(rows))
+        hosts = np.asarray([h for _, h, _ in rows], dtype=object)
+        urls = np.asarray([u for _, _, u in rows], dtype=object)
+        seq = np.arange(self.fetch_seq, self.fetch_seq + len(rows), dtype=np.int64)
+        self.fetch_seq += len(rows)
+        buckets = host_buckets(hosts, NUM_HOST_BUCKETS)
+        ready = pa.table(
+            {
+                "fetch_seq": pa.array(seq),
+                "round": pa.array(np.full(len(rows), r, dtype=np.int32)),
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "priority": pa.array(prio),
+                "host_bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+        # one block per host_bucket: a host never splits across fetch batches
+        blocks = []
+        for b in np.unique(buckets):
+            blocks.append(ready.filter(pa.compute.equal(ready["host_bucket"], int(b))))
+        ds = ray.data.from_arrow(blocks)
+
+        bloom_ref = None
+        if cfg.bloom_prescreen:
+            merged = None
+            for raw in ray.get([s.bloom_bytes.remote() for s in self.shards]):
+                bf = BloomFilter.from_bytes(raw)
+                if merged is None:
+                    merged = bf
+                else:
+                    merged.bits |= bf.bits
+            bloom_ref = ray.put(merged.to_bytes())
+
+        router = _Router(self.shards, cfg.num_shards, bloom_ref)
+        out = (
+            ds.map_batches(
+                FetchActor,
+                fn_constructor_args=(self.corpus_dir,),
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=cfg.fetch_concurrency,
+                num_cpus=1,
+            )
+            .map_batches(make_extract_stage(cfg.exclude_external), batch_format="pyarrow")
+            .map_batches(router, batch_format="pyarrow")
+        )
+        round_dir = os.path.join(self.out_dir, "pages", f"round={r:05d}")
+        tmp_dir = round_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        out.write_parquet(tmp_dir)
+        shutil.rmtree(round_dir, ignore_errors=True)
+        os.rename(tmp_dir, round_dir)  # atomic publish → resumable output
+
+        stats = ray.get([s.finalize_round.remote() for s in self.shards])
+        fetched_by_shard = self._fetched_per_shard(hosts)
+        man = pa.table(
+            {
+                "round": pa.array([r] * len(stats), pa.int32()),
+                "shard": pa.array(list(range(len(stats))), pa.int32()),
+                "offered": pa.array([s["offered"] for s in stats], pa.int64()),
+                "inserts": pa.array([s["inserts"] for s in stats], pa.int64()),
+                "dupes_skipped": pa.array([s["dupes_skipped"] for s in stats], pa.int64()),
+                "overflow_dropped": pa.array([s["overflow_dropped"] for s in stats], pa.int64()),
+                "fetched": pa.array(fetched_by_shard, pa.int64()),
+                "frontier_size": pa.array([s["frontier_size"] for s in stats], pa.int64()),
+            },
+            schema=MANIFEST_SCHEMA,
+        )
+        pq.write_table(man, os.path.join(self.out_dir, "manifest", f"round={r:05d}.parquet"))
+        if cfg.checkpoint:
+            self._write_checkpoint(r)
+        self.total_fetched += len(rows)
+        return {"fetched": len(rows), "frontier": sum(s["frontier_size"] for s in stats)}
+
+    def _fetched_per_shard(self, hosts: np.ndarray) -> List[int]:
+        sid = (hash64(hosts) % np.uint64(self.cfg.num_shards)).astype(np.int64)
+        return [int((sid == s).sum()) for s in range(self.cfg.num_shards)]
+
+    # ------------------------------------------------------------- checkpoint
+    def _write_checkpoint(self, r: int) -> None:
+        ck_dir = os.path.join(self.out_dir, "checkpoint", f"round={r:05d}.tmp")
+        os.makedirs(ck_dir, exist_ok=True)
+        blobs = ray.get([s.serialize.remote() for s in self.shards])
+        for s, blob in enumerate(blobs):
+            with open(os.path.join(ck_dir, f"shard={s:03d}.bin"), "wb") as f:
+                f.write(blob)
+        meta = {
+            "round": r,
+            "fetch_seq": self.fetch_seq,
+            "total_fetched": self.total_fetched,
+            "num_shards": self.cfg.num_shards,
+        }
+        with open(os.path.join(ck_dir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        final = ck_dir[: -len(".tmp")]
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(ck_dir, final)
+        # keep only the latest checkpoint
+        keep = os.path.basename(final)
+        base = os.path.join(self.out_dir, "checkpoint")
+        for d in os.listdir(base):
+            if d != keep and not d.endswith(".tmp"):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    @classmethod
+    def resume(cls, corpus_dir: str, out_dir: str, cfg: Optional[CrawlConfig] = None) -> "Crawler":
+        """Rebuild a crawler from the latest checkpoint under out_dir."""
+        base = os.path.join(out_dir, "checkpoint")
+        rounds = sorted(d for d in os.listdir(base) if not d.endswith(".tmp"))
+        if not rounds:
+            raise FileNotFoundError(f"no checkpoint under {base}")
+        ck = os.path.join(base, rounds[-1])
+        with open(os.path.join(ck, "meta.json")) as f:
+            meta = json.load(f)
+        if cfg is None:
+            cfg = CrawlConfig()
+        cfg.num_shards = meta["num_shards"]
+        obj = cls(corpus_dir, out_dir, cfg)
+        refs = []
+        for s in range(cfg.num_shards):
+            with open(os.path.join(ck, f"shard={s:03d}.bin"), "rb") as f:
+                refs.append(obj.shards[s].load_checkpoint.remote(f.read()))
+        ray.get(refs)
+        obj.next_round = meta["round"] + 1
+        obj.fetch_seq = meta["fetch_seq"]
+        obj.total_fetched = meta["total_fetched"]
+        return obj
+
+    # -------------------------------------------------------------------- run
+    def run(self) -> Dict[str, int]:
+        if self.next_round == 0:
+            self.offer_seeds()
+        r = self.next_round
+        rounds_run = 0
+        while r < self.cfg.max_rounds and self.total_fetched < self.cfg.max_pages:
+            res = self.run_round(r)
+            rounds_run += 1
+            if res["fetched"] == 0:
+                break
+            r += 1
+            self.next_round = r
+        return {
+            "rounds": rounds_run,
+            "total_fetched": self.total_fetched,
+            "last_round": r,
+        }
+
+    def kill_shards(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
+def read_crawl_output(out_dir: str) -> pa.Table:
+    """All fetched pages across rounds, in fetch_seq order."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out_dir, "pages", "round=*", "*.parquet")))
+    if not files:
+        return CRAWL_OUT_SCHEMA.empty_table()
+    tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+    return tbl.sort_by("fetch_seq")

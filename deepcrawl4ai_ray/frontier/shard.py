@@ -1,0 +1,199 @@
+"""FrontierShard — one shard of the sharded URL frontier.
+
+Holds, per shard (SURVEY.md §7 step 4; the reference has *no* frontier —
+its jobs are explicit ≤100-URL lists, schemas.py:8 — this is the scale
+generalization the north rule requires):
+
+- a :class:`CuckooFilter` URL-seen set (the J4 contains+insert anti-join)
+- a companion :class:`BloomFilter` (read-only snapshots are exported for
+  batch-side pre-screening)
+- per-host priority queues, bounded depth (O2 analog of the reference's
+  queue caps, crawl.py:66 / monitor.py:16-18)
+- per-host politeness token buckets on a *virtual* clock (T8 analog of
+  actions.py:251-257 / redisCache.py:85-89), refill rate from the robots
+  table's ``crawl_delay_ms``
+
+Hosts are routed to shards by ``hash64(host) % num_shards``, so one
+host's queue + politeness bucket live on exactly one shard.
+
+Determinism: offers within a round accumulate into a pending pool keyed
+by url with min-priority merge; ``finalize_round`` processes pending in
+sorted url order.  This makes the seen set and all queue contents
+independent of the (nondeterministic) arrival order of parallel offer
+batches — the round barrier is the determinism boundary.  All ordering
+tie-breaks are on ``(priority, host, url)``.
+
+This is a plain class; the crawl driver wraps it with ``ray.remote``.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..functions.urlnorm import hash64
+from ..state.bloom import BloomFilter
+from ..state.cuckoo import CuckooFilter
+from ..state.robots import DEFAULT_DELAY_MS
+from ..state.tokenbucket import TokenBucket
+
+
+class FrontierShard:
+    def __init__(
+        self,
+        shard_id: int,
+        capacity: int = 1 << 20,
+        round_ms: int = 10_000,
+        max_per_host: int = 10_000,
+        host_delays: Optional[Dict[str, int]] = None,
+    ):
+        self.shard_id = shard_id
+        self.round_ms = round_ms
+        self.max_per_host = max_per_host
+        self.seen = CuckooFilter(capacity, seed_shift=shard_id)
+        self.bloom = BloomFilter(capacity, fp_rate=0.01)
+        self.host_delays = host_delays or {}
+        # host -> list[(priority, url)] — sorted lazily at select time
+        self.queues: Dict[str, List[Tuple[int, str]]] = {}
+        self.buckets: Dict[str, TokenBucket] = {}
+        # round-local pending pool: url -> (priority, host)
+        self._pending: Dict[str, Tuple[int, str]] = {}
+        self._stats = dict(offered=0, inserts=0, dupes_skipped=0, overflow_dropped=0)
+
+    # ------------------------------------------------------------------ offer
+    def offer(self, urls: List[str], priorities: List[int], hosts: List[str]) -> int:
+        """Accumulate candidates for this round (min-priority merge)."""
+        pend = self._pending
+        self._stats["offered"] += len(urls)
+        for u, p, h in zip(urls, priorities, hosts):
+            cur = pend.get(u)
+            if cur is None or p < cur[0]:
+                pend[u] = (int(p), h)
+        return len(urls)
+
+    # --------------------------------------------------------------- finalize
+    def finalize_round(self) -> Dict[str, int]:
+        """Commit pending candidates: seen-set insert + queue push.
+
+        Deterministic: pending processed in sorted-url order.  Returns
+        and resets the round's stats (manifest row fields).
+        """
+        pend = self._pending
+        self._pending = {}
+        if pend:
+            urls = sorted(pend)
+            h = hash64(urls)
+            new = self.seen.add_if_absent_many(h)
+            self.bloom.add_many(h[new])
+            n_new = 0
+            dropped = 0
+            for i, u in enumerate(urls):
+                if not new[i]:
+                    continue
+                p, host = pend[u]
+                q = self.queues.setdefault(host, [])
+                if len(q) >= self.max_per_host:
+                    dropped += 1  # bounded per-partition queue depth
+                    continue
+                q.append((p, u))
+                n_new += 1
+            self._stats["inserts"] += int(new.sum())
+            # dupes = within-round merged offers + already-seen urls
+            self._stats["dupes_skipped"] += self._stats["offered"] - int(new.sum())
+            self._stats["overflow_dropped"] += dropped
+        stats = dict(self._stats, frontier_size=self.frontier_size())
+        self._stats = dict(offered=0, inserts=0, dupes_skipped=0, overflow_dropped=0)
+        return stats
+
+    # ----------------------------------------------------------------- select
+    def select(self, round_index: int, budget: int) -> Dict[str, list]:
+        """Pop the politeness-ready URLs for this round (≤ budget).
+
+        Per host: quota = tokens available in its bucket at virtual time
+        ``round_index * round_ms`` (bucket refills at 1/crawl_delay_ms).
+        Hosts' candidates are merged and globally ordered by
+        ``(priority, host, url)``; overflow beyond ``budget`` is pushed
+        back.  Returns columnar lists (url, priority, host).
+        """
+        now_ms = round_index * self.round_ms
+        picked: List[Tuple[int, str, str]] = []  # (priority, host, url)
+        for host in sorted(self.queues):
+            q = self.queues[host]
+            if not q:
+                continue
+            bucket = self.buckets.get(host)
+            if bucket is None:
+                delay = self.host_delays.get(host, DEFAULT_DELAY_MS)
+                cap = max(1.0, self.round_ms / delay)
+                bucket = TokenBucket(cap, 1.0 / delay, now_ms)
+                self.buckets[host] = bucket
+            q.sort()  # (priority, url) — deterministic within host
+            n = 0
+            while n < len(q) and bucket.try_take(now_ms):
+                n += 1
+            if n:
+                take, rest = q[:n], q[n:]
+                self.queues[host] = rest
+                picked.extend((p, host, u) for p, u in take)
+        picked.sort()
+        if len(picked) > budget:
+            # push back the overflow (tokens are *not* refunded — the
+            # politeness budget was spent; mirrors a busy fetcher)
+            for p, host, u in picked[budget:]:
+                self.queues.setdefault(host, []).append((p, u))
+            picked = picked[:budget]
+        return {
+            "url": [u for _, _, u in picked],
+            "priority": [p for p, _, _ in picked],
+            "host": [h for _, h, _ in picked],
+        }
+
+    # ------------------------------------------------------------------ misc
+    def frontier_size(self) -> int:
+        return sum(len(q) for q in self.queues.values())
+
+    def seen_count(self) -> int:
+        return self.seen.count
+
+    def bloom_bytes(self) -> bytes:
+        return self.bloom.to_bytes()
+
+    # ------------------------------------------------------------ checkpoint
+    def serialize(self) -> bytes:
+        return pickle.dumps(
+            {
+                "shard_id": self.shard_id,
+                "round_ms": self.round_ms,
+                "max_per_host": self.max_per_host,
+                "seen": self.seen.to_bytes(),
+                "bloom": self.bloom.to_bytes(),
+                "host_delays": self.host_delays,
+                "queues": self.queues,
+                "buckets": {h: b.state() for h, b in self.buckets.items()},
+            },
+            protocol=4,
+        )
+
+    @classmethod
+    def restore(cls, data: bytes) -> "FrontierShard":
+        d = pickle.loads(data)
+        obj = cls.__new__(cls)
+        obj.shard_id = d["shard_id"]
+        obj.round_ms = d["round_ms"]
+        obj.max_per_host = d["max_per_host"]
+        obj.seen = CuckooFilter.from_bytes(d["seen"])
+        obj.bloom = BloomFilter.from_bytes(d["bloom"])
+        obj.host_delays = d["host_delays"]
+        obj.queues = d["queues"]
+        obj.buckets = {h: TokenBucket.from_state(s) for h, s in d["buckets"].items()}
+        obj._pending = {}
+        obj._stats = dict(offered=0, inserts=0, dupes_skipped=0, overflow_dropped=0)
+        return obj
+
+    def load_checkpoint(self, data: bytes) -> int:
+        """Restore state in place (for an already-created actor)."""
+        other = FrontierShard.restore(data)
+        self.__dict__.update(other.__dict__)
+        return self.shard_id

@@ -1,0 +1,182 @@
+"""Content hashing for dedup: md5 fingerprints, shingles, MinHash, SimHash.
+
+The reference's only hashing is sha1-of-config for browser identity
+(crawler_pool.py:21-23) and exact stream-message dedup by composite key
+(job.py:471-484).  The dedup family here is the scale generalization a
+training-data pipeline needs (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), built on deterministic, seed-free primitives so results are
+identical across processes and cluster sizes.
+
+All batch-level entry points are vectorized (numpy) where the math
+allows; per-document Python work is O(tokens) single-pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterable, List, Sequence
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+_MERSENNE = (1 << 61) - 1  # modulus for universal hashing
+
+
+def md5_hex(text: str) -> str:
+    """Exact-dedup fingerprint; matches DuckDB ``md5(text)``."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def md5_hex_many(texts: Iterable[str]) -> List[str]:
+    h = hashlib.md5
+    return [h(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def tokens(text: str) -> List[str]:
+    return _TOKEN_RE.findall(text.lower())
+
+
+def shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingles → uint64 hashes (sorted unique)."""
+    toks = tokens(text)
+    if len(toks) < k:
+        sh = [" ".join(toks)] if toks else []
+    else:
+        sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
+    out = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") for s in sh),
+        dtype=np.uint64,
+        count=len(sh),
+    )
+    return np.unique(out)
+
+
+def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficients for num_perm universal hashes."""
+    rng = np.random.RandomState(1729)  # fixed — part of the spec
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_MINHASH_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle-hash set.
+
+    h_i(x) = (a_i * x + b_i) mod (2^61 - 1), min over the set — the
+    standard universal-hashing MinHash (Broder '97).
+    """
+    if num_perm not in _MINHASH_CACHE:
+        _MINHASH_CACHE[num_perm] = _minhash_params(num_perm)
+    a, b = _MINHASH_CACHE[num_perm]
+    if shingle_hashes.size == 0:
+        return np.full(num_perm, _MERSENNE, dtype=np.uint64)
+    x = shingle_hashes.astype(np.object_)  # python ints: exact 128-bit products
+    sig = np.empty(num_perm, dtype=np.uint64)
+    for i in range(num_perm):
+        vals = (int(a[i]) * x + int(b[i])) % _MERSENNE
+        sig[i] = int(vals.min())
+    return sig
+
+
+def minhash_signature_fast(shingle_hashes: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """Vectorized MinHash using float-free 64-bit arithmetic.
+
+    Computes (a*x + b) mod M with numpy uint64 wraparound on the low 64
+    bits — a different (but equally valid and deterministic) hash family
+    than :func:`minhash_signature`; used in the hot path.
+    """
+    if num_perm not in _MINHASH_CACHE:
+        _MINHASH_CACHE[num_perm] = _minhash_params(num_perm)
+    a, b = _MINHASH_CACHE[num_perm]
+    if shingle_hashes.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (num_perm, n) with modular wraparound — deterministic across platforms
+    prod = a[:, None] * shingle_hashes[None, :] + b[:, None]
+    return prod.min(axis=1)
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> List[bytes]:
+    """Split a signature into ``bands`` bands; key = band_id || band bytes.
+
+    Docs sharing any band key are LSH candidates (then verified with
+    exact Jaccard).  rows_per_band = len(sig) // bands.
+    """
+    r = len(sig) // bands
+    return [bytes([bi]) + sig[bi * r : (bi + 1) * r].tobytes() for bi in range(bands)]
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique uint64 shingle sets."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+def char_jaccard(a: str, b: str) -> float:
+    """Character-set Jaccard similarity — matches DuckDB ``jaccard(a,b)``."""
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (Charikar '02).
+
+    Each token hashes to 64 bits (blake2b); bit-wise vote sum; sign →
+    output bit.  Near-dup docs differ in few bits (Hamming distance).
+    """
+    toks = tokens(text)
+    if not toks:
+        return 0
+    hashes = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") for t in toks),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+    votes = bits.sum(axis=0) * 2 - len(toks)  # (+1 / -1 votes)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> str:
+    """Document fingerprint: winnowing-style selection of rolling hashes.
+
+    Polynomial rolling hash (base 257 mod 2^61-1) over characters with a
+    ``window``-char window; the ``keep`` smallest window hashes (sorted)
+    form the fingerprint, hex-joined.  Deterministic; robust to small
+    edits outside the selected windows (Schleimer et al., winnowing).
+    """
+    if len(text) < window:
+        return md5_hex(text)[:16]
+    data = np.frombuffer(text.encode("utf-8", "replace")[: 1 << 16], dtype=np.uint8)
+    if data.size < window:
+        return md5_hex(text)[:16]
+    powers = np.empty(window, dtype=np.uint64)
+    p = 1
+    for i in range(window - 1, -1, -1):
+        powers[i] = p
+        p = (p * 257) & 0xFFFFFFFFFFFFFFFF  # uint64 wraparound — deterministic
+    n = data.size - window + 1
+    # windows × powers, summed with wraparound
+    idx = np.arange(window)
+    hashes = (data[np.arange(n)[:, None] + idx[None, :]].astype(np.uint64) * powers[None, :]).sum(axis=1)
+    sel = np.sort(hashes)[:keep]
+    return "".join(f"{int(h):016x}" for h in sel)

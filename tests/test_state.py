@@ -1,0 +1,164 @@
+"""Unit tests: bloom / cuckoo / token bucket / robots / frontier shard (no Ray)."""
+
+import numpy as np
+
+from deepcrawl4ai_ray.functions.urlnorm import hash64
+from deepcrawl4ai_ray.frontier.shard import FrontierShard
+from deepcrawl4ai_ray.state import BloomFilter, CuckooFilter, RobotsPolicy, TokenBucket
+from deepcrawl4ai_ray.state.robots import RobotsCache
+
+
+def _keys(prefix, n):
+    return hash64([f"{prefix}{i}" for i in range(n)])
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        b = BloomFilter(5000, 0.01)
+        h = _keys("u", 5000)
+        b.add_many(h)
+        assert b.contains_many(h).all()
+
+    def test_fp_rate_bounded(self):
+        b = BloomFilter(5000, 0.01)
+        b.add_many(_keys("u", 5000))
+        fp = b.contains_many(_keys("v", 10000)).mean()
+        assert fp < 0.03
+
+    def test_serialize_roundtrip(self):
+        b = BloomFilter(100)
+        h = _keys("w", 50)
+        b.add_many(h)
+        b2 = BloomFilter.from_bytes(b.to_bytes())
+        assert b2.contains_many(h).all() and b2.count == 50
+
+    def test_merge_by_or(self):
+        b1, b2 = BloomFilter(1000), BloomFilter(1000)
+        h1, h2 = _keys("a", 100), _keys("b", 100)
+        b1.add_many(h1)
+        b2.add_many(h2)
+        b1.bits |= b2.bits
+        assert b1.contains_many(h1).all() and b1.contains_many(h2).all()
+
+
+class TestCuckoo:
+    def test_insert_contains_dupes(self):
+        c = CuckooFilter(10000)
+        h = _keys("u", 5000)
+        assert c.add_if_absent_many(h).all()
+        assert not c.add_if_absent_many(h).any()  # first-wins
+        assert c.contains_many(h).all()
+
+    def test_fp_rate(self):
+        c = CuckooFilter(20000)
+        c.add_if_absent_many(_keys("u", 10000))
+        fp = c.contains_many(_keys("v", 20000)).mean()
+        assert fp < 0.005  # 16-bit fingerprints → ~2^-13 expected
+
+    def test_exact_under_saturation(self):
+        c = CuckooFilter(64)
+        h = _keys("s", 1000)
+        ins = c.add_if_absent_many(h)
+        assert ins.all()
+        assert c.contains_many(h).all()  # overflow stash keeps exactness
+        assert not c.add_if_absent_many(h).any()
+
+    def test_serialize_roundtrip(self):
+        c = CuckooFilter(1000)
+        h = _keys("r", 800)
+        c.add_if_absent_many(h)
+        c2 = CuckooFilter.from_bytes(c.to_bytes())
+        assert c2.contains_many(h).all() and c2.count == c.count
+
+
+class TestTokenBucket:
+    def test_burst_then_refill(self):
+        tb = TokenBucket(2, 1 / 1000)  # 2 burst, 1 token/sec
+        assert tb.try_take(0) and tb.try_take(0) and not tb.try_take(0)
+        assert tb.try_take(1000) and not tb.try_take(1500)
+        assert tb.try_take(2500)
+
+    def test_state_roundtrip(self):
+        tb = TokenBucket(5, 0.01, 100)
+        tb.try_take(100)
+        tb2 = TokenBucket.from_state(tb.state())
+        assert tb2.available(100) == tb.available(100)
+
+
+class TestRobots:
+    def test_disallow_prefix(self):
+        p = RobotsPolicy(["/p/1"], 500)
+        assert not p.allows("https://h.x/p/1")
+        assert not p.allows("https://h.x/p/10")  # prefix semantics
+        assert p.allows("https://h.x/p/2")
+
+    def test_cache_default(self):
+        c = RobotsCache({"h.x": (["/a"], 250)})
+        assert c.get("h.x").crawl_delay_ms == 250
+        assert c.get("unknown.example").allows("https://unknown.example/any")
+
+
+class TestFrontierShard:
+    def test_offer_finalize_select_dedup(self):
+        sh = FrontierShard(0, capacity=1 << 12, round_ms=10_000)
+        sh.offer(["https://a.x/1", "https://a.x/2", "https://a.x/1"], [1, 0, 0], ["a.x"] * 3)
+        stats = sh.finalize_round()
+        assert stats["inserts"] == 2 and stats["dupes_skipped"] == 1
+        # min-priority merge: /1 offered at 1 then 0 → priority 0
+        sel = sh.select(0, budget=10)
+        assert sel["url"] == ["https://a.x/1", "https://a.x/2"]
+        assert sel["priority"] == [0, 0]
+        # re-offer after fetch: still dupes
+        sh.offer(["https://a.x/1"], [3], ["a.x"])
+        stats = sh.finalize_round()
+        assert stats["inserts"] == 0 and stats["dupes_skipped"] == 1
+
+    def test_politeness_quota(self):
+        sh = FrontierShard(0, round_ms=1000, host_delays={"slow.x": 1000, "fast.x": 100})
+        urls_s = [f"https://slow.x/{i}" for i in range(20)]
+        urls_f = [f"https://fast.x/{i}" for i in range(20)]
+        sh.offer(urls_s + urls_f, [0] * 40, ["slow.x"] * 20 + ["fast.x"] * 20)
+        sh.finalize_round()
+        sel = sh.select(0, budget=100)
+        slow = sum(1 for u in sel["url"] if "slow" in u)
+        fast = sum(1 for u in sel["url"] if "fast" in u)
+        assert slow == 1  # 1000ms round / 1000ms delay
+        assert fast == 10  # 1000ms round / 100ms delay
+
+    def test_budget_pushback(self):
+        sh = FrontierShard(0, round_ms=100_000, host_delays={})
+        urls = [f"https://h{i}.x/0" for i in range(30)]
+        sh.offer(urls, [0] * 30, [f"h{i}.x" for i in range(30)])
+        sh.finalize_round()
+        sel = sh.select(0, budget=10)
+        assert len(sel["url"]) == 10
+        assert sh.frontier_size() == 20  # rest pushed back
+
+    def test_deterministic_order_any_offer_order(self):
+        def build(order):
+            sh = FrontierShard(0, round_ms=100_000)
+            for u, p, h in order:
+                sh.offer([u], [p], [h])
+            sh.finalize_round()
+            return sh.select(0, budget=100)["url"]
+
+        items = [(f"https://h{i % 3}.x/p/{i}", i % 2, f"h{i % 3}.x") for i in range(12)]
+        assert build(items) == build(list(reversed(items)))
+
+    def test_checkpoint_roundtrip(self):
+        sh = FrontierShard(3, round_ms=5000, host_delays={"a.x": 500})
+        sh.offer([f"https://a.x/{i}" for i in range(10)], list(range(10)), ["a.x"] * 10)
+        sh.finalize_round()
+        sh.select(0, budget=3)
+        sh2 = FrontierShard.restore(sh.serialize())
+        assert sh2.frontier_size() == sh.frontier_size()
+        assert sh2.select(1, 100) == sh.select(1, 100)
+        assert sh2.seen_count() == sh.seen_count()
+
+    def test_bounded_depth(self):
+        sh = FrontierShard(0, max_per_host=5, round_ms=1000)
+        urls = [f"https://h.x/{i}" for i in range(20)]
+        sh.offer(urls, [0] * 20, ["h.x"] * 20)
+        stats = sh.finalize_round()
+        assert stats["overflow_dropped"] == 15
+        assert sh.frontier_size() == 5
