@@ -1,16 +1,42 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per-operator pipelines,
+oracle_sql() DuckDB equivalents.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (nor in deepcrawl4ai_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Coverage map (SURVEY.md §2 → queries):
+- S1/S5 sources + K2/K3 parquet sinks .... every query (column-pruned
+  read_parquet), crawl_tiny_e2e (partitioned zstd parquet sink)
+- M1 fetch / T1-T3,T8 stateful pool ...... crawl_tiny_e2e (FetchActor)
+- M2/M3 url normalize+slug ............... normalized_sources
+- M4/M5 HTML→text extraction ............. extract_corpus_text (+ pytest
+  byte-identity conformance), crawl_tiny_e2e
+- M10-M12 projections .................... q3_top_revenue, crawl pipeline
+- M16/M17 filters/branches ............... orders_status_counts, due_events
+- M18 link-scope filter .................. crawl_tiny_e2e
+- J2/J3 broadcast joins .................. region_customer_rollup, q3
+- J4 seen-set anti-join .................. customers_without_orders (+
+  frontier cuckoo in crawl_tiny_e2e)
+- J5 keyed first-wins dedup .............. first_event_per_key,
+  dedup_exact_docs
+- bucketed hash join (both sides large) .. q3_top_revenue,
+  jaccard_adjacent_docs
+- A1-A5 aggregations ..................... q1_lineitem_agg + partial-agg
+  pattern everywhere
+- O1 ready-time queue .................... due_events
+- top-k / limits ......................... top_users_by_events, knn_*
+- §2.9 streaming windows ................. events_hourly, user_sessions
+- dedup family ........................... dedup_exact_docs (exact),
+  minhash_near_dups (MinHash+LSH), simhash_signatures (SimHash),
+  jaccard_adjacent_docs (n-gram/char Jaccard),
+  embedding_near_dup_pairs (cosine)
+- similarity search ...................... knn_cosine_top10 (brute
+  force), knn_ivf_top10 (IVF scale path)
+- text analysis .......................... token_stats_by_lang,
+  quality_by_lang, doc_fingerprints, simhash; lang-ID in
+  functions.textstats (pytest-covered)
+- multimodal binary columns .............. image_decode_meta,
+  frame_samples (stubbed decode, real actor-pool plumbing)
 """
 
 from __future__ import annotations
@@ -20,25 +46,20 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: the end-to-end crawl (frontier + fetch +
+    extract + parquet sink) on the deterministic tiny corpus."""
+    from deepcrawl4ai_ray.pipelines.queries import crawl_tiny_e2e
+
+    return crawl_tiny_e2e("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from deepcrawl4ai_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from deepcrawl4ai_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,188 @@
+"""Benchmark harness (driver contract).
+
+Default: ray.init(num_cpus=$RAY_GRAFT_CPUS or 32), run the headline
+pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1) plus the
+crawl + extract pipelines over the deterministic bench corpus, print
+ONE JSON line.
+
+--scaling: run the same job at num_cpus=8 and num_cpus=32 in fresh
+processes on the same input and report both throughputs + scaling
+efficiency (the sandbox stand-in for the N→4N-node criterion; see
+BASELINE.md).  The scaling headline is the compute-bound extract
+pipeline (fetch→extract→stats→parquet over the bench corpus) and the
+crawl loop in politeness-free mode — politeness itself is a semantic
+rate cap, deliberately independent of cluster size.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _pages_count(corpus: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(corpus, "pages", "*.parquet")))
+
+
+def run_bench(num_cpus: int, sf_dir: str) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from deepcrawl4ai_ray.frontier.crawler import Crawler, CrawlConfig
+    from deepcrawl4ai_ray.pipelines.queries import QUERIES
+    from deepcrawl4ai_ray.sources.corpus import ensure
+
+    results: dict = {"queries": {}}
+    corpus = ensure("bench")
+    n_pages = _pages_count(corpus)
+
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    rd.read_parquet(os.path.join(corpus, "pages"), columns=["url"]).count()
+
+    # ---- extract pipeline (the compute-bound scaling headline) ----------
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def extract_batch(batch: pa.Table) -> pa.Table:
+        from deepcrawl4ai_ray.functions.extract import extract_text
+
+        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        t = pa.array(texts, pa.string())
+        n_tok = pc.add(pc.count_substring(t, " "), 1)
+        return pa.table({"url": batch["url"], "text": t, "n_tokens": n_tok})
+
+    out_dir = "/tmp/dc4r_bench/extract_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    (
+        rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
+        .map_batches(extract_batch, batch_format="pyarrow", batch_size=512)
+        .write_parquet(out_dir)
+    )
+    t_extract = time.time() - t0
+    results["extract_pages_per_sec"] = round(n_pages / t_extract, 1)
+    results["queries"]["extract_pipeline"] = round(t_extract, 3)
+
+    # ---- crawl loop (politeness-free throughput mode) -------------------
+    crawl_out = "/tmp/dc4r_bench/crawl_out"
+    shutil.rmtree(crawl_out, ignore_errors=True)
+    cfg = CrawlConfig(
+        num_shards=8,
+        fetch_concurrency=max(2, num_cpus // 4),
+        per_shard_budget=20_000,
+        max_rounds=6,
+        round_ms=10_000_000,  # politeness quota effectively unbounded
+        checkpoint=False,
+    )
+    t0 = time.time()
+    c = Crawler(corpus, crawl_out, cfg)
+    crawl_res = c.run()
+    t_crawl = time.time() - t0
+    import pyarrow.parquet as pq
+
+    man_files = glob.glob(os.path.join(crawl_out, "manifest", "*.parquet"))
+    inserts = sum(
+        sum(pq.read_table(f, columns=["inserts"])["inserts"].to_pylist()) for f in man_files
+    )
+    c.kill_shards()
+    results["queries"]["crawl_pipeline"] = round(t_crawl, 3)
+    results["crawl_pages_per_sec"] = round(crawl_res["total_fetched"] / t_crawl, 1)
+    results["crawl_pages_fetched"] = crawl_res["total_fetched"]
+    results["frontier_inserts_per_sec"] = round(inserts / t_crawl, 1)
+
+    # ---- generic operator queries over $GRAFT_SF_DIR --------------------
+    bench_queries = [
+        "q1_lineitem_agg",
+        "q3_top_revenue",
+        "events_hourly",
+        "user_sessions",
+        "token_stats_by_lang",
+        "dedup_exact_docs",
+        "minhash_near_dups",
+        "knn_cosine_top10",
+        "embedding_label_stats",
+        "image_decode_meta",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        QUERIES[name](sf_dir)
+        results["queries"][name] = round(time.time() - t0, 3)
+
+    total = round(sum(results["queries"].values()), 3)
+    results.update(
+        {
+            "metric": "pipeline_suite_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "scaling_headline_sec": round(t_extract + t_crawl, 3),
+            "bench_corpus_pages": n_pages,
+        }
+    )
+    ray.shutdown()
+    return results
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        import subprocess
+
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = run(8), run(32)
+        t_lo = lo["scaling_headline_sec"]
+        t_hi = hi["scaling_headline_sec"]
+        eff = (t_lo / t_hi) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8": t_lo,
+                    "sec_32": t_hi,
+                    "crawl_pages_per_sec_8": lo["crawl_pages_per_sec"],
+                    "crawl_pages_per_sec_32": hi["crawl_pages_per_sec"],
+                    "extract_pages_per_sec_8": lo["extract_pages_per_sec"],
+                    "extract_pages_per_sec_32": hi["extract_pages_per_sec"],
+                    "frontier_inserts_per_sec_32": hi["frontier_inserts_per_sec"],
+                }
+            )
+        )
+        return
+
+    print(json.dumps(run_bench(num_cpus, sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

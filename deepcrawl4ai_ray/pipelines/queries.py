@@ -1,0 +1,812 @@
+"""Generic operator pipelines over the driver testdata tables.
+
+One entry per operator family from SURVEY.md §2 (plus the
+training-data-pipeline extensions), each expressed Ray-Data-first and —
+where SQL-expressible — paired with an exactly-matching DuckDB oracle in
+``ORACLES`` (same column names, same rounding, same ordering, per the
+driver contract in __ray_entry__.py).
+
+Float policy: every float aggregate is ROUNDed (2–4 dp) on BOTH sides
+so summation-order differences between Ray partials and DuckDB stay
+below the rounding grain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions import hashing as H
+from ..functions.textstats import quality_batch
+from ..functions.urlnorm import normalize_url, url_to_slug
+from ..stages.agg import partial_grouped_sum
+from ..stages.dedup import (
+    embedding_near_dups,
+    exact_dedup_stats,
+    minhash_lsh_pairs,
+    simhash_stage,
+)
+from ..stages.join import broadcast_filter, hash_join
+from ..stages.knn import brute_force_topk, ivf_topk, train_ivf_centroids
+from ..stages.multimodal import FrameSampleStage, ImageDecodeStage
+from ..stages.windows import ready_queue, session_counts, tumbling_window_agg
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+# =========================================================================
+# A. Aggregations (A1-A5) — TPC-H Q1 shape with partial aggregation
+# =========================================================================
+
+def q1_lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    """Grouped sums/avg/count over lineitem (reference A1/A2 counters
+    generalized; pre-aggregated per batch before the shuffle)."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def with_disc(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc)
+
+    ds = ds.map_batches(with_disc, batch_format="pyarrow")
+    out = partial_grouped_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        sums=["l_quantity", "l_extendedprice", "disc_price"],
+        count_alias="count_order",
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": out["sum_l_quantity"].round(2),
+            "sum_base_price": out["sum_l_extendedprice"].round(2),
+            "sum_disc_price": out["sum_disc_price"].round(2),
+            "avg_qty": (out["sum_l_quantity"] / out["count_order"]).round(4),
+            "count_order": out["count_order"].astype("int64"),
+        }
+    )
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_quantity) / COUNT(*), 4)             AS avg_qty,
+       COUNT(*)                                         AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def orders_status_counts(sf_dir: str) -> pd.DataFrame:
+    """Filter + grouped count (M16/M17 success-predicate analog)."""
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")), batch_format="pyarrow"
+    )
+    out = partial_grouped_sum(ds, ["o_orderpriority"], count_alias="n").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_ORDERS_STATUS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# =========================================================================
+# B. Joins (J-series): broadcast dimension join + bucketed hash join
+# =========================================================================
+
+def region_customer_rollup(sf_dir: str) -> pd.DataFrame:
+    """customer ⋈ nation ⋈ region via broadcast dicts (J2/J3 pattern:
+    dimension tables shipped once with ray.put, looked up per batch)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_p(sf_dir, "nation"))
+    region = pq.read_table(_p(sf_dir, "region"))
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put({n: r2name[r] for n, r in n2r.items()})
+
+    class AddRegion:
+        def __init__(self):
+            self.lut = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nk = batch["c_nationkey"].to_pylist()
+            names = [self.lut[n] for n in nk]
+            return batch.append_column("r_name", pa.array(names, pa.string()))
+
+    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+    ds = ds.map_batches(AddRegion, batch_format="pyarrow", concurrency=(1, 4))
+    out = partial_grouped_sum(ds, ["r_name"], sums=["c_acctbal"], count_alias="n_customers").to_pandas()
+    df = pd.DataFrame(
+        {
+            "r_name": out["r_name"],
+            "n_customers": out["n_customers"].astype("int64"),
+            "total_acctbal": out["sum_c_acctbal"].round(2),
+        }
+    )
+    return df.sort_values("r_name").reset_index(drop=True)
+
+
+_REGION_CUSTOMER_SQL = """
+SELECT r_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: semi-filter orders by BUILDING customers
+    (broadcast), pre-aggregate lineitem revenue per orderkey, then a
+    bucketed hash join orders ⋈ revenue (both sides large at scale)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    building = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    keys_ref = ray.put(building)
+
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = broadcast_filter(orders, "o_custkey", keys_ref, keep_in=True).drop_columns(["o_custkey"])
+
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": r})
+
+    li_rev = partial_grouped_sum(li.map_batches(rev, batch_format="pyarrow"), ["l_orderkey"], sums=["rev"])
+
+    joined = hash_join(
+        orders, li_rev.map_batches(lambda t: t.rename_columns(["o_orderkey", "sum_rev"]), batch_format="pyarrow"),
+        on="o_orderkey", num_buckets=16,
+    )
+    df = joined.to_pandas()
+    df["revenue"] = df["sum_rev"].round(2)
+    df = df[["o_orderkey", "o_orderdate", "revenue"]]
+    df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True], kind="mergesort").head(10)
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join (J4 seen-set shape): customers ∄ orders via broadcast
+    key set; at 10^9+ keys the set becomes a bloom + exact shard check."""
+    import pyarrow.parquet as pq
+
+    okeys = pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"])
+    keys_ref = ray.put(pc.unique(okeys["o_custkey"]).to_pylist())
+    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    out = broadcast_filter(ds, "c_custkey", keys_ref, keep_in=False).to_pandas()
+    if out.empty:  # schema-stable empty result
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")})
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def jaccard_adjacent_docs(sf_dir: str) -> pd.DataFrame:
+    """Self hash-join documents on doc_id+1; char-set Jaccard per pair
+    (matches DuckDB's jaccard()).  Exercises the bucketed join path."""
+    a = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    b = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.subtract(batch["doc_id"], pa.scalar(1, pa.int64())),
+                "text_next": batch["text"],
+            }
+        )
+
+    b = b.map_batches(shift, batch_format="pyarrow")
+    joined = hash_join(a, b, on="doc_id", num_buckets=16)
+
+    def sim(batch: pa.Table) -> pa.Table:
+        sims = [
+            round(H.char_jaccard(x, y), 4)
+            for x, y in zip(batch["text"].to_pylist(), batch["text_next"].to_pylist())
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "sim": pa.array(sims, pa.float64())})
+
+    out = joined.map_batches(sim, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_JACCARD_ADJ_SQL = """
+SELECT a.doc_id AS doc_id, ROUND(jaccard(a.text, b.text), 4) AS sim
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+ORDER BY a.doc_id
+"""
+
+
+# =========================================================================
+# C. Streaming-shaped (S3/O1, §2.9): windows, sessions, ready queue, dedup
+# =========================================================================
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    out = tumbling_window_agg(ds, "event_type", "ts", "value", window="hour").to_pandas()
+    df = pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "window_start": out["window_start"],
+            "n": out["n"].astype("int64"),
+            "sum_value": out["sum_value"].round(2),
+        }
+    )
+    return df.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def user_sessions(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    out = session_counts(ds, "user_id", "ts", pd.Timedelta(minutes=30)).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_SESSIONS_SQL = """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
+def due_events(sf_dir: str) -> pd.DataFrame:
+    """Ready-time queue pop (S3/O1: ZRANGEBYSCORE 0..now analog)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    out = ready_queue(
+        ds, "ts", pd.Timestamp("2024-01-03 00:00:00"), ["ts", "event_id"], limit=100
+    ).to_pandas()
+    for c in ("event_id", "user_id"):
+        out[c] = out[c].astype("int64")
+    return out[["event_id", "user_id", "ts"]].reset_index(drop=True)
+
+
+_DUE_SQL = """
+SELECT event_id, user_id, ts FROM events
+WHERE ts <= TIMESTAMP '2024-01-03 00:00:00'
+ORDER BY ts, event_id LIMIT 100
+"""
+
+
+def first_event_per_key(sf_dir: str) -> pd.DataFrame:
+    """Exact keyed dedup, first-wins (J5: seen_messages skip)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"])
+    out = (
+        ds.groupby(["user_id", "event_type"])
+        .aggregate(Min("ts", alias_name="first_ts"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+_FIRST_EVENT_SQL = """
+SELECT user_id, event_type, MIN(ts) AS first_ts, COUNT(*) AS n
+FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""
+
+
+def top_users_by_events(sf_dir: str) -> pd.DataFrame:
+    """Grouped count + top-k (no global sort: aggregate then head)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    out = partial_grouped_sum(ds, ["user_id"], count_alias="n").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort").head(10)
+    return out.reset_index(drop=True)
+
+
+_TOP_USERS_SQL = """
+SELECT user_id, COUNT(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+# =========================================================================
+# D. Text analysis + URL ops (M2/M3 + training-data extensions)
+# =========================================================================
+
+def token_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Whitespace token counting, vectorized with Arrow kernels.
+
+    Token spec (oracle-exact): n = count(' ') + 1 over the raw text.
+    """
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(batch["text"], " "), 1)
+        return pa.table({"lang": batch["lang"], "n_tokens": pc.cast(n, pa.int64())})
+
+    out = partial_grouped_sum(
+        ds.map_batches(toks, batch_format="pyarrow"), ["lang"], sums=["n_tokens"], count_alias="n_docs"
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "lang": out["lang"],
+            "total_tokens": out["sum_n_tokens"].astype("int64"),
+            "n_docs": out["n_docs"].astype("int64"),
+        }
+    )
+    df["avg_tokens"] = (df["total_tokens"] / df["n_docs"]).round(4)
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+_TOKEN_STATS_SQL = """
+SELECT lang,
+       CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+       COUNT(*)                                                          AS n_docs,
+       ROUND(SUM(length(text) - length(replace(text, ' ', '')) + 1) * 1.0
+             / COUNT(*), 4)                                              AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def quality_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Quality scoring: mean token length per lang (oracle-exact formula:
+    (chars - spaces) / (spaces + 1), averaged)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
+        spaces = pc.cast(pc.count_substring(batch["text"], " "), pa.float64())
+        mtl = pc.divide(pc.subtract(chars, spaces), pc.add(spaces, 1.0))
+        return pa.table({"lang": batch["lang"], "mtl": mtl})
+
+    out = partial_grouped_sum(
+        ds.map_batches(metrics, batch_format="pyarrow"), ["lang"], sums=["mtl"], count_alias="n_docs"
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "lang": out["lang"],
+            "avg_mean_token_len": (out["sum_mtl"] / out["n_docs"]).round(4),
+            "n_docs": out["n_docs"].astype("int64"),
+        }
+    )
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+_QUALITY_SQL = """
+SELECT lang,
+       ROUND(AVG((length(text) - (length(text) - length(replace(text, ' ', ''))))
+                 / (length(text) - length(replace(text, ' ', '')) + 1.0)), 4) AS avg_mean_token_len,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def source_stats(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "n_chars"])
+    out = partial_grouped_sum(ds, ["source"], sums=["n_chars"], count_alias="n_docs").to_pandas()
+    df = pd.DataFrame(
+        {
+            "source": out["source"],
+            "n_docs": out["n_docs"].astype("int64"),
+            "total_chars": out["sum_n_chars"].astype("int64"),
+        }
+    )
+    df["avg_chars"] = (df["total_chars"] / df["n_docs"]).round(4)
+    return df.sort_values("source").reset_index(drop=True)
+
+
+_SOURCE_STATS_SQL = """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def normalized_sources(sf_dir: str) -> pd.DataFrame:
+    """URL scheme-normalize + slug (M2/M3; tasks.py:343, utils.py:176-180)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source"])
+    distinct = ds.unique("source")
+
+    def norm(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        urls = [normalize_url(s) for s in src]
+        slugs = [url_to_slug(u) for u in urls]
+        return pa.table(
+            {
+                "source": batch["source"],
+                "url": pa.array(urls, pa.string()),
+                "slug": pa.array(slugs, pa.string()),
+            }
+        )
+
+    # unique() returns a list of values in recent Ray; normalize via from_items
+    if isinstance(distinct, list):
+        tbl = pa.table({"source": pa.array(sorted(distinct), pa.string())})
+        out = norm(tbl).to_pandas()
+    else:
+        out = distinct.map_batches(norm, batch_format="pyarrow").to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_NORM_SOURCES_SQL = """
+SELECT DISTINCT source,
+       'https://' || source AS url,
+       regexp_replace(source, '[^a-zA-Z0-9_-]', '-', 'g') AS slug
+FROM documents ORDER BY source
+"""
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Exact content fingerprint per doc (md5; matches DuckDB md5())."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(H.md5_hex_many(batch["text"].to_pylist()), pa.string()),
+            }
+        )
+
+    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = exact_dedup_stats(ds, "doc_id", "text").to_pandas()
+    out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return out.sort_values("text_hash").reset_index(drop=True)
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY text_hash
+"""
+
+
+# =========================================================================
+# E. Embeddings: similarity search + stats
+# =========================================================================
+
+def _load_query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    row = t.filter(pc.equal(t["vec_id"], 0))
+    return np.asarray(row["embedding"].to_pylist()[0], dtype=np.float64)
+
+
+def knn_cosine_top10(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 query (broadcast query,
+    per-batch matmul, partial top-k)."""
+    q = _load_query_vec(sf_dir)
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, "vec_id", "embedding", q, k=10, exclude_id=0)
+    return out.rename(columns={"cos_sim": "cos_sim"})[["vec_id", "cos_sim"]]
+
+
+_KNN_SQL = """
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def knn_ivf_top10(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k (scale path; rows-only check —
+    recall vs brute force is asserted in tests, not by the oracle)."""
+    import pyarrow.parquet as pq
+
+    q = _load_query_vec(sf_dir)
+    sample = pq.read_table(_p(sf_dir, "embeddings"), columns=["embedding"])
+    M = np.asarray(sample["embedding"].to_pylist(), dtype=np.float64)[:2048]
+    cents = train_ivf_centroids(M, nlist=16, iters=5)
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ivf_topk(ds, "vec_id", "embedding", q, cents, k=10, nprobe=4, exclude_id=0)
+
+
+def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def first_comp(batch: pa.Table) -> pa.Table:
+        first = pc.list_element(batch["embedding"], 0)
+        return pa.table({"label": batch["label"], "e0": pc.cast(first, pa.float64())})
+
+    out = partial_grouped_sum(
+        ds.map_batches(first_comp, batch_format="pyarrow"), ["label"], sums=["e0"], count_alias="n"
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "label": out["label"].astype("int32"),
+            "n": out["n"].astype("int64"),
+            "avg_first": (out["sum_e0"] / out["n"]).round(4),
+        }
+    )
+    return df.sort_values("label").reset_index(drop=True)
+
+
+_EMB_STATS_SQL = """
+SELECT label, COUNT(*) AS n, ROUND(SUM(CAST(embedding[1] AS DOUBLE)) / COUNT(*), 4) AS avg_first
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.95; rows-only)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, "vec_id", "embedding", ray.put(M), ray.put(ids), threshold=0.95)
+
+
+# =========================================================================
+# F. Near-dup text dedup (rows-only: not SQL-expressible)
+# =========================================================================
+
+def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs over documents ∪ perturbed copies.
+
+    Each doc with doc_id % 10 == 0 gets a copy (doc_id + 10_000_000)
+    with its last word dropped — guaranteeing a near-dup population so
+    the operator's recall is visible.  Rows-only check (LSH is not
+    SQL-expressible); tests assert planted pairs are recovered.
+    """
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % 10 == 0))
+        texts = [" ".join(t.split(" ")[:-1]) for t in sub["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.add(sub["doc_id"], 10_000_000),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    aug = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    return minhash_lsh_pairs(aug, "doc_id", "text", threshold=0.5, num_perm=64, bands=16, k=3)
+
+
+def simhash_signatures(sf_dir: str) -> pd.DataFrame:
+    """SimHash64 per doc (rows-only; deterministic)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(simhash_stage("doc_id", "text"), batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["simhash"] = out["simhash"].astype("uint64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# =========================================================================
+# G. Multimodal (stubbed decode, real Ray plumbing)
+# =========================================================================
+
+def image_decode_meta(sf_dir: str) -> pd.DataFrame:
+    """Binary payload column → decode metadata via an actor-pool stage.
+
+    The 'image' payload is the utf-8 text bytes (deterministic stand-in;
+    the decode stub derives dims from byte length → oracle-exact)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pc.cast(batch["text"], pa.binary()),
+            }
+        )
+
+    out = (
+        ds.map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            ImageDecodeStage,
+            fn_constructor_args=("payload", "doc_id"),
+            batch_format="pyarrow",
+            batch_size=256,  # small batches: binary payload discipline
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_IMAGE_DECODE_SQL = """
+SELECT doc_id,
+       (octet_length(encode(text)) * 7) % 640 + 16  AS width,
+       (octet_length(encode(text)) * 13) % 480 + 16 AS height,
+       octet_length(encode(text))                   AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
+def frame_samples(sf_dir: str) -> pd.DataFrame:
+    """Frame-sampling stage over binary 'video' payloads (rows-only)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pc.cast(batch["text"], pa.binary())}
+        )
+
+    out = (
+        ds.map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_args=("payload", "doc_id", 4),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+# =========================================================================
+# H. Crawl pipelines (north star; rows-only — conformance is pytest's)
+# =========================================================================
+
+def crawl_tiny_e2e(sf_dir: str) -> pd.DataFrame:
+    """Full crawl on the deterministic tiny corpus: frontier (cuckoo
+    seen-set, politeness, robots) → fetch actors → extract → sink.
+    sf_dir is unused (the corpus is self-generated); rows-only check —
+    ordering/seen-set/text conformance is asserted by pytest fixtures."""
+    import shutil
+
+    from ..frontier.crawler import Crawler, CrawlConfig, read_crawl_output
+    from ..sources.corpus import ensure
+
+    corpus = ensure("tiny")
+    out_dir = "/tmp/dc4r_query_crawl"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    c = Crawler(corpus, out_dir, CrawlConfig(num_shards=2, fetch_concurrency=2, max_rounds=6, per_shard_budget=500, checkpoint=False))
+    c.run()
+    c.kill_shards()
+    out = read_crawl_output(out_dir)
+    df = out.select(["fetch_seq", "round", "url", "host", "priority", "status", "n_links"]).to_pandas()
+    return df
+
+
+def extract_corpus_text(sf_dir: str) -> pd.DataFrame:
+    """The minimum end-to-end slice (SURVEY.md §7 step 2): read pages →
+    map_batches(extract) → compare-ready (url, md5(text)).  Rows-only;
+    byte-identity vs the corpus oracle is asserted in pytest."""
+    from ..sources.corpus import ensure
+
+    corpus = ensure("tiny")
+    ds = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
+
+    def ex(batch: pa.Table) -> pa.Table:
+        from ..functions.extract import extract_text
+
+        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "text_md5": pa.array(H.md5_hex_many(texts), pa.string()),
+            }
+        )
+
+    out = ds.map_batches(ex, batch_format="pyarrow").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+# =========================================================================
+# Registry
+# =========================================================================
+
+QUERIES = {
+    "q1_lineitem_agg": q1_lineitem_agg,
+    "orders_status_counts": orders_status_counts,
+    "region_customer_rollup": region_customer_rollup,
+    "q3_top_revenue": q3_top_revenue,
+    "customers_without_orders": customers_without_orders,
+    "jaccard_adjacent_docs": jaccard_adjacent_docs,
+    "events_hourly": events_hourly,
+    "user_sessions": user_sessions,
+    "due_events": due_events,
+    "first_event_per_key": first_event_per_key,
+    "top_users_by_events": top_users_by_events,
+    "token_stats_by_lang": token_stats_by_lang,
+    "quality_by_lang": quality_by_lang,
+    "source_stats": source_stats,
+    "normalized_sources": normalized_sources,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_exact_docs": dedup_exact_docs,
+    "knn_cosine_top10": knn_cosine_top10,
+    "knn_ivf_top10": knn_ivf_top10,
+    "embedding_label_stats": embedding_label_stats,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "minhash_near_dups": minhash_near_dups,
+    "simhash_signatures": simhash_signatures,
+    "image_decode_meta": image_decode_meta,
+    "frame_samples": frame_samples,
+    "crawl_tiny_e2e": crawl_tiny_e2e,
+    "extract_corpus_text": extract_corpus_text,
+}
+
+ORACLES = {
+    "q1_lineitem_agg": _Q1_SQL,
+    "orders_status_counts": _ORDERS_STATUS_SQL,
+    "region_customer_rollup": _REGION_CUSTOMER_SQL,
+    "q3_top_revenue": _Q3_SQL,
+    "customers_without_orders": _ANTI_SQL,
+    "jaccard_adjacent_docs": _JACCARD_ADJ_SQL,
+    "events_hourly": _EVENTS_HOURLY_SQL,
+    "user_sessions": _SESSIONS_SQL,
+    "due_events": _DUE_SQL,
+    "first_event_per_key": _FIRST_EVENT_SQL,
+    "top_users_by_events": _TOP_USERS_SQL,
+    "token_stats_by_lang": _TOKEN_STATS_SQL,
+    "quality_by_lang": _QUALITY_SQL,
+    "source_stats": _SOURCE_STATS_SQL,
+    "normalized_sources": _NORM_SOURCES_SQL,
+    "doc_fingerprints": _FINGERPRINT_SQL,
+    "dedup_exact_docs": _DEDUP_EXACT_SQL,
+    "knn_cosine_top10": _KNN_SQL,
+    "embedding_label_stats": _EMB_STATS_SQL,
+    "image_decode_meta": _IMAGE_DECODE_SQL,
+    # rows-only (non-SQL-expressible): knn_ivf_top10, embedding_near_dup_pairs,
+    # minhash_near_dups, simhash_signatures, frame_samples, crawl_tiny_e2e,
+    # extract_corpus_text
+}

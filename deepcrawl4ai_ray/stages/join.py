@@ -1,0 +1,130 @@
+"""Join strategies: broadcast semi/anti join and bucketed hash join.
+
+The reference has only key-value lookups (SURVEY.md §2.4 J1-J3); these
+are the distributed generalizations:
+
+- broadcast_filter: small-side key set shipped once via ``ray.put``,
+  membership test vectorized inside map_batches — the semi/anti join
+  (J4's seen-set anti-join shape).  At 10^9+ keys the set becomes a
+  Bloom filter (state/bloom.py) with an exact shard-side check.
+- hash_join: both sides large → add ``bucket = hash(key) % B`` to each
+  side, tag side, union (schemas null-aligned), and a single
+  ``groupby(bucket)`` shuffle co-locates matching keys of BOTH sides;
+  pandas-merge inside map_groups.  Salt hot keys by raising B.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def broadcast_filter(
+    ds: "ray.data.Dataset",
+    column: str,
+    keys_ref: "ray.ObjectRef",
+    keep_in: bool = True,
+) -> "ray.data.Dataset":
+    """Semi (keep_in=True) / anti (False) join against a broadcast key set.
+
+    ``keys_ref`` is ``ray.put(sorted_list_or_set)`` — placed in the
+    object store ONCE on the driver and materialized per actor in
+    ``__init__`` (never re-shipped per batch).
+    """
+
+    class _Filter:
+        def __init__(self):
+            keys = ray.get(keys_ref)
+            self.keys = pa.array(sorted(keys))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[column], value_set=self.keys)
+            if not keep_in:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _arrow_type(t) -> pa.DataType:
+    """Coerce a Ray schema type (arrow / numpy / python) to pa.DataType."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (TypeError, pa.ArrowNotImplementedError):
+        return pa.string()  # pandas object dtype → string
+
+
+def _key_buckets(k: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
+    if pa.types.is_integer(k.type):
+        v = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (v % np.uint64(num_buckets)).astype(np.int32)
+    h = pd.util.hash_array(np.asarray(k.to_pylist(), dtype=object), categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    num_buckets: int = 32,
+    how: str = "inner",
+    right_on: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """Partitioned hash join on a key column (explicit shuffle-once plan).
+
+    Non-key column names of the two sides must be disjoint (rename
+    upstream).  ``how`` ∈ {inner, left}.
+    """
+    right_on = right_on or on
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    l_types = {n: _arrow_type(t) for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: _arrow_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+    overlap = (set(l_cols) & set(r_cols)) - ({on} if on == right_on else set())
+    if overlap:
+        raise ValueError(f"hash_join: overlapping non-key columns {overlap}")
+
+    def tag(side: str, key: str, own_cols, other_cols, other_types):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            b = _key_buckets(batch[key], num_buckets)
+            batch = batch.append_column("__bucket", pa.array(b)).append_column(
+                "__side", pa.array(np.repeat(side, n), pa.string())
+            )
+            for c in other_cols:  # null-pad to the union schema
+                if c not in own_cols:
+                    batch = batch.append_column(c, pa.nulls(n, other_types[c]))
+            return batch
+
+        return fn
+
+    union_order = l_cols + [c for c in r_cols if c not in l_cols] + ["__bucket", "__side"]
+    l = left.map_batches(tag("l", on, l_cols, r_cols, r_types), batch_format="pyarrow").map_batches(
+        lambda t: t.select(union_order), batch_format="pyarrow"
+    )
+    r = right.map_batches(tag("r", right_on, r_cols, l_cols, l_types), batch_format="pyarrow").map_batches(
+        lambda t: t.select(union_order), batch_format="pyarrow"
+    )
+    both = l.union(r)
+
+    lk = list(dict.fromkeys(l_cols))
+    rk = list(dict.fromkeys(r_cols))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group.loc[group["__side"] == "l", lk]
+        rg = group.loc[group["__side"] == "r", rk]
+        if lg.empty or (rg.empty and how == "inner"):
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in []})
+        return lg.merge(rg, left_on=on, right_on=right_on, how=how)
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,121 @@
+"""Similarity search over an embedding column.
+
+- brute-force cosine top-k: per-batch numpy matmul against a broadcast
+  query matrix (ray.put once, read in every task) + per-batch partial
+  top-k → tiny final merge on the driver.  The exact baseline.
+- IVF top-k: deterministic k-means-ish coarse quantizer (seeded init,
+  few Lloyd iterations on a sample), assign each vector to its nearest
+  centroid inside map_batches, probe only the ``nprobe`` nearest lists
+  at query time — the scale path (candidates shrink ~nlist/nprobe×).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    vec_col: str,
+    query: np.ndarray,
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> pd.DataFrame:
+    """Exact cosine top-k: (id, cos_sim) desc, ties by id asc."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    q_ref = ray.put(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        V = _to_matrix(batch[vec_col])
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = V @ qv
+        if exclude_id is not None:
+            sims[ids == exclude_id] = -np.inf
+        take = min(k, len(ids))
+        idx = np.argpartition(-sims, take - 1)[:take]
+        return pa.table(
+            {
+                id_col: pa.array(ids[idx], pa.int64()),
+                "cos_sim": pa.array(sims[idx], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    parts["cos_sim"] = parts["cos_sim"].round(4)  # oracle-stable ordering
+    parts = parts.sort_values(["cos_sim", id_col], ascending=[False, True], kind="mergesort")
+    return parts.head(k).reset_index(drop=True)
+
+
+def train_ivf_centroids(sample: np.ndarray, nlist: int = 16, iters: int = 5) -> np.ndarray:
+    """Deterministic coarse quantizer: strided init + few Lloyd steps."""
+    X = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    stride = max(1, len(X) // nlist)
+    C = X[::stride][:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    vec_col: str,
+    query: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+) -> pd.DataFrame:
+    """Approximate top-k: only vectors whose nearest centroid is among
+    the query's ``nprobe`` closest lists are scored."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = set(np.argsort(-(centroids @ q))[:nprobe].tolist())
+    ctx_ref = ray.put((q, centroids, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv, C, probe_set = ray.get(ctx_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        V = _to_matrix(batch[vec_col])
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(V @ C.T, axis=1)
+        m = np.isin(assign, list(probe_set))
+        if exclude_id is not None:
+            m &= ids != exclude_id
+        ids, V = ids[m], V[m]
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())})
+        sims = V @ qv
+        take = min(k, len(ids))
+        idx = np.argpartition(-sims, take - 1)[:take]
+        return pa.table(
+            {
+                id_col: pa.array(ids[idx], pa.int64()),
+                "cos_sim": pa.array(sims[idx], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts["cos_sim"] = parts["cos_sim"].round(4)
+    parts = parts.sort_values(["cos_sim", id_col], ascending=[False, True], kind="mergesort")
+    return parts.head(k).reset_index(drop=True)

@@ -1,0 +1,181 @@
+"""Operator tests: join / agg / dedup / knn / windows / multimodal stages
+on tiny in-memory Datasets."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+@pytest.fixture(autouse=True)
+def _ray(ray_session):
+    pass
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+class TestHashJoin:
+    def test_inner_matches_pandas(self):
+        from deepcrawl4ai_ray.stages.join import hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 3, 4, 2], "a": list("abcde")})
+        right = pd.DataFrame({"k": [2, 3, 3, 9], "b": list("wxyz")})
+        got = hash_join(_ds(left), _ds(right), on="k", num_buckets=4).to_pandas()
+        want = left.merge(right, on="k")
+        got = got.sort_values(["k", "a", "b"]).reset_index(drop=True)[["k", "a", "b"]]
+        want = want.sort_values(["k", "a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_left_join(self):
+        from deepcrawl4ai_ray.stages.join import hash_join
+
+        left = pd.DataFrame({"k": [1, 2], "a": ["x", "y"]})
+        right = pd.DataFrame({"k": [2], "b": ["z"]})
+        got = hash_join(_ds(left), _ds(right), on="k", how="left").to_pandas()
+        assert len(got) == 2
+        assert got.loc[got.k == 1, "b"].isna().all()
+
+    def test_overlapping_columns_rejected(self):
+        from deepcrawl4ai_ray.stages.join import hash_join
+
+        l = pd.DataFrame({"k": [1], "x": [1]})
+        r = pd.DataFrame({"k": [1], "x": [2]})
+        with pytest.raises(ValueError):
+            hash_join(_ds(l), _ds(r), on="k")
+
+
+class TestBroadcastFilter:
+    def test_semi_and_anti(self):
+        from deepcrawl4ai_ray.stages.join import broadcast_filter
+
+        df = pd.DataFrame({"k": [1, 2, 3, 4], "v": list("abcd")})
+        ref = ray.put([2, 4])
+        semi = broadcast_filter(_ds(df), "k", ref, keep_in=True).to_pandas()
+        anti = broadcast_filter(_ds(df), "k", ref, keep_in=False).to_pandas()
+        assert sorted(semi.k) == [2, 4]
+        assert sorted(anti.k) == [1, 3]
+
+
+class TestPartialAgg:
+    def test_matches_pandas_groupby(self):
+        from deepcrawl4ai_ray.stages.agg import partial_grouped_sum
+
+        rng = np.random.RandomState(0)
+        df = pd.DataFrame(
+            {"g": rng.randint(0, 5, 1000), "x": rng.rand(1000), "y": rng.randint(0, 100, 1000)}
+        )
+        out = (
+            partial_grouped_sum(_ds(df), ["g"], sums=["x", "y"], count_alias="n")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        want = df.groupby("g").agg(sum_x=("x", "sum"), sum_y=("y", "sum"), n=("x", "count")).reset_index()
+        assert (out["n"].to_numpy() == want["n"].to_numpy()).all()
+        assert np.allclose(out["sum_x"], want["sum_x"])
+        assert (out["sum_y"].to_numpy() == want["sum_y"].to_numpy()).all()
+
+
+class TestDedup:
+    def test_exact_dedup_first_wins(self):
+        from deepcrawl4ai_ray.stages.dedup import exact_dedup_stats
+
+        df = pd.DataFrame({"doc_id": [5, 1, 2, 3], "text": ["aa", "aa", "bb", "aa"]})
+        out = exact_dedup_stats(_ds(df), "doc_id", "text").to_pandas()
+        by_hash = out.set_index("text_hash")
+        import hashlib
+
+        h_aa = hashlib.md5(b"aa").hexdigest()
+        assert by_hash.loc[h_aa, "keep_doc_id"] == 1
+        assert by_hash.loc[h_aa, "n_copies"] == 3
+
+    def test_minhash_finds_planted_dup(self):
+        from deepcrawl4ai_ray.stages.dedup import minhash_lsh_pairs
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base + " extra", "completely different content about engines and parquet files here"],
+            }
+        )
+        pairs = minhash_lsh_pairs(_ds(docs), "doc_id", "text", threshold=0.4)
+        assert [1, 2] in pairs[["id_a", "id_b"]].values.tolist()
+        assert not any(3 in p for p in pairs[["id_a", "id_b"]].values.tolist())
+
+
+class TestKnn:
+    def test_bruteforce_exact(self):
+        from deepcrawl4ai_ray.stages.knn import brute_force_topk
+
+        rng = np.random.RandomState(1)
+        V = rng.randn(200, 8)
+        df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64), "embedding": list(V)})
+        q = V[0]
+        out = brute_force_topk(_ds(df), "vec_id", "embedding", q, k=5, exclude_id=0)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = np.round(Vn @ (q / np.linalg.norm(q)), 4)
+        sims[0] = -np.inf
+        want = np.argsort(-sims, kind="stable")[:5]
+        assert out["vec_id"].tolist() == want.tolist()
+
+    def test_ivf_recall(self):
+        from deepcrawl4ai_ray.stages.knn import brute_force_topk, ivf_topk, train_ivf_centroids
+
+        rng = np.random.RandomState(2)
+        centers = rng.randn(8, 16) * 3
+        V = np.vstack([c + rng.randn(50, 16) * 0.3 for c in centers])
+        df = pd.DataFrame({"vec_id": np.arange(len(V), dtype=np.int64), "embedding": list(V)})
+        q = V[7]
+        cents = train_ivf_centroids(V, nlist=8, iters=5)
+        exact = set(brute_force_topk(_ds(df), "vec_id", "embedding", q, k=10)["vec_id"])
+        approx = set(ivf_topk(_ds(df), "vec_id", "embedding", q, cents, k=10, nprobe=3)["vec_id"])
+        assert len(exact & approx) >= 7  # ≥70% recall on clustered data
+
+
+class TestWindows:
+    def test_tumbling(self):
+        from deepcrawl4ai_ray.stages.windows import tumbling_window_agg
+
+        ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:10"])
+        df = pd.DataFrame({"k": ["a", "a", "a"], "ts": ts, "v": [1.0, 2.0, 4.0]})
+        out = tumbling_window_agg(_ds(df), "k", "ts", "v", "hour").to_pandas().sort_values("window_start")
+        assert out["n"].tolist() == [2, 1]
+        assert out["sum_v"].tolist() == [3.0, 4.0]
+
+    def test_sessions(self):
+        from deepcrawl4ai_ray.stages.windows import session_counts
+
+        ts = pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 01:00", "2024-01-01 03:00"]
+        )
+        df = pd.DataFrame({"user": [1, 1, 1, 1], "ts": ts})
+        out = session_counts(_ds(df), "user", "ts", pd.Timedelta(minutes=30)).to_pandas()
+        assert out["n_sessions"].tolist() == [3]
+
+
+class TestMultimodal:
+    def test_image_decode_stage(self):
+        from deepcrawl4ai_ray.stages.multimodal import ImageDecodeStage
+
+        batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "payload": pa.array([b"abc", b""], pa.binary())})
+        out = ImageDecodeStage("payload", "doc_id")(batch)
+        assert out.column_names == ["doc_id", "width", "height", "n_bytes"]
+        assert out["n_bytes"].to_pylist() == [3, 0]
+        assert out["width"].to_pylist()[0] == (3 * 7) % 640 + 16
+
+    def test_frame_sample_stage(self):
+        from deepcrawl4ai_ray.stages.multimodal import FrameSampleStage
+
+        batch = pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "payload": pa.array([b"x" * 640], pa.binary())}
+        )
+        out = FrameSampleStage("payload", "doc_id", k=4)(batch)
+        assert out.num_rows == 4
+        assert out["frame_idx"].to_pylist() == [0, 1, 2, 3]
