@@ -56,24 +56,44 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # warm OS page cache so we measure compute+shuffle, not first disk read
     rd.read_parquet(os.path.join(corpus, "pages"), columns=["url"]).count()
 
-    # ---- extract pipeline (the compute-bound scaling headline) ----------
+    # ---- extract+enrich pipeline (the compute-bound scaling headline):
+    # html → text → token count, quality metrics, minhash signature,
+    # simhash — the realistic per-page training-data transform chain ----
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    def extract_batch(batch: pa.Table) -> pa.Table:
+    def enrich_batch(batch: pa.Table) -> pa.Table:
+        # stateless task; kernel caches (minhash coefficients, compiled
+        # regexes) live in module globals of long-lived worker processes
+        from deepcrawl4ai_ray.functions import hashing as H
         from deepcrawl4ai_ray.functions.extract import extract_text
+        from deepcrawl4ai_ray.functions.textstats import quality_batch
 
         texts = [extract_text(h) for h in batch["html"].to_pylist()]
         t = pa.array(texts, pa.string())
-        n_tok = pc.add(pc.count_substring(t, " "), 1)
-        return pa.table({"url": batch["url"], "text": t, "n_tokens": n_tok})
+        n_tok = pc.cast(pc.add(pc.count_substring(t, " "), 1), pa.int64())
+        sigs = [H.minhash_signature_fast(H.shingles(x), 64).tobytes() for x in texts]
+        simh = np.array([H.simhash64(x) for x in texts], dtype=np.uint64)
+        q = quality_batch(texts)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "text": t,
+                "n_tokens": n_tok,
+                "minhash": pa.array(sigs, pa.binary()),
+                "simhash": pa.array(simh),
+                "stopword_ratio": pa.array(q["stopword_ratio"]),
+                "alpha_ratio": pa.array(q["alpha_ratio"]),
+            }
+        )
 
     out_dir = "/tmp/dc4r_bench/extract_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
     (
         rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
-        .map_batches(extract_batch, batch_format="pyarrow", batch_size=512)
+        .map_batches(enrich_batch, batch_format="pyarrow", batch_size=512)
         .write_parquet(out_dir)
     )
     t_extract = time.time() - t0

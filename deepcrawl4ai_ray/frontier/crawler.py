@@ -44,7 +44,7 @@ from ..functions.urlnorm import hash64, hosts_of, host_buckets, normalize_url
 from ..schema import CRAWL_OUT_SCHEMA, MANIFEST_SCHEMA
 from ..sources.corpus import NUM_HOST_BUCKETS
 from ..stages.extract import make_extract_stage
-from ..stages.fetch import FetchActor
+from ..stages.fetch import load_bucket_refs, make_fetch_fn
 from ..state.bloom import BloomFilter
 from .shard import FrontierShard
 
@@ -62,6 +62,9 @@ class CrawlConfig:
     bloom_prescreen: bool = False  # lossy mode: drop bloom-positive candidates batch-side
     fetch_concurrency: int = 4
     checkpoint: bool = True
+    # pin corpus bucket tables in the object store once (zero-copy shared
+    # across fetch actors); disable when the corpus exceeds plasma
+    corpus_in_object_store: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -136,6 +139,9 @@ class Crawler:
             )
             for s in range(self.cfg.num_shards)
         ]
+        self.bucket_refs = (
+            load_bucket_refs(corpus_dir) if self.cfg.corpus_in_object_store else None
+        )
         self.next_round = 0
         self.total_fetched = 0
         self.fetch_seq = 0
@@ -216,11 +222,10 @@ class Crawler:
         router = _Router(self.shards, cfg.num_shards, bloom_ref)
         out = (
             ds.map_batches(
-                FetchActor,
-                fn_constructor_args=(self.corpus_dir,),
+                # stateless tasks + process-global cache: warm across rounds
+                make_fetch_fn(self.corpus_dir, self.bucket_refs),
                 batch_format="pyarrow",
                 batch_size=None,
-                concurrency=cfg.fetch_concurrency,
                 num_cpus=1,
             )
             .map_batches(make_extract_stage(cfg.exclude_external), batch_format="pyarrow")

@@ -176,10 +176,14 @@ def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
 
     li_rev = partial_grouped_sum(li.map_batches(rev, batch_format="pyarrow"), ["l_orderkey"], sums=["rev"])
 
-    joined = hash_join(
-        orders, li_rev.map_batches(lambda t: t.rename_columns(["o_orderkey", "sum_rev"]), batch_format="pyarrow"),
-        on="o_orderkey", num_buckets=16,
-    )
+    # materialize the (small) aggregated sides: hash_join reads .schema()
+    # and unions both inputs — without pinning, the lineitem aggregation
+    # would execute twice (once for schema, once in the union).
+    orders = orders.materialize()
+    li_rev = li_rev.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "sum_rev"]), batch_format="pyarrow"
+    ).materialize()
+    joined = hash_join(orders, li_rev, on="o_orderkey", num_buckets=16)
     df = joined.to_pandas()
     df["revenue"] = df["sum_rev"].round(2)
     df = df[["o_orderkey", "o_orderdate", "revenue"]]

@@ -1,0 +1,153 @@
+"""Pipeline-step registry — the user-extension surface (SURVEY.md §2.10).
+
+The reference's extension points are config-as-code (``safe_eval_config``
+AST-validates a single ``CrawlerRunConfig(...)`` expression,
+utils.py:116-144), opaque ``browser_config``/``crawler_config`` dicts
+merged by reflective setattr (tasks.py:355-359), and enum-selected
+content filters (schemas.py:14-21).  The Ray-Data-native equivalent is
+declarative: a pipeline is a list of named steps, each resolving to a
+registered map_batches function / actor class with validated params —
+no eval, no setattr.
+
+    spec = [
+        {"step": "select", "params": {"columns": ["doc_id", "text"]}},
+        {"step": "md5", "params": {"text_col": "text"}},
+        {"step": "filter_eq", "params": {"column": "lang", "value": "en"}},
+    ]
+    ds = build_pipeline(ds, spec)
+
+Steps receive/return ``pyarrow.Table`` batches.  Register custom steps
+with :func:`register` — the UDF hook is any callable over a
+RecordBatch-shaped Table.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register(name: str):
+    def deco(factory):
+        if name in _REGISTRY:
+            raise ValueError(f"step {name!r} already registered")
+        _REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def available_steps() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+def build_pipeline(ds, spec: List[Dict[str, Any]]):
+    """Apply a validated step list to a Dataset; unknown step → ValueError
+    naming the valid steps (no silent fallthrough)."""
+    for entry in spec:
+        name = entry.get("step")
+        if name not in _REGISTRY:
+            raise ValueError(f"unknown step {name!r}; available: {available_steps()}")
+        params = dict(entry.get("params") or {})
+        ds = _REGISTRY[name](ds, **params)
+    return ds
+
+
+# --------------------------- built-in steps ------------------------------
+
+@register("select")
+def _select(ds, columns: List[str]):
+    return ds.select_columns(columns)
+
+
+@register("drop")
+def _drop(ds, columns: List[str]):
+    return ds.drop_columns(columns)
+
+
+@register("filter_eq")
+def _filter_eq(ds, column: str, value):
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t[column], value)), batch_format="pyarrow"
+    )
+
+
+@register("filter_le")
+def _filter_le(ds, column: str, value):
+    return ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t[column], value)), batch_format="pyarrow"
+    )
+
+
+@register("md5")
+def _md5(ds, text_col: str, out_col: str = "text_hash"):
+    from ..stages.dedup import add_md5_column
+
+    return ds.map_batches(add_md5_column("", text_col, out_col), batch_format="pyarrow")
+
+
+@register("extract_text")
+def _extract_text(ds, html_col: str = "html", out_col: str = "text"):
+    from ..functions.extract import extract_text
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = [extract_text(h) for h in t[html_col].to_pylist()]
+        return t.append_column(out_col, pa.array(texts, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register("normalize_url")
+def _normalize_url(ds, url_col: str = "url", out_col: str = "url_norm"):
+    from ..functions.urlnorm import normalize_url
+
+    def fn(t: pa.Table) -> pa.Table:
+        urls = [normalize_url(u) for u in t[url_col].to_pylist()]
+        return t.append_column(out_col, pa.array(urls, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register("token_count")
+def _token_count(ds, text_col: str = "text", out_col: str = "n_tokens"):
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t[text_col], " "), 1)
+        return t.append_column(out_col, pc.cast(n, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register("lang_id")
+def _lang_id(ds, text_col: str = "text", out_col: str = "lang_pred"):
+    from ..functions.textstats import lang_id
+
+    class LangIdStage:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            preds = [lang_id(x) for x in t[text_col].to_pylist()]
+            return t.append_column(out_col, pa.array(preds, pa.string()))
+
+    return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+@register("quality")
+def _quality(ds, text_col: str = "text"):
+    from ..functions.textstats import quality_batch
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = quality_batch(t[text_col].to_pylist())
+        for name, arr in cols.items():
+            t = t.append_column(name, pa.array(arr))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register("udf")
+def _udf(ds, fn: Callable[[pa.Table], pa.Table], **kwargs):
+    """Escape hatch: any callable over a pyarrow Table (the M-series
+    map shape).  kwargs pass through to map_batches."""
+    return ds.map_batches(fn, batch_format="pyarrow", **kwargs)

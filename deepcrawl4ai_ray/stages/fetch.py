@@ -8,12 +8,18 @@ page-store handles — is built ONCE in ``__init__`` and reused across
 batches (T1-T3, T8 in SURVEY.md §2.3).
 
 In this sandbox "the web" is the corpus Parquet table; fetch is a keyed
-lookup into the per-host-bucket page files.  Each actor lazily loads
-only the bucket files its batches reference (column-pruned to
-url/html/warc_ts/lang) and caches them — the ready set is partitioned
-by host_bucket upstream, so a bucket file is read by few actors.  At
-100 TB scale the in-memory dict becomes a row-group index + LRU over
-memory-mapped Parquet; the actor signature and batch flow are unchanged.
+lookup into per-host-bucket page tables.  Two page-store modes:
+
+- **object-store mode** (default in the crawl driver): the driver reads
+  each bucket file ONCE and ``ray.put``s the Arrow table; actors
+  ``ray.get`` the refs lazily — zero-copy shared memory, no per-actor /
+  per-round disk re-reads.  Each actor builds only a url→row-index dict
+  (strings), while the html payloads stay in shared plasma.
+- **disk mode** (refs=None): lazy column-pruned parquet reads with an
+  LRU — the fallback when the corpus exceeds the object store.  At
+  100 TB the real design is locality-aware routing so a bucket's blocks
+  land on the actor that already caches it, or an external page-store
+  service; the actor signature and batch flow are unchanged.
 
 Politeness accounting: the frontier already rate-limits selections per
 round (shard-side token buckets on the virtual clock); the actor keeps
@@ -30,44 +36,56 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import ray
+
 from ..state.robots import DEFAULT_DELAY_MS, RobotsCache
 from ..state.tokenbucket import TokenBucket
 
 
 class FetchActor:
-    def __init__(self, corpus_dir: str, max_cached_buckets: int = 64):
+    def __init__(self, corpus_dir: str, bucket_refs: Optional[Dict[int, "ray.ObjectRef"]] = None, max_cached_buckets: int = 64):
         self.pages_dir = os.path.join(corpus_dir, "pages")
+        self.bucket_refs = bucket_refs
         self.max_cached_buckets = max_cached_buckets
         robots_path = os.path.join(corpus_dir, "robots.parquet")
         if os.path.exists(robots_path):
             self.robots = RobotsCache.from_arrow(pq.read_table(robots_path))
         else:
             self.robots = RobotsCache({})
-        # bucket -> {url: (html, warc_ts_us, lang)}
-        self._bucket_cache: Dict[int, Dict[str, tuple]] = {}
+        # bucket -> (arrow table, {url: row_index})
+        self._bucket_cache: Dict[int, tuple] = {}
         self._buckets_lru: list[int] = []
         self._politeness_wait_ms = 0.0
         self._buckets_tb: Dict[str, TokenBucket] = {}
 
-    def _load_bucket(self, bucket: int) -> Dict[str, tuple]:
-        store = self._bucket_cache.get(bucket)
-        if store is not None:
-            return store
-        path = os.path.join(self.pages_dir, f"bucket={bucket:03d}.parquet")
-        store = {}
-        if os.path.exists(path):
-            t = pq.read_table(path, columns=["url", "html", "warc_ts", "lang"])
-            urls = t.column("url").to_pylist()
-            htmls = t.column("html").to_pylist()
-            ts = t.column("warc_ts").cast(pa.int64()).to_pylist()
+    def _load_bucket(self, bucket: int) -> tuple:
+        hit = self._bucket_cache.get(bucket)
+        if hit is not None:
+            return hit
+        if self.bucket_refs is not None:
+            ref = self.bucket_refs.get(bucket)
+            t = ray.get(ref) if ref is not None else None  # zero-copy plasma read
+        else:
+            path = os.path.join(self.pages_dir, f"bucket={bucket:03d}.parquet")
+            t = (
+                pq.read_table(path, columns=["url", "html", "warc_ts", "lang"])
+                if os.path.exists(path)
+                else None
+            )
+        if t is None:
+            entry = (None, {}, None, None)
+        else:
+            t = t.combine_chunks()
+            idx = {u: i for i, u in enumerate(t.column("url").to_pylist())}
+            ts_np = t.column("warc_ts").cast(pa.int64()).to_numpy()
             langs = t.column("lang").to_pylist()
-            store = {u: (h, s, l) for u, h, s, l in zip(urls, htmls, ts, langs)}
+            entry = (t.column("html"), idx, ts_np, langs)
         if len(self._buckets_lru) >= self.max_cached_buckets:
             evict = self._buckets_lru.pop(0)
             self._bucket_cache.pop(evict, None)
-        self._bucket_cache[bucket] = store
+        self._bucket_cache[bucket] = entry
         self._buckets_lru.append(bucket)
-        return store
+        return entry
 
     def _politeness_tick(self, host: str, round_ms_now: int) -> None:
         tb = self._buckets_tb.get(host)
@@ -95,16 +113,65 @@ class FetchActor:
             if not policy.allows(urls[i]):
                 status[i] = "robots_denied"  # fetched-over-robots is a bug
                 continue
-            row = self._load_bucket(buckets[i]).get(urls[i])
+            html_col, idx, ts_np, lang_list = self._load_bucket(buckets[i])
+            row = idx.get(urls[i])
             if row is not None:
-                htmls[i], ts[i], langs[i] = row
+                htmls[i] = html_col[row].as_py()
+                ts[i] = ts_np[row]
+                langs[i] = lang_list[row]
                 status[i] = "ok"
-        return batch.drop_columns(["host_bucket"]).append_column(
-            "html", pa.array(htmls, pa.binary())
-        ).append_column(
-            "warc_ts", pa.array(ts, pa.int64()).cast(pa.timestamp("us"))
-        ).append_column(
-            "lang", pa.array(langs, pa.string())
-        ).append_column(
-            "status", pa.array(status, pa.string())
+        return (
+            batch.drop_columns(["host_bucket"])
+            .append_column("html", pa.array(htmls, pa.binary()))
+            .append_column("warc_ts", pa.array(ts, pa.int64()).cast(pa.timestamp("us")))
+            .append_column("lang", pa.array(langs, pa.string()))
+            .append_column("status", pa.array(status, pa.string()))
         )
+
+
+# ---------------------------------------------------------------------------
+# Stateless-task variant with process-global caches.
+#
+# Ray Data actor pools are created per pipeline execution; a crawl runs
+# one execution per round, so an actor pool would re-spawn actors (and
+# re-warm caches) every round.  Ray *worker processes*, by contrast, are
+# long-lived and reused across tasks and executions — so a plain
+# map_batches function whose state lives in a module-level cache keyed
+# by corpus_dir gets warm caches across ALL rounds for free.  The cached
+# state here is read-only (robots table, bucket tables shared zero-copy
+# via the object store), so per-process replication is safe.  This is
+# the crawl driver's default fetch stage; FetchActor above remains the
+# actor-pool variant (needed when state must be exclusive per key).
+# ---------------------------------------------------------------------------
+
+_PROC_FETCH_STATE: Dict[str, FetchActor] = {}
+
+
+def make_fetch_fn(corpus_dir: str, bucket_refs: Optional[Dict[int, "ray.ObjectRef"]] = None):
+    def fetch_batch(batch: pa.Table) -> pa.Table:
+        st = _PROC_FETCH_STATE.get(corpus_dir)
+        if st is None:
+            st = FetchActor(corpus_dir, bucket_refs)
+            _PROC_FETCH_STATE[corpus_dir] = st
+        return st(batch)
+
+    return fetch_batch
+
+
+def load_bucket_refs(corpus_dir: str) -> Dict[int, "ray.ObjectRef"]:
+    """Read each pages bucket file once and pin it in the object store.
+
+    Returns {bucket: ObjectRef(pa.Table)} for FetchActor's object-store
+    mode.  Column-pruned to the fetch schema.
+    """
+    import glob
+    import re
+
+    refs: Dict[int, ray.ObjectRef] = {}
+    for f in sorted(glob.glob(os.path.join(corpus_dir, "pages", "bucket=*.parquet"))):
+        m = re.search(r"bucket=(\d+)\.parquet$", f)
+        if not m:
+            continue
+        t = pq.read_table(f, columns=["url", "html", "warc_ts", "lang"])
+        refs[int(m.group(1))] = ray.put(t)
+    return refs

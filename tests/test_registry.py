@@ -1,0 +1,58 @@
+"""Pipeline-step registry (user-extension surface, SURVEY.md §2.10)."""
+
+import pandas as pd
+import pytest
+
+from deepcrawl4ai_ray.pipelines.registry import available_steps, build_pipeline, register
+
+
+@pytest.fixture(autouse=True)
+def _ray(ray_session):
+    pass
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_declarative_pipeline(ray_session):
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a b c", "d e", "f"], "lang": ["en", "de", "en"]}
+    )
+    spec = [
+        {"step": "filter_eq", "params": {"column": "lang", "value": "en"}},
+        {"step": "token_count", "params": {"text_col": "text"}},
+        {"step": "md5", "params": {"text_col": "text"}},
+        {"step": "select", "params": {"columns": ["doc_id", "n_tokens", "text_hash"]}},
+    ]
+    out = build_pipeline(_ds(df), spec).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["n_tokens"].tolist() == [3, 1]
+    import hashlib
+
+    assert out["text_hash"].tolist()[0] == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_unknown_step_named_error(ray_session):
+    with pytest.raises(ValueError, match="unknown step 'nope'"):
+        build_pipeline(_ds(pd.DataFrame({"x": [1]})), [{"step": "nope"}])
+
+
+def test_custom_registered_step(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    @register("double_x_test")
+    def _double(ds, column):
+        return ds.map_batches(
+            lambda t: t.set_column(t.column_names.index(column), column, pc.multiply(t[column], 2)),
+            batch_format="pyarrow",
+        )
+
+    out = build_pipeline(
+        _ds(pd.DataFrame({"x": [1, 2]})), [{"step": "double_x_test", "params": {"column": "x"}}]
+    ).to_pandas()
+    assert sorted(out["x"]) == [2, 4]
+    assert "double_x_test" in available_steps()
