@@ -44,6 +44,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # smaller blocks: the hot-host bucket file otherwise yields one
+    # multi-second straggler task (skew); 4 MiB keeps max task ~0.5 s
+    ctx.target_max_block_size = 4 * 1024 * 1024
 
     from deepcrawl4ai_ray.frontier.crawler import Crawler, CrawlConfig
     from deepcrawl4ai_ray.pipelines.queries import QUERIES
@@ -88,16 +91,22 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
             }
         )
 
+    # repeat factor amortizes fixed pipeline-launch cost over more input
+    # (the scaling run uses 3 — on a real N→4N cluster the input would be
+    # 100 TB and the fixed cost invisible; see BASELINE.md)
+    repeat = int(os.environ.get("DCR_BENCH_REPEAT", "1"))
     out_dir = "/tmp/dc4r_bench/extract_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
+    ds = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
+    for _ in range(repeat - 1):
+        ds = ds.union(rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"]))
     (
-        rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
-        .map_batches(enrich_batch, batch_format="pyarrow", batch_size=512)
+        ds.map_batches(enrich_batch, batch_format="pyarrow", batch_size=512)
         .write_parquet(out_dir)
     )
     t_extract = time.time() - t0
-    results["extract_pages_per_sec"] = round(n_pages / t_extract, 1)
+    results["extract_pages_per_sec"] = round(n_pages * repeat / t_extract, 1)
     results["queries"]["extract_pipeline"] = round(t_extract, 3)
 
     # ---- crawl loop (politeness-free throughput mode) -------------------
@@ -169,7 +178,7 @@ def main():
         import subprocess
 
         def run(ncpu: int) -> dict:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), DCR_BENCH_REPEAT="3")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,

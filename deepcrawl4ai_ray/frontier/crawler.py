@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -175,38 +176,39 @@ class Crawler:
 
     # ------------------------------------------------------------------ round
     def run_round(self, r: int) -> Dict[str, int]:
+        """One crawl round.  The driver does O(num_shards) work only:
+        URL-level data never leaves the shards / object store.
+
+        Phase 1: shards pick their politeness-ready sets (counts back).
+        Phase 2: shards emit Arrow blocks (bucket-grouped, size-capped)
+        into the object store with fetch_seq pre-assigned from the
+        shard-offset prefix sums.  Crawl order spec: (round, shard_id,
+        priority, host, url) — fully deterministic given the fixed
+        host→shard hash.
+        """
         cfg = self.cfg
-        selected = ray.get(
-            [s.select.remote(r, cfg.per_shard_budget) for s in self.shards]
+        phases: Dict[str, float] = {}
+        t0 = time.perf_counter()
+        counts = ray.get(
+            [s.select_pick.remote(r, cfg.per_shard_budget) for s in self.shards]
         )
-        rows = []
-        for sel in selected:
-            rows.extend(zip(sel["priority"], sel["host"], sel["url"]))
-        if not rows:
-            return {"fetched": 0}
-        # deterministic global crawl order: (priority, host, url)
-        rows.sort()
-        prio = np.fromiter((p for p, _, _ in rows), dtype=np.int32, count=len(rows))
-        hosts = np.asarray([h for _, h, _ in rows], dtype=object)
-        urls = np.asarray([u for _, _, u in rows], dtype=object)
-        seq = np.arange(self.fetch_seq, self.fetch_seq + len(rows), dtype=np.int64)
-        self.fetch_seq += len(rows)
-        buckets = host_buckets(hosts, NUM_HOST_BUCKETS)
-        ready = pa.table(
-            {
-                "fetch_seq": pa.array(seq),
-                "round": pa.array(np.full(len(rows), r, dtype=np.int32)),
-                "url": pa.array(urls, pa.string()),
-                "host": pa.array(hosts, pa.string()),
-                "priority": pa.array(prio),
-                "host_bucket": pa.array(buckets, pa.int32()),
-            }
+        total = int(sum(counts))
+        phases["select"] = time.perf_counter() - t0
+        if total == 0:
+            return {"fetched": 0, "phases": phases}
+        max_block_rows = int(cfg.extra.get("max_block_rows", 4096))
+        starts = self.fetch_seq + np.concatenate([[0], np.cumsum(counts[:-1])]).astype(np.int64)
+        self.fetch_seq += total
+        ref_lists = ray.get(
+            [
+                s.emit_ready.remote(int(starts[i]), r, NUM_HOST_BUCKETS, max_block_rows)
+                for i, s in enumerate(self.shards)
+            ]
         )
-        # one block per host_bucket: a host never splits across fetch batches
-        blocks = []
-        for b in np.unique(buckets):
-            blocks.append(ready.filter(pa.compute.equal(ready["host_bucket"], int(b))))
-        ds = ray.data.from_arrow(blocks)
+        block_refs = [ref for refs in ref_lists for ref in refs]
+        ds = ray.data.from_arrow_refs(block_refs)
+        rows_sel = total
+        phases["build_ready"] = time.perf_counter() - t0 - sum(phases.values())
 
         bloom_ref = None
         if cfg.bloom_prescreen:
@@ -237,9 +239,11 @@ class Crawler:
         out.write_parquet(tmp_dir)
         shutil.rmtree(round_dir, ignore_errors=True)
         os.rename(tmp_dir, round_dir)  # atomic publish → resumable output
+        phases["pipeline"] = time.perf_counter() - t0 - sum(phases.values())
 
         stats = ray.get([s.finalize_round.remote() for s in self.shards])
-        fetched_by_shard = self._fetched_per_shard(hosts)
+        phases["finalize"] = time.perf_counter() - t0 - sum(phases.values())
+        fetched_by_shard = [int(c) for c in counts]
         man = pa.table(
             {
                 "round": pa.array([r] * len(stats), pa.int32()),
@@ -256,12 +260,13 @@ class Crawler:
         pq.write_table(man, os.path.join(self.out_dir, "manifest", f"round={r:05d}.parquet"))
         if cfg.checkpoint:
             self._write_checkpoint(r)
-        self.total_fetched += len(rows)
-        return {"fetched": len(rows), "frontier": sum(s["frontier_size"] for s in stats)}
-
-    def _fetched_per_shard(self, hosts: np.ndarray) -> List[int]:
-        sid = (hash64(hosts) % np.uint64(self.cfg.num_shards)).astype(np.int64)
-        return [int((sid == s).sum()) for s in range(self.cfg.num_shards)]
+            phases["checkpoint"] = time.perf_counter() - t0 - sum(phases.values())
+        self.total_fetched += rows_sel
+        return {
+            "fetched": rows_sel,
+            "frontier": sum(s["frontier_size"] for s in stats),
+            "phases": {k: round(v, 3) for k, v in phases.items()},
+        }
 
     # ------------------------------------------------------------- checkpoint
     def _write_checkpoint(self, r: int) -> None:

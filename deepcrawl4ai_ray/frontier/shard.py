@@ -32,6 +32,10 @@ import pickle
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
 
 from ..functions.urlnorm import hash64
 from ..state.bloom import BloomFilter
@@ -60,6 +64,7 @@ class FrontierShard:
         self.buckets: Dict[str, TokenBucket] = {}
         # round-local pending pool: url -> (priority, host)
         self._pending: Dict[str, Tuple[int, str]] = {}
+        self._picked = None
         self._stats = dict(offered=0, inserts=0, dupes_skipped=0, overflow_dropped=0)
 
     # ------------------------------------------------------------------ offer
@@ -150,6 +155,55 @@ class FrontierShard:
             "host": [h for _, h, _ in picked],
         }
 
+    # ------------------------------------------- distributed ready emission
+    def select_pick(self, round_index: int, budget: int) -> int:
+        """Phase 1: pick this round's politeness-ready URLs (held
+        internally), return only the COUNT — the driver never touches
+        URL-level data (O(shards), not O(pages), driver work)."""
+        sel = self.select(round_index, budget)
+        self._picked = sel
+        return len(sel["url"])
+
+    def emit_ready(self, seq_start: int, round_index: int, num_buckets: int, max_block_rows: int):
+        """Phase 2: materialize the picked set as Arrow blocks in the
+        object store; fetch_seq = seq_start + local index.  Returns a
+        list of ObjectRefs (small), ready for ray.data.from_arrow_refs.
+
+        Global crawl order spec: (round, shard_id, priority, host, url)
+        — deterministic because host→shard is a fixed hash.
+        """
+        from ..functions.urlnorm import host_buckets
+
+        sel = self._picked
+        self._picked = None
+        n = len(sel["url"])
+        if n == 0:
+            return []
+        hosts = np.asarray(sel["host"], dtype=object)
+        tbl = pa.table(
+            {
+                "fetch_seq": pa.array(seq_start + np.arange(n, dtype=np.int64)),
+                "round": pa.array(np.full(n, round_index, dtype=np.int32)),
+                "url": pa.array(sel["url"], pa.string()),
+                "host": pa.array(sel["host"], pa.string()),
+                "priority": pa.array(np.asarray(sel["priority"], dtype=np.int32)),
+                "host_bucket": pa.array(host_buckets(hosts, num_buckets)),
+            }
+        )
+        # group rows by host_bucket (page-store locality), slice to cap
+        # block size (skew mitigation)
+        idx = pc.sort_indices(tbl, sort_keys=[("host_bucket", "ascending")])
+        tbl = tbl.take(idx)
+        refs = []
+        buckets_np = tbl.column("host_bucket").to_numpy()
+        boundaries = np.nonzero(np.diff(buckets_np))[0] + 1
+        start = 0
+        for end in list(boundaries) + [n]:
+            for off in range(start, end, max_block_rows):
+                refs.append(ray.put(tbl.slice(off, min(max_block_rows, end - off))))
+            start = end
+        return refs
+
     # ------------------------------------------------------------------ misc
     def frontier_size(self) -> int:
         return sum(len(q) for q in self.queues.values())
@@ -189,6 +243,7 @@ class FrontierShard:
         obj.queues = d["queues"]
         obj.buckets = {h: TokenBucket.from_state(s) for h, s in d["buckets"].items()}
         obj._pending = {}
+        obj._picked = None
         obj._stats = dict(offered=0, inserts=0, dupes_skipped=0, overflow_dropped=0)
         return obj
 

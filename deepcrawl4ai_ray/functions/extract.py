@@ -66,8 +66,7 @@ def _clean_inline(fragment: str) -> str:
     return _WS_RE.sub(" ", txt).strip()
 
 
-def extract_text(html: bytes | str) -> str:
-    """HTML → pruned markdown-ish text.  Deterministic; see module doc."""
+def _blocks(html: bytes | str, prune: bool) -> List[str]:
     s = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
     s = _DROP_RE.sub(" ", s)
     s = _HEADING_RE.sub(lambda m: f"\x04\x02{m.group(1)} {m.group(2)}\x04", s)
@@ -87,9 +86,52 @@ def extract_text(html: bytes | str) -> str:
                 out.append("- " + txt)
         else:
             txt = _clean_inline(block)
-            if txt and len(txt.split(" ")) >= MIN_WORDS:
+            if txt and (not prune or len(txt.split(" ")) >= MIN_WORDS):
                 out.append(txt)
-    return "\n\n".join(out)
+    return out
+
+
+def extract_text(html: bytes | str, mode: str = "fit") -> str:
+    """HTML → markdown-ish text.  Deterministic; see module doc.
+
+    Modes mirror the reference's content-filter enum (utils.py:45-49,
+    dispatch api.py:211-227): ``fit`` = pruned (PruningContentFilter
+    analog, the default and the corpus-oracle spec); ``raw`` = no
+    min-word pruning (DefaultMarkdownGenerator without filter).
+    """
+    return "\n\n".join(_blocks(html, prune=(mode == "fit")))
+
+
+def extract_text_bm25(html: bytes | str, query: str, top_k: int = 5) -> str:
+    """BM25 content filter (M6 analog of ``BM25ContentFilter(user_query)``).
+
+    Blocks are scored with BM25 (k1=1.5, b=0.75; idf over the document's
+    own blocks); the ``top_k`` highest-scoring blocks with score > 0 are
+    kept **in document order**.  Fully deterministic.
+    """
+    import math
+
+    blocks = _blocks(html, prune=True)
+    if not blocks:
+        return ""
+    q_terms = [t for t in query.lower().split() if t]
+    toks = [[w.lower() for w in b.split()] for b in blocks]
+    n = len(blocks)
+    avg_len = sum(len(t) for t in toks) / n
+    df = {t: sum(1 for bt in toks if t in bt) for t in set(q_terms)}
+    k1, b = 1.5, 0.75
+    scores = []
+    for i, bt in enumerate(toks):
+        s = 0.0
+        for t in q_terms:
+            f = bt.count(t)
+            if f == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * len(bt) / avg_len))
+        scores.append((s, i))
+    keep = sorted(i for s, i in sorted(scores, key=lambda x: (-x[0], x[1]))[:top_k] if s > 0)
+    return "\n\n".join(blocks[i] for i in keep)
 
 
 _HREF_RE = re.compile(r"""<a\s[^>]*?href\s*=\s*["']([^"'<>]+)["']""", re.IGNORECASE)

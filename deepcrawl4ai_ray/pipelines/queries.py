@@ -156,36 +156,73 @@ GROUP BY r_name ORDER BY r_name
 
 
 def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q3 shape: semi-filter orders by BUILDING customers
-    (broadcast), pre-aggregate lineitem revenue per orderkey, then a
-    bucketed hash join orders ⋈ revenue (both sides large at scale)."""
+    """TPC-H Q3 shape in ONE shuffle: semi-filter orders by BUILDING
+    customers (broadcast key set), per-batch partial lineitem revenue,
+    then bucket BOTH sides by hash(orderkey) and union — a single
+    groupby(bucket) co-locates each key's order row and revenue
+    partials; map_groups finishes the aggregation and the join together.
+    """
     import pyarrow.parquet as pq
 
     cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     building = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
     keys_ref = ray.put(building)
+    num_buckets = 16
+
+    def bucket_of(col: pa.ChunkedArray) -> pa.Array:
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.array((v % num_buckets).astype(np.int32))
 
     orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = broadcast_filter(orders, "o_custkey", keys_ref, keep_in=True).drop_columns(["o_custkey"])
+    orders = broadcast_filter(orders, "o_custkey", keys_ref, keep_in=True)
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__b": bucket_of(batch["o_orderkey"]),
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "rev": pa.nulls(len(batch), pa.float64()),
+            }
+        )
 
     li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def rev(batch: pa.Table) -> pa.Table:
+    def li_partial(batch: pa.Table) -> pa.Table:
         r = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": r})
+        part = (
+            pa.table({"o_orderkey": batch["l_orderkey"], "rev": r})
+            .group_by(["o_orderkey"])
+            .aggregate([("rev", "sum")])
+            .rename_columns(["o_orderkey", "rev"])
+        )
+        return pa.table(
+            {
+                "__b": bucket_of(part["o_orderkey"]),
+                "o_orderkey": part["o_orderkey"],
+                "o_orderdate": pa.nulls(len(part), pa.timestamp("us")),
+                "rev": part["rev"],
+            }
+        )
 
-    li_rev = partial_grouped_sum(li.map_batches(rev, batch_format="pyarrow"), ["l_orderkey"], sums=["rev"])
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        li.map_batches(li_partial, batch_format="pyarrow")
+    )
 
-    # materialize the (small) aggregated sides: hash_join reads .schema()
-    # and unions both inputs — without pinning, the lineitem aggregation
-    # would execute twice (once for schema, once in the union).
-    orders = orders.materialize()
-    li_rev = li_rev.map_batches(
-        lambda t: t.rename_columns(["o_orderkey", "sum_rev"]), batch_format="pyarrow"
-    ).materialize()
-    joined = hash_join(orders, li_rev, on="o_orderkey", num_buckets=16)
-    df = joined.to_pandas()
-    df["revenue"] = df["sum_rev"].round(2)
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["rev"].isna()][["o_orderkey", "o_orderdate"]]
+        r = g[g["rev"].notna()].groupby("o_orderkey", as_index=False)["rev"].sum()
+        m = o.merge(r, on="o_orderkey", how="inner")
+        if m.empty:
+            return pd.DataFrame({"o_orderkey": [], "o_orderdate": [], "rev": []})
+        # local top-k per bucket: global top-10 is within per-bucket top-10
+        m["rev_r"] = m["rev"].round(2)
+        return m.sort_values(["rev_r", "o_orderkey"], ascending=[False, True], kind="mergesort").head(10)[
+            ["o_orderkey", "o_orderdate", "rev"]
+        ]
+
+    df = both.groupby("__b").map_groups(finish, batch_format="pandas").to_pandas()
+    df["revenue"] = df["rev"].round(2)
     df = df[["o_orderkey", "o_orderdate", "revenue"]]
     df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True], kind="mergesort").head(10)
     df["o_orderkey"] = df["o_orderkey"].astype("int64")
@@ -706,6 +743,188 @@ def frame_samples(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
 
 
+def asof_last_click(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each 'error' event, the most recent prior 'click'
+    value of the same user (backward merge_asof per user-hash bucket).
+    Oracle: DuckDB ASOF JOIN.
+    """
+    from ..stages.asof import asof_join
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"])
+    errors = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")).drop_columns(["event_type"]),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.filter(pc.equal(t["event_type"], "click"))["user_id"],
+                "ts": t.filter(pc.equal(t["event_type"], "click"))["ts"],
+                "click_value": t.filter(pc.equal(t["event_type"], "click"))["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(errors, clicks, key="user_id", ts="ts", num_buckets=8)
+    df = joined.to_pandas()
+    df = df[df["click_value"].notna()]
+    out = pd.DataFrame(
+        {
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "click_value": df["click_value"].round(2),
+        }
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id, ROUND(c.value, 2) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id
+"""
+
+
+def events_rolling_sum(sf_dir: str) -> pd.DataFrame:
+    """Running per-user cumulative sum over the ts-ordered event log
+    (groupby(user) shuffle + per-group vectorized cumsum); oracle:
+    SQL window function."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "running_value": g["value"].cumsum().round(2),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_ROLLING_SQL = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events ORDER BY event_id
+"""
+
+
+def hash_sampled_events(sf_dir: str) -> pd.DataFrame:
+    """Deterministic ~6% hash sample (md5 of the key; reproducible on
+    any engine — unlike seeded RNG sampling, the SQL oracle reproduces
+    it exactly)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_pylist()
+        keep = [H.md5_hex(str(i))[:2] < "10" for i in ids]
+        return batch.filter(pa.array(keep))
+
+    out = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    out = out.astype({"event_id": "int64", "user_id": "int64"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_HASH_SAMPLE_SQL = """
+SELECT event_id, user_id FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '10'
+ORDER BY event_id
+"""
+
+
+def users_in_both_types(sf_dir: str) -> pd.DataFrame:
+    """Set intersection (§2.7 — absent from the reference): users with
+    both 'click' and 'error' events; distinct-sets via per-batch unique
+    + broadcast-filtered semi join."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def users_of(etype: str):
+        sub = ds.map_batches(
+            lambda t, e=etype: pa.table(
+                {"user_id": pc.unique(t.filter(pc.equal(t["event_type"], e))["user_id"])}
+            ),
+            batch_format="pyarrow",
+        )
+        return set(sub.to_pandas()["user_id"])
+
+    both = sorted(users_of("click") & users_of("error"))
+    return pd.DataFrame({"user_id": pd.Series(both, dtype="int64")})
+
+
+_INTERSECT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
+def llm_extract_stub(sf_dir: str) -> pd.DataFrame:
+    """LLM structured extraction (M7) with the deterministic stub model:
+    schema {summary: first-5-words, n_words: count} — oracle-exact
+    because the fake inference is pure arithmetic over the text."""
+    import json as _json
+
+    from ..stages.llm import LLMExtractStage
+
+    schema = {"properties": {"summary": {"type": "string"}, "n_words": {"type": "integer"}}}
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        LLMExtractStage,
+        fn_constructor_args=(schema, "summarize", "text", "doc_id"),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).to_pandas()
+    rec = out["extracted_content"].map(_json.loads)
+    df = pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].astype("int64"),
+            "summary": rec.map(lambda r: r["summary"]),
+            "n_words": rec.map(lambda r: r["n_words"]).astype("int64"),
+        }
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_LLM_STUB_SQL = """
+SELECT doc_id,
+       array_to_string((string_split(trim(text), ' '))[1:5], ' ') AS summary,
+       CAST(len(string_split(trim(text), ' ')) AS BIGINT)         AS n_words
+FROM documents ORDER BY doc_id
+"""
+
+
+def selector_tag_counts(sf_dir: str) -> pd.DataFrame:
+    """Selector auto-detection (M8) over the tiny corpus html: count of
+    detected elements per tag (rows-only; no SQL HTML parser)."""
+    from ..functions.selectors import auto_detect_selectors
+    from ..sources.corpus import ensure
+
+    corpus = ensure("tiny")
+    ds = rd.read_parquet(f"{corpus}/pages", columns=["html"])
+
+    def count_tags(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for h in batch["html"].to_pylist():
+            for sel in auto_detect_selectors(h):
+                c[sel["tag"]] += 1
+        return pa.table(
+            {"tag": pa.array(list(c.keys()), pa.string()), "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    parts = ds.map_batches(count_tags, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("tag", as_index=False)["n"].sum()
+    return out.sort_values("tag").reset_index(drop=True)
+
+
 # =========================================================================
 # H. Crawl pipelines (north star; rows-only — conformance is pytest's)
 # =========================================================================
@@ -785,6 +1004,12 @@ QUERIES = {
     "simhash_signatures": simhash_signatures,
     "image_decode_meta": image_decode_meta,
     "frame_samples": frame_samples,
+    "asof_last_click": asof_last_click,
+    "events_rolling_sum": events_rolling_sum,
+    "hash_sampled_events": hash_sampled_events,
+    "users_in_both_types": users_in_both_types,
+    "llm_extract_stub": llm_extract_stub,
+    "selector_tag_counts": selector_tag_counts,
     "crawl_tiny_e2e": crawl_tiny_e2e,
     "extract_corpus_text": extract_corpus_text,
 }
@@ -810,6 +1035,11 @@ ORACLES = {
     "knn_cosine_top10": _KNN_SQL,
     "embedding_label_stats": _EMB_STATS_SQL,
     "image_decode_meta": _IMAGE_DECODE_SQL,
+    "llm_extract_stub": _LLM_STUB_SQL,
+    "asof_last_click": _ASOF_SQL,
+    "events_rolling_sum": _ROLLING_SQL,
+    "hash_sampled_events": _HASH_SAMPLE_SQL,
+    "users_in_both_types": _INTERSECT_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10, embedding_near_dup_pairs,
     # minhash_near_dups, simhash_signatures, frame_samples, crawl_tiny_e2e,
     # extract_corpus_text

@@ -58,7 +58,7 @@ TIERS = {
     # conformance (~5k pages / 100 hosts)
     "small": CorpusSpec("small", num_hosts=100, pages_per_host_base=80, hot_host_pages=400, num_seeds=25),
     # skew/scaling bench (~200k pages / 2000 hosts, hot host ~20%)
-    "bench": CorpusSpec("bench", num_hosts=2000, pages_per_host_base=1800, hot_host_pages=40000, num_seeds=400),
+    "bench": CorpusSpec("bench", num_hosts=2000, pages_per_host_base=1800, hot_host_pages=40000, num_seeds=2000),
 }
 
 NUM_HOST_BUCKETS = 64  # corpus partition count (hash(host) % 64)
@@ -166,15 +166,17 @@ def generate(out_dir: str, tier: str = "tiny", force: bool = False) -> str:
         },
         schema=PAGES_SCHEMA,
     )
-    # one file per bucket → fetch actors prune to a single file
+    # files per bucket, split into ≤ ROWS_PER_FILE-row parts so no single
+    # file (e.g. the hot host's bucket) becomes a straggler read task
     import pyarrow.compute as pc
 
+    ROWS_PER_FILE = 4096
     for b in range(NUM_HOST_BUCKETS):
         sub = tbl.filter(pc.equal(tbl["host_bucket"], b))
-        if sub.num_rows:
+        for part, off in enumerate(range(0, sub.num_rows, ROWS_PER_FILE)):
             pq.write_table(
-                sub,
-                os.path.join(out_dir, "pages", f"bucket={b:03d}.parquet"),
+                sub.slice(off, ROWS_PER_FILE),
+                os.path.join(out_dir, "pages", f"bucket={b:03d}-p{part:03d}.parquet"),
                 compression="zstd",  # reference stores markdown zstd-3 (storage.py:101)
             )
 

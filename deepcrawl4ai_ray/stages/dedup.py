@@ -55,43 +55,48 @@ def exact_dedup_stats(ds: "ray.data.Dataset", id_col: str, text_col: str):
     )
 
 
-class MinHashStage:
-    """Actor-pool stage: text → minhash signature + LSH band keys.
-
-    Stateful so the (num_perm × ) hash coefficients and shingle config
-    are built once per actor (T-series pattern, SURVEY.md §2.3).
+def make_minhash_explode_fn(
+    text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, k: int = 3, num_buckets: int = 32
+):
+    """Stateless map_batches fn: text → one row per (band, doc) with a
+    ``band_bucket`` shuffle key.  Hash coefficients live in the hashing
+    module's process-global cache (warm across tasks); grouping happens
+    on ``band_bucket`` (num_buckets groups) rather than raw band keys so
+    the downstream map_groups sees a few large groups, not thousands of
+    two-row ones.
     """
 
-    def __init__(self, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, k: int = 3):
-        self.text_col = text_col
-        self.id_col = id_col
-        self.num_perm = num_perm
-        self.bands = bands
-        self.k = k
-        # warm the coefficient cache once per actor
-        H.minhash_signature_fast(np.array([1], dtype=np.uint64), num_perm)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        """Explode: one output row per (band_key, doc)."""
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
         out_ids: List[int] = []
         out_keys: List[bytes] = []
         out_sigs: List[bytes] = []
         for i, t in zip(ids, texts):
-            sig = H.minhash_signature_fast(H.shingles(t, self.k), self.num_perm)
+            sig = H.minhash_signature_fast(H.shingles(t, k), num_perm)
             sb = sig.tobytes()
-            for key in H.lsh_band_keys(sig, self.bands):
+            for key in H.lsh_band_keys(sig, bands):
                 out_ids.append(i)
                 out_keys.append(key)
                 out_sigs.append(sb)
+        # bucket from the band hash bytes themselves — deterministic across
+        # processes (python's hash() is salted per process; never use it
+        # for shuffle keys)
+        buckets = np.fromiter(
+            (int.from_bytes(kk[1:9], "little") % num_buckets for kk in out_keys),
+            dtype=np.int32,
+            count=len(out_keys),
+        )
         return pa.table(
             {
+                "band_bucket": pa.array(buckets),
                 "band_key": pa.array(out_keys, pa.binary()),
-                self.id_col: pa.array(out_ids, pa.int64()),
+                id_col: pa.array(out_ids, pa.int64()),
                 "sig": pa.array(out_sigs, pa.binary()),
             }
         )
+
+    return fn
 
 
 def minhash_lsh_pairs(
@@ -111,29 +116,31 @@ def minhash_lsh_pairs(
     agreeing on a full band).
     """
     exploded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_args=(text_col, id_col, num_perm, bands, k),
+        make_minhash_explode_fn(text_col, id_col, num_perm, bands, k),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        """One call per band_bucket: vectorized within-band pairing."""
         rows_a, rows_b, est = [], [], []
-        for a in range(len(ids)):
-            eq = (sigs[a + 1 :] == sigs[a]).mean(axis=1)
-            hit = np.nonzero(eq >= threshold)[0]
-            for h in hit:
-                rows_a.append(ids[a])
-                rows_b.append(ids[a + 1 + h])
-                est.append(float(eq[h]))
+        for _, band in g.groupby("band_key", sort=False):
+            if len(band) < 2:
+                continue
+            band = band.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(band) < 2:
+                continue
+            ids = band[id_col].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in band["sig"]])
+            for a in range(len(ids)):
+                eq = (sigs[a + 1 :] == sigs[a]).mean(axis=1)
+                hit = np.nonzero(eq >= threshold)[0]
+                for h in hit:
+                    rows_a.append(ids[a])
+                    rows_b.append(ids[a + 1 + h])
+                    est.append(float(eq[h]))
         return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "est_jaccard": est})
 
-    pairs = exploded.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    pairs = exploded.groupby("band_bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
     if pairs.empty:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
     pairs = pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])

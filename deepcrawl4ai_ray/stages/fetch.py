@@ -34,6 +34,7 @@ from typing import Dict, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -58,75 +59,101 @@ class FetchActor:
         self._politeness_wait_ms = 0.0
         self._buckets_tb: Dict[str, TokenBucket] = {}
 
-    def _load_bucket(self, bucket: int) -> tuple:
+    def _load_bucket(self, bucket: int) -> Optional[pa.Table]:
         hit = self._bucket_cache.get(bucket)
         if hit is not None:
-            return hit
+            return hit[0]
         if self.bucket_refs is not None:
             ref = self.bucket_refs.get(bucket)
             t = ray.get(ref) if ref is not None else None  # zero-copy plasma read
         else:
-            path = os.path.join(self.pages_dir, f"bucket={bucket:03d}.parquet")
+            import glob
+
+            parts = sorted(glob.glob(os.path.join(self.pages_dir, f"bucket={bucket:03d}*.parquet")))
             t = (
-                pq.read_table(path, columns=["url", "html", "warc_ts", "lang"])
-                if os.path.exists(path)
+                pa.concat_tables(
+                    pq.read_table(p, columns=["url", "html", "warc_ts", "lang"]) for p in parts
+                )
+                if parts
                 else None
             )
-        if t is None:
-            entry = (None, {}, None, None)
-        else:
-            t = t.combine_chunks()
-            idx = {u: i for i, u in enumerate(t.column("url").to_pylist())}
-            ts_np = t.column("warc_ts").cast(pa.int64()).to_numpy()
-            langs = t.column("lang").to_pylist()
-            entry = (t.column("html"), idx, ts_np, langs)
         if len(self._buckets_lru) >= self.max_cached_buckets:
             evict = self._buckets_lru.pop(0)
             self._bucket_cache.pop(evict, None)
-        self._bucket_cache[bucket] = entry
+        self._bucket_cache[bucket] = (t,)
         self._buckets_lru.append(bucket)
-        return entry
+        return t
 
-    def _politeness_tick(self, host: str, round_ms_now: int) -> None:
+    def _politeness_account(self, host: str, count: int, round_ms_now: int) -> None:
+        """Metric-only token accounting (quota enforcement is shard-side)."""
         tb = self._buckets_tb.get(host)
         if tb is None:
             delay = self.robots.get(host).crawl_delay_ms or DEFAULT_DELAY_MS
             tb = TokenBucket(max(1.0, 10_000 / delay), 1.0 / delay, round_ms_now)
             self._buckets_tb[host] = tb
-        if not tb.try_take(round_ms_now):
-            self._politeness_wait_ms += self.robots.get(host).crawl_delay_ms
+        for _ in range(count):
+            if not tb.try_take(round_ms_now):
+                self._politeness_wait_ms += 1.0 / tb.refill_per_ms
+                break  # metric recorded; no wall-clock waiting
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        hosts = batch.column("host").to_pylist()
-        buckets = batch.column("host_bucket").to_pylist()
-        rounds = batch.column("round").to_pylist()
-        n = len(urls)
-        htmls: list[Optional[bytes]] = [None] * n
-        ts = np.zeros(n, dtype=np.int64)
-        langs: list[str] = [""] * n
-        status: list[str] = ["miss"] * n
-        for i in range(n):
-            host = hosts[i]
-            self._politeness_tick(host, rounds[i] * 10_000)
+    def _fetch_one_bucket(self, batch: pa.Table, bucket: int) -> pa.Table:
+        """Vectorized keyed lookup: batch urls ⨝ bucket table via
+        pc.index_in + pc.take — no per-worker python index."""
+        n = len(batch)
+        urls = batch.column("url")
+        tbl = self._load_bucket(bucket)
+        if tbl is not None:
+            idx = pc.index_in(urls, value_set=tbl.column("url").combine_chunks())
+            html = pc.take(tbl.column("html"), idx)
+            ts = pc.take(tbl.column("warc_ts"), idx)
+            lang = pc.take(tbl.column("lang"), idx)
+            found = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        else:
+            html = pa.nulls(n, pa.binary())
+            ts = pa.nulls(n, pa.timestamp("us"))
+            lang = pa.nulls(n, pa.string())
+            found = np.zeros(n, dtype=bool)
+
+        # robots disallow: vectorized per (host, prefix); hosts per batch
+        # are few (blocks are bucket-grouped)
+        denied = np.zeros(n, dtype=bool)
+        hosts_np = batch.column("host").to_numpy(zero_copy_only=False)
+        rounds0 = int(batch.column("round")[0].as_py()) if n else 0
+        for host in np.unique(hosts_np):
             policy = self.robots.get(host)
-            if not policy.allows(urls[i]):
-                status[i] = "robots_denied"  # fetched-over-robots is a bug
-                continue
-            html_col, idx, ts_np, lang_list = self._load_bucket(buckets[i])
-            row = idx.get(urls[i])
-            if row is not None:
-                htmls[i] = html_col[row].as_py()
-                ts[i] = ts_np[row]
-                langs[i] = lang_list[row]
-                status[i] = "ok"
+            m = hosts_np == host
+            self._politeness_account(host, int(m.sum()), rounds0 * 10_000)
+            if policy.disallow:
+                for d in policy.disallow:
+                    for scheme in ("https://", "http://"):
+                        pref = pc.starts_with(urls, scheme + host + d).to_numpy(
+                            zero_copy_only=False
+                        )
+                        denied |= m & pref
+
+        status_np = np.where(denied, "robots_denied", np.where(found, "ok", "miss"))
+        keep_payload = pa.array(~denied)
+        html = pc.if_else(keep_payload, html, pa.scalar(None, pa.binary()))
         return (
             batch.drop_columns(["host_bucket"])
-            .append_column("html", pa.array(htmls, pa.binary()))
-            .append_column("warc_ts", pa.array(ts, pa.int64()).cast(pa.timestamp("us")))
-            .append_column("lang", pa.array(langs, pa.string()))
-            .append_column("status", pa.array(status, pa.string()))
+            .append_column("html", html)
+            .append_column("warc_ts", ts)
+            .append_column("lang", pc.fill_null(lang, ""))
+            .append_column("status", pa.array(status_np, pa.string()))
         )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        buckets = batch.column("host_bucket").to_numpy(zero_copy_only=False)
+        if len(batch) == 0:
+            return self._fetch_one_bucket(batch, -1)
+        uniq = np.unique(buckets)
+        if len(uniq) == 1:  # the common case: blocks are built per bucket
+            return self._fetch_one_bucket(batch, int(uniq[0]))
+        parts = [
+            self._fetch_one_bucket(batch.filter(pa.array(buckets == b)), int(b))
+            for b in uniq
+        ]
+        return pa.concat_tables(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -158,20 +185,27 @@ def make_fetch_fn(corpus_dir: str, bucket_refs: Optional[Dict[int, "ray.ObjectRe
     return fetch_batch
 
 
+@ray.remote(num_cpus=1)
+def _read_bucket(paths: list) -> pa.Table:
+    return pa.concat_tables(
+        pq.read_table(p, columns=["url", "html", "warc_ts", "lang"]) for p in paths
+    )
+
+
 def load_bucket_refs(corpus_dir: str) -> Dict[int, "ray.ObjectRef"]:
-    """Read each pages bucket file once and pin it in the object store.
+    """Read each bucket's page files once, in parallel Ray tasks, pinning
+    the tables in the object store (task outputs live in plasma).
 
     Returns {bucket: ObjectRef(pa.Table)} for FetchActor's object-store
     mode.  Column-pruned to the fetch schema.
     """
     import glob
     import re
+    from collections import defaultdict
 
-    refs: Dict[int, ray.ObjectRef] = {}
+    groups: Dict[int, list] = defaultdict(list)
     for f in sorted(glob.glob(os.path.join(corpus_dir, "pages", "bucket=*.parquet"))):
-        m = re.search(r"bucket=(\d+)\.parquet$", f)
-        if not m:
-            continue
-        t = pq.read_table(f, columns=["url", "html", "warc_ts", "lang"])
-        refs[int(m.group(1))] = ray.put(t)
-    return refs
+        m = re.search(r"bucket=(\d+)", os.path.basename(f))
+        if m:
+            groups[int(m.group(1))].append(f)
+    return {b: _read_bucket.remote(paths) for b, paths in groups.items()}

@@ -1,0 +1,74 @@
+"""Extract modes (M6), selectors (M8), status maps (M19), LLM stub (M7)."""
+
+import json
+
+import pyarrow as pa
+
+from deepcrawl4ai_ray.functions.extract import extract_text, extract_text_bm25
+from deepcrawl4ai_ray.functions.selectors import auto_detect_selectors
+from deepcrawl4ai_ray.functions.statusmaps import convert_engine_status, task_status_color
+from deepcrawl4ai_ray.stages.llm import LLMExtractStage
+
+HTML = (
+    "<html><body><h1>Title words</h1>"
+    "<p>alpha beta gamma delta epsilon engines</p>"
+    "<div>tiny</div>"
+    "<p>parquet files and arrow batches move data quickly</p></body></html>"
+)
+
+
+class TestExtractModes:
+    def test_raw_keeps_short_blocks(self):
+        fit = extract_text(HTML, mode="fit")
+        raw = extract_text(HTML, mode="raw")
+        assert "tiny" not in fit
+        assert "tiny" in raw
+        assert fit == extract_text(HTML)  # default is fit
+
+    def test_bm25_filters_by_query(self):
+        out = extract_text_bm25(HTML, "parquet arrow", top_k=1)
+        assert "parquet files" in out
+        assert "alpha beta" not in out
+        assert extract_text_bm25(HTML, "zzz absent") == ""
+
+
+class TestSelectors:
+    def test_css_and_xpath(self):
+        html = "<html><body><div id='main' class='x'><p class='a b'>t</p><p>u</p></div></body></html>"
+        sels = auto_detect_selectors(html)
+        by_css = {s["css"]: s for s in sels}
+        assert "div#main" in by_css
+        assert by_css["div#main"]["xpath"] == "/html[1]/body[1]/div[1]"
+        assert "p.a.b" in by_css
+        # second p: positional xpath distinguishes it
+        assert any(s["xpath"].endswith("/p[2]") for s in sels)
+
+    def test_deterministic(self):
+        assert auto_detect_selectors(HTML) == auto_detect_selectors(HTML)
+
+
+class TestStatusMaps:
+    def test_maps(self):
+        assert convert_engine_status("success") == "Completed"
+        assert convert_engine_status("weird") == "Unknown"
+        assert task_status_color("Completed") == "#22c55e"
+        assert task_status_color("nope") == "#9ca3af"
+
+
+class TestLLMStub:
+    def test_schema_filled_deterministically(self):
+        schema = {
+            "properties": {
+                "title": {"type": "string"},
+                "n_words": {"type": "integer"},
+                "ok": {"type": "boolean"},
+            }
+        }
+        stage = LLMExtractStage(schema, "extract the title", text_col="text", id_col="doc_id")
+        batch = pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["one two three four"], pa.string())}
+        )
+        out = stage(batch)
+        rec = json.loads(out["extracted_content"][0].as_py())
+        assert rec == {"title": "one two three four", "n_words": 4, "ok": True}
+        assert stage(batch)["extracted_content"][0] == out["extracted_content"][0]
