@@ -66,25 +66,52 @@ class CrawlConfig:
     # pin corpus bucket tables in the object store once (zero-copy shared
     # across fetch actors); disable when the corpus exceeds plasma
     corpus_in_object_store: bool = True
+    # skew mitigation: hosts whose frontier share is pathological get
+    # salted across `factor` shards — routing key hash64(host#k) with
+    # k = hash64(url) % factor (deterministic per URL, so the per-shard
+    # cuckoo dedup stays exact); each shard's politeness bucket refills
+    # at 1/factor of the host rate so the aggregate budget is preserved
+    hot_hosts: Dict[str, int] = field(default_factory=dict)
     extra: dict = field(default_factory=dict)
+
+
+def _route_shards(urls: np.ndarray, hosts: np.ndarray, num_shards: int, hot_hosts: Dict[str, int]) -> np.ndarray:
+    """host → shard routing with deterministic hot-host salting.
+
+    Default: hash64(host) % num_shards.  Salted host h with factor s:
+    shard = hash64(f"{h}#{hash64(url) % s}") % num_shards — a URL's
+    shard depends only on (host, url), so the sharded seen-set dedup
+    stays exact while the host's queue spreads over ≤ s shards.
+    """
+    sid = (hash64(hosts) % np.uint64(num_shards)).astype(np.int64)
+    if hot_hosts:
+        for h, s in hot_hosts.items():
+            m = hosts == h
+            if m.any():
+                salts = (hash64(urls[m]) % np.uint64(s)).astype(np.int64)
+                salted_hosts = np.asarray([f"{h}#{k}" for k in salts], dtype=object)
+                sid[m] = (hash64(salted_hosts) % np.uint64(num_shards)).astype(np.int64)
+    return sid
 
 
 class _Router:
     """Link → frontier offer stage (runs inside map_batches tasks).
 
     Explodes the ``links`` column, normalizes (M2), routes each URL to
-    its shard by host hash, and calls ``shard.offer`` remotely.  With
-    ``bloom_prescreen`` a read-only bloom snapshot (merged across
-    shards, broadcast via ray.put once per round) drops
-    almost-certainly-seen URLs batch-side, cutting shard traffic at the
-    cost of ~FPR lost new URLs — off by default so the seen set stays
-    exact (conformance mode).
+    its shard by host hash (hot hosts salted — see _route_shards), and
+    calls ``shard.offer`` remotely.  With ``bloom_prescreen`` a
+    read-only bloom snapshot (merged across shards, broadcast via
+    ray.put once per round) drops almost-certainly-seen URLs
+    batch-side, cutting shard traffic at the cost of ~FPR lost new
+    URLs — off by default so the seen set stays exact (conformance
+    mode).
     """
 
-    def __init__(self, shards, num_shards: int, bloom_ref=None):
+    def __init__(self, shards, num_shards: int, bloom_ref=None, hot_hosts: Optional[Dict[str, int]] = None):
         self.shards = shards
         self.num_shards = num_shards
         self.bloom_ref = bloom_ref
+        self.hot_hosts = hot_hosts or {}
         self._bloom = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -106,7 +133,7 @@ class _Router:
                 arr, pr = arr[keep], pr[keep]
             if arr.size:
                 hosts = hosts_of(arr)
-                sid = (hash64(hosts) % np.uint64(self.num_shards)).astype(np.int64)
+                sid = _route_shards(arr, hosts, self.num_shards, self.hot_hosts)
                 refs = []
                 for s in range(self.num_shards):
                     m = sid == s
@@ -150,9 +177,18 @@ class Crawler:
     def _host_delays(self) -> Dict[str, int]:
         path = os.path.join(self.corpus_dir, "robots.parquet")
         if not os.path.exists(path):
-            return {}
-        t = pq.read_table(path, columns=["host", "crawl_delay_ms"])
-        return dict(zip(t.column("host").to_pylist(), t.column("crawl_delay_ms").to_pylist()))
+            delays: Dict[str, int] = {}
+        else:
+            t = pq.read_table(path, columns=["host", "crawl_delay_ms"])
+            delays = dict(zip(t.column("host").to_pylist(), t.column("crawl_delay_ms").to_pylist()))
+        # per-salt politeness quota split: a host salted s ways lives on
+        # up to s shards; each shard refills its bucket at 1/s of the
+        # host rate so the host's aggregate crawl rate is preserved
+        from ..state.robots import DEFAULT_DELAY_MS
+
+        for h, s in self.cfg.hot_hosts.items():
+            delays[h] = delays.get(h, DEFAULT_DELAY_MS) * max(1, int(s))
+        return delays
 
     # ------------------------------------------------------------------ seeds
     def offer_seeds(self) -> None:
@@ -161,7 +197,7 @@ class Crawler:
         prios = t.column("priority").to_pylist()
         arr = np.asarray(urls, dtype=object)
         hosts = hosts_of(arr)
-        sid = (hash64(hosts) % np.uint64(self.cfg.num_shards)).astype(np.int64)
+        sid = _route_shards(arr, hosts, self.cfg.num_shards, self.cfg.hot_hosts)
         refs = []
         for s in range(self.cfg.num_shards):
             m = sid == s
@@ -221,7 +257,7 @@ class Crawler:
                     merged.bits |= bf.bits
             bloom_ref = ray.put(merged.to_bytes())
 
-        router = _Router(self.shards, cfg.num_shards, bloom_ref)
+        router = _Router(self.shards, cfg.num_shards, bloom_ref, cfg.hot_hosts)
         out = (
             ds.map_batches(
                 # stateless tasks + process-global cache: warm across rounds

@@ -1,0 +1,88 @@
+"""Hot-host salting (north-rule skew mitigation): deterministic spread
+across shards, exact dedup preserved, politeness budget split."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from deepcrawl4ai_ray.frontier.crawler import Crawler, CrawlConfig, _route_shards, read_crawl_output
+from deepcrawl4ai_ray.functions.urlnorm import hash64
+
+
+class TestRouting:
+    def test_salted_host_spreads_deterministically(self):
+        urls = np.asarray([f"https://hot.example/p/{i}" for i in range(200)], dtype=object)
+        hosts = np.asarray(["hot.example"] * 200, dtype=object)
+        plain = _route_shards(urls, hosts, 8, {})
+        assert len(set(plain.tolist())) == 1  # unsalted: one shard
+        salted = _route_shards(urls, hosts, 8, {"hot.example": 4})
+        assert len(set(salted.tolist())) > 1  # spread
+        again = _route_shards(urls, hosts, 8, {"hot.example": 4})
+        assert (salted == again).all()  # deterministic
+        # same url always lands on the same shard → per-shard dedup exact
+        one = _route_shards(urls[:1], hosts[:1], 8, {"hot.example": 4})
+        assert one[0] == salted[0]
+
+    def test_other_hosts_unaffected(self):
+        urls = np.asarray(["https://a.x/1", "https://b.y/2"], dtype=object)
+        hosts = np.asarray(["a.x", "b.y"], dtype=object)
+        assert (
+            _route_shards(urls, hosts, 8, {"hot.example": 4}).tolist()
+            == _route_shards(urls, hosts, 8, {}).tolist()
+        )
+
+
+class TestSaltedCrawl:
+    def test_salted_equals_unsalted_seen_set(self, ray_session, tiny_corpus):
+        """Salting changes shard placement, never the fetched set."""
+
+        def run(out, hot):
+            shutil.rmtree(out, ignore_errors=True)
+            cfg = CrawlConfig(
+                num_shards=2,
+                fetch_concurrency=2,
+                max_rounds=6,
+                per_shard_budget=500,
+                checkpoint=False,
+                round_ms=10_000_000,  # politeness-free: isolate placement effects
+                hot_hosts=hot,
+            )
+            c = Crawler(tiny_corpus, out, cfg)
+            c.run()
+            c.kill_shards()
+            return read_crawl_output(out)
+
+        plain = run("/tmp/dc4r_test/salt_off", {})
+        salted = run("/tmp/dc4r_test/salt_on", {"host-0.example": 2})
+        assert sorted(plain.column("url").to_pylist()) == sorted(salted.column("url").to_pylist())
+        # no URL fetched twice despite multi-shard placement
+        urls = salted.column("url").to_pylist()
+        assert len(urls) == len(set(urls))
+
+    def test_politeness_quota_split(self, ray_session, tiny_corpus):
+        """With salting s=2, per-round hot-host throughput stays ≈ the
+        unsalted quota (each shard refills at 1/2 rate)."""
+        import pyarrow.compute as pc
+
+        def hot_per_round(out, hot):
+            shutil.rmtree(out, ignore_errors=True)
+            cfg = CrawlConfig(
+                num_shards=2, fetch_concurrency=2, max_rounds=4, per_shard_budget=500,
+                checkpoint=False, round_ms=4000, hot_hosts=hot,
+            )
+            c = Crawler(tiny_corpus, out, cfg)
+            c.run()
+            c.kill_shards()
+            t = read_crawl_output(out)
+            t = t.filter(pc.equal(t["host"], "host-0.example"))
+            import collections
+
+            return collections.Counter(t.column("round").to_pylist())
+
+        plain = hot_per_round("/tmp/dc4r_test/quota_off", {})
+        salted = hot_per_round("/tmp/dc4r_test/quota_on", {"host-0.example": 2})
+        for r in set(plain) & set(salted):
+            if r == 0:
+                continue  # burst capacity differs by bucket count
+            assert salted[r] <= plain[r] + max(2, plain[r])  # ≈ same quota, allow rounding
