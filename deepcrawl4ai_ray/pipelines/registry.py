@@ -146,6 +146,46 @@ def _quality(ds, text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+@register("extract_text_bm25")
+def _extract_text_bm25(ds, query: str, html_col: str = "html", out_col: str = "text", top_k: int = 5):
+    """BM25 content filter (M6 analog of BM25ContentFilter(user_query))."""
+    from ..functions.extract import extract_text_bm25
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = [extract_text_bm25(h, query, top_k) for h in t[html_col].to_pylist()]
+        return t.append_column(out_col, pa.array(texts, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register("llm_extract")
+def _llm_extract(ds, schema: dict, instruction: str = "", text_col: str = "text", id_col: str = "doc_id"):
+    """LLM structured extraction (M7; deterministic stub in-sandbox)."""
+    from ..stages.llm import LLMExtractStage
+
+    return ds.map_batches(
+        LLMExtractStage,
+        fn_constructor_args=(schema, instruction, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+@register("write_parquet")
+def _write_parquet(ds, path: str, **kwargs):
+    """Terminal parquet sink (K2/K3 analog; zstd columnar replaces the
+    reference's per-object zstd blobs).  Returns None (consumes)."""
+    ds.write_parquet(path, **kwargs)
+    return ds
+
+
+@register("write_json")
+def _write_json(ds, path: str):
+    """NDJSON sink (K5 analog of the reference's NDJSON/SSE delivery)."""
+    ds.write_json(path)
+    return ds
+
+
 @register("udf")
 def _udf(ds, fn: Callable[[pa.Table], pa.Table], **kwargs):
     """Escape hatch: any callable over a pyarrow Table (the M-series
