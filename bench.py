@@ -170,9 +170,65 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     return results
 
 
+def host_ceiling() -> dict:
+    """Control experiment: the HOST's own parallel-scaling ceiling.
+
+    Runs the identical per-page kernel (extract + minhash + simhash)
+    under plain multiprocessing — no Ray, preloaded in-memory input,
+    perfectly even chunks — at 1/4/16/32 procs.  Any efficiency loss
+    here is the machine (shared memory subsystem), not the engine;
+    engine efficiency should be judged relative to this ceiling (a real
+    N→4N-node cluster adds memory bandwidth with nodes; this box does
+    not).  Results recorded in BASELINE.md.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from multiprocessing import Pool
+
+    from deepcrawl4ai_ray.sources.corpus import ensure
+
+    corpus = ensure("bench")
+    files = sorted(_glob.glob(os.path.join(corpus, "pages", "*.parquet")))[:200]
+    htmls = [h for f in files for h in pq.read_table(f, columns=["html"])["html"].to_pylist()][:60000]
+
+    out = {"metric": "host_ceiling_pages_per_sec", "unit": "pages/s", "kernel": "extract+minhash+simhash"}
+    for n in (1, 4, 16, 32):
+        bounds = [(i * len(htmls) // (n * 4), (i + 1) * len(htmls) // (n * 4)) for i in range(n * 4)]
+        t0 = time.time()
+        with Pool(n, initializer=_hc_init, initargs=(htmls,)) as p:
+            total = sum(p.map(_hc_work, bounds))
+        out[f"procs_{n}"] = round(total / (time.time() - t0), 1)
+    out["host_eff_4_to_16"] = round((out["procs_16"] / out["procs_4"]) / 4, 3)
+    return out
+
+
+def _hc_init(data):
+    global _HC_DATA
+    _HC_DATA = data
+
+
+def _hc_work(args):
+    lo, hi = args
+    from deepcrawl4ai_ray.functions import hashing as H
+    from deepcrawl4ai_ray.functions.extract import extract_text
+
+    n = 0
+    for h in _HC_DATA[lo:hi]:
+        t = extract_text(h)
+        H.minhash_signature_fast(H.shingles(t), 64)
+        H.simhash64(t)
+        n += 1
+    return n
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--host-ceiling" in sys.argv:
+        print(json.dumps(host_ceiling()))
+        return
 
     if "--scaling" in sys.argv:
         import subprocess

@@ -290,6 +290,7 @@ class Crawler:
                 "overflow_dropped": pa.array([s["overflow_dropped"] for s in stats], pa.int64()),
                 "fetched": pa.array(fetched_by_shard, pa.int64()),
                 "frontier_size": pa.array([s["frontier_size"] for s in stats], pa.int64()),
+                "peak_rss_mb": pa.array([s.get("peak_rss_mb", 0) for s in stats], pa.int64()),
             },
             schema=MANIFEST_SCHEMA,
         )
@@ -317,6 +318,9 @@ class Crawler:
             "fetch_seq": self.fetch_seq,
             "total_fetched": self.total_fetched,
             "num_shards": self.cfg.num_shards,
+            # routing-affecting config must survive resume: changing it
+            # mid-crawl would silently re-route URLs to different shards
+            "hot_hosts": self.cfg.hot_hosts,
         }
         with open(os.path.join(ck_dir, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -343,6 +347,7 @@ class Crawler:
         if cfg is None:
             cfg = CrawlConfig()
         cfg.num_shards = meta["num_shards"]
+        cfg.hot_hosts = meta.get("hot_hosts", {})
         obj = cls(corpus_dir, out_dir, cfg)
         refs = []
         for s in range(cfg.num_shards):

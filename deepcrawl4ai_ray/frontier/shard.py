@@ -108,7 +108,15 @@ class FrontierShard:
             # dupes = within-round merged offers + already-seen urls
             self._stats["dupes_skipped"] += self._stats["offered"] - int(new.sum())
             self._stats["overflow_dropped"] += dropped
-        stats = dict(self._stats, frontier_size=self.frontier_size())
+        import resource
+
+        stats = dict(
+            self._stats,
+            frontier_size=self.frontier_size(),
+            # A5 analog (reference tasks.py:372-379 memory delta/peak):
+            # per-shard peak RSS, emitted into the lineage manifest
+            peak_rss_mb=resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024,
+        )
         self._stats = dict(offered=0, inserts=0, dupes_skipped=0, overflow_dropped=0)
         return stats
 

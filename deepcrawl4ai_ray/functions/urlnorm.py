@@ -28,14 +28,16 @@ def normalize_url(url: str) -> str:
     empty path is removed so ``https://h`` and ``https://h/`` are one URL.
     """
     u = unquote(url.strip())
+    # drop fragment (after decode — an encoded %23 is treated as a
+    # delimiter, matching the reference's unquote-then-use order,
+    # api.py:210)
+    h = u.find("#")
+    if h != -1:
+        u = u[:h].rstrip()
     if not u:
         return u
     if "://" not in u:
         u = "https://" + u
-    # drop fragment
-    h = u.find("#")
-    if h != -1:
-        u = u[:h]
     scheme, sep, rest = u.partition("://")
     if rest.endswith("/") and rest.count("/") == 1:
         # exactly "scheme://host/" → strip the root slash

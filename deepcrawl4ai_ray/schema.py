@@ -74,5 +74,6 @@ MANIFEST_SCHEMA = pa.schema(
         ("overflow_dropped", pa.int64()),
         ("fetched", pa.int64()),
         ("frontier_size", pa.int64()),
+        ("peak_rss_mb", pa.int64()),
     ]
 )

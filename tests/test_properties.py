@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the pure kernels — the
+reference has no property tests (SURVEY.md §5); these pin our specs."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deepcrawl4ai_ray.functions.extract import extract_text
+from deepcrawl4ai_ray.functions.hashing import char_jaccard, jaccard, shingles
+from deepcrawl4ai_ray.functions.urlnorm import hash64, normalize_url
+from deepcrawl4ai_ray.state.bloom import BloomFilter
+from deepcrawl4ai_ray.state.cuckoo import CuckooFilter
+from deepcrawl4ai_ray.state.tokenbucket import TokenBucket
+
+
+class TestNormalizeUrl:
+    # '%' excluded: percent-DECODING is inherently single-application
+    # (the reference unquotes once too, api.py:210) — '%2523' decodes to
+    # '%23' which would decode again on a second pass.
+    @given(st.text(alphabet=st.characters(blacklist_characters="%", max_codepoint=0x2FF), max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent(self, s):
+        once = normalize_url(s)
+        assert normalize_url(once) == once
+
+    @given(st.text(alphabet=st.characters(blacklist_characters="#%", min_codepoint=33, max_codepoint=126), min_size=1, max_size=50))
+    @settings(max_examples=100, deadline=None)
+    def test_fragment_never_survives(self, s):
+        assert "#" not in normalize_url(s + "#frag")
+
+
+class TestExtract:
+    @given(st.text(max_size=500))
+    @settings(max_examples=100, deadline=None)
+    def test_never_raises_and_deterministic(self, s):
+        assert extract_text(s) == extract_text(s)
+
+    @given(st.binary(max_size=500))
+    @settings(max_examples=100, deadline=None)
+    def test_arbitrary_bytes_ok(self, b):
+        extract_text(b)  # must not raise on malformed input
+
+
+class TestJaccard:
+    @given(st.text(max_size=100), st.text(max_size=100))
+    @settings(max_examples=100, deadline=None)
+    def test_bounds_and_symmetry(self, a, b):
+        j = char_jaccard(a, b)
+        assert 0.0 <= j <= 1.0
+        assert j == char_jaccard(b, a)
+        assert char_jaccard(a, a) == 1.0
+
+    @given(st.text(max_size=200), st.text(max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_shingle_jaccard_bounds(self, a, b):
+        j = jaccard(shingles(a), shingles(b))
+        assert 0.0 <= j <= 1.0
+
+
+class TestFilters:
+    @given(st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=200, unique=True))
+    @settings(max_examples=50, deadline=None)
+    def test_bloom_no_false_negatives(self, keys):
+        h = hash64(keys)
+        b = BloomFilter(max(len(keys), 16))
+        b.add_many(h)
+        assert b.contains_many(h).all()
+
+    @given(st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=200, unique=True))
+    @settings(max_examples=50, deadline=None)
+    def test_cuckoo_first_wins_exactly_once(self, keys):
+        h = hash64(keys)
+        c = CuckooFilter(max(len(keys) * 2, 32))
+        first = c.add_if_absent_many(h)
+        # distinct hashes must all insert; repeats must all be rejected
+        uniq = len(np.unique(h))
+        assert first.sum() == uniq
+        assert not c.add_if_absent_many(h).any()
+        assert c.contains_many(h).all()
+
+
+class TestTokenBucket:
+    @given(
+        st.floats(min_value=1, max_value=50),
+        st.floats(min_value=0.001, max_value=1.0),
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=50),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_never_exceeds_budget(self, cap, refill, deltas):
+        tb = TokenBucket(cap, refill, 0)
+        now = 0
+        taken = 0
+        for d in deltas:
+            now += d
+            while tb.try_take(now):
+                taken += 1
+                assert taken <= cap + refill * now + 1e-6  # budget invariant
