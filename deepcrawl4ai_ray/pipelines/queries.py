@@ -668,6 +668,46 @@ def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     return minhash_lsh_pairs(aug, "doc_id", "text", threshold=0.5, num_perm=64, bands=16, k=3)
 
 
+def minhash_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs → duplicate clusters via distributed min-label
+    propagation (rows-only; clusters of the planted perturbed copies)."""
+    from ..stages.dedup import connected_components
+
+    pairs = minhash_near_dups(sf_dir)
+    return connected_components(pairs)
+
+
+def clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """End-to-end training-data cleaning pipeline: exact-dedup (keep min
+    doc_id per md5), token-count filter (≥ 20 tokens), per-lang counts.
+    The composition is SQL-expressible, so the whole multi-stage
+    pipeline is oracle-checked."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    keep = exact_dedup_stats(ds, "doc_id", "text").to_pandas()
+    keep_ref = ray.put(sorted(keep["keep_doc_id"].astype("int64").tolist()))
+
+    kept = broadcast_filter(ds, "doc_id", keep_ref, keep_in=True)
+
+    def tok_filter(batch: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(batch["text"], " "), 1)
+        return batch.filter(pc.greater_equal(n, 20))
+
+    filtered = kept.map_batches(tok_filter, batch_format="pyarrow")
+    out = partial_grouped_sum(filtered, ["lang"], count_alias="n_docs").to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+_CLEAN_SQL = """
+WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT lang, COUNT(*) AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM keep)
+  AND length(text) - length(replace(text, ' ', '')) + 1 >= 20
+GROUP BY lang ORDER BY lang
+"""
+
+
 def simhash_signatures(sf_dir: str) -> pd.DataFrame:
     """SimHash64 per doc (rows-only; deterministic)."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1001,6 +1041,8 @@ QUERIES = {
     "embedding_label_stats": embedding_label_stats,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "minhash_near_dups": minhash_near_dups,
+    "minhash_dup_clusters": minhash_dup_clusters,
+    "clean_corpus_stats": clean_corpus_stats,
     "simhash_signatures": simhash_signatures,
     "image_decode_meta": image_decode_meta,
     "frame_samples": frame_samples,
@@ -1040,6 +1082,7 @@ ORACLES = {
     "events_rolling_sum": _ROLLING_SQL,
     "hash_sampled_events": _HASH_SAMPLE_SQL,
     "users_in_both_types": _INTERSECT_SQL,
+    "clean_corpus_stats": _CLEAN_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10, embedding_near_dup_pairs,
     # minhash_near_dups, simhash_signatures, frame_samples, crawl_tiny_e2e,
     # extract_corpus_text

@@ -147,6 +147,67 @@ def minhash_lsh_pairs(
     return pairs.reset_index(drop=True)
 
 
+def connected_components(
+    pairs: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+) -> pd.DataFrame:
+    """Duplicate-pair graph → cluster labels via distributed min-label
+    propagation (ray_guide 'Near-dup' pattern): each round, every node
+    adopts the minimum label in its neighborhood (one groupby per
+    round); converges in O(diameter) rounds.  Dup clusters from LSH
+    pairs have tiny diameters, so this terminates in a few rounds.
+
+    Returns DataFrame(node, component) where component = min node id of
+    the cluster.  Uses Ray Data groupbys so the edge list can exceed
+    driver memory (here pairs are small; the pipeline shape is the
+    point).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    if pairs.empty:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"), "component": pd.Series(dtype="int64")})
+    edges = pd.DataFrame(
+        {
+            "src": pd.concat([pairs[id_a], pairs[id_b]], ignore_index=True).astype("int64"),
+            "dst": pd.concat([pairs[id_b], pairs[id_a]], ignore_index=True).astype("int64"),
+        }
+    )
+    # label(node) starts as node id
+    labels = (
+        edges[["src"]].drop_duplicates().rename(columns={"src": "node"}).reset_index(drop=True)
+    )
+    labels["component"] = labels["node"]
+    edges_ds = rd.from_pandas(edges)
+    for _ in range(max_iters):
+        lab_map = dict(zip(labels["node"], labels["component"]))
+        lab_ref = __import__("ray").put(lab_map)
+
+        def relabel(batch: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
+
+            lm = _ray.get(lab_ref)
+            return pd.DataFrame(
+                {
+                    "node": batch["dst"],
+                    "cand": batch["src"].map(lm),
+                }
+            )
+
+        cand = (
+            edges_ds.map_batches(relabel, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="min_cand"))
+            .to_pandas()
+        )
+        merged = labels.merge(cand, on="node", how="left")
+        new_comp = merged[["component", "min_cand"]].min(axis=1).astype("int64")
+        changed = (new_comp != merged["component"]).sum()
+        labels = pd.DataFrame({"node": merged["node"], "component": new_comp})
+        if changed == 0:
+            break
+    return labels.sort_values("node").reset_index(drop=True)
+
+
 def simhash_stage(id_col: str, text_col: str):
     def fn(batch: pa.Table) -> pa.Table:
         sigs = [H.simhash64(t) for t in batch[text_col].to_pylist()]

@@ -179,3 +179,25 @@ class TestMultimodal:
         out = FrameSampleStage("payload", "doc_id", k=4)(batch)
         assert out.num_rows == 4
         assert out["frame_idx"].to_pylist() == [0, 1, 2, 3]
+
+
+class TestConnectedComponents:
+    def test_clusters_resolved(self, ray_session):
+        import pandas as pd
+
+        from deepcrawl4ai_ray.stages.dedup import connected_components
+
+        pairs = pd.DataFrame(
+            {"id_a": [1, 2, 10, 11, 20], "id_b": [2, 3, 11, 12, 21]}
+        )  # chains {1,2,3}, {10,11,12}, {20,21}
+        out = connected_components(pairs).set_index("node")["component"]
+        assert out[1] == out[2] == out[3] == 1
+        assert out[10] == out[11] == out[12] == 10
+        assert out[20] == out[21] == 20
+
+    def test_empty(self, ray_session):
+        import pandas as pd
+
+        from deepcrawl4ai_ray.stages.dedup import connected_components
+
+        assert connected_components(pd.DataFrame({"id_a": [], "id_b": []})).empty
