@@ -26,6 +26,12 @@ import ray
 import ray.data
 
 
+# key-set cache per worker process (ray workers are long-lived; the
+# object-store read + arrow conversion happens once per process, not
+# per batch, without paying actor-pool spin-up)
+_BCAST_CACHE: dict = {}
+
+
 def broadcast_filter(
     ds: "ray.data.Dataset",
     column: str,
@@ -35,22 +41,22 @@ def broadcast_filter(
     """Semi (keep_in=True) / anti (False) join against a broadcast key set.
 
     ``keys_ref`` is ``ray.put(sorted_list_or_set)`` — placed in the
-    object store ONCE on the driver and materialized per actor in
-    ``__init__`` (never re-shipped per batch).
+    object store ONCE on the driver; each worker process materializes
+    the Arrow value-set once (module-level cache) and filters batches
+    with the vectorized ``is_in`` kernel.
     """
 
-    class _Filter:
-        def __init__(self):
-            keys = ray.get(keys_ref)
-            self.keys = pa.array(sorted(keys))
+    def filt(batch: pa.Table) -> pa.Table:
+        keys = _BCAST_CACHE.get(keys_ref.hex())
+        if keys is None:
+            keys = pa.array(sorted(ray.get(keys_ref)))
+            _BCAST_CACHE[keys_ref.hex()] = keys
+        mask = pc.is_in(batch[column], value_set=keys)
+        if not keep_in:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch[column], value_set=self.keys)
-            if not keep_in:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
-
-    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(filt, batch_format="pyarrow")
 
 
 def _arrow_type(t) -> pa.DataType:
