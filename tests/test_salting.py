@@ -86,3 +86,38 @@ class TestSaltedCrawl:
             if r == 0:
                 continue  # burst capacity differs by bucket count
             assert salted[r] <= plain[r] + max(2, plain[r])  # ≈ same quota, allow rounding
+
+
+class TestBloomPrescreen:
+    def test_lossy_mode_matches_exact_on_tiny(self, ray_session, tiny_corpus):
+        """At tiny scale the bloom FP rate is ≈0, so the lossy pre-screen
+        must fetch the exact same set as exact mode (and always: no URL
+        fetched twice, offered traffic not larger)."""
+        import glob
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import shutil
+
+        from deepcrawl4ai_ray.frontier.crawler import Crawler, CrawlConfig, read_crawl_output
+
+        def run(out, prescreen):
+            shutil.rmtree(out, ignore_errors=True)
+            cfg = CrawlConfig(
+                num_shards=2, fetch_concurrency=2, max_rounds=6, per_shard_budget=500,
+                checkpoint=False, bloom_prescreen=prescreen,
+            )
+            c = Crawler(tiny_corpus, out, cfg)
+            c.run()
+            c.kill_shards()
+            man = pd.concat(
+                pq.read_table(f).to_pandas() for f in glob.glob(f"{out}/manifest/*.parquet")
+            )
+            return read_crawl_output(out), man
+
+        exact, man_e = run("/tmp/dc4r_test/bp_exact", False)
+        lossy, man_l = run("/tmp/dc4r_test/bp_lossy", True)
+        urls_l = lossy.column("url").to_pylist()
+        assert len(urls_l) == len(set(urls_l))
+        assert sorted(urls_l) == sorted(exact.column("url").to_pylist())
+        assert man_l["offered"].sum() <= man_e["offered"].sum()
