@@ -93,10 +93,14 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def orders_status_counts(sf_dir: str) -> pd.DataFrame:
-    """Filter + grouped count (M16/M17 success-predicate analog)."""
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")), batch_format="pyarrow"
+    """Filter + grouped count (M16/M17 success-predicate analog).
+    The predicate is pushed into the parquet read (row-group pruning)."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderstatus", "o_orderpriority"],
+        filter=pads.field("o_orderstatus") == "O",
     )
     out = partial_grouped_sum(ds, ["o_orderpriority"], count_alias="n").to_pandas()
     out["n"] = out["n"].astype("int64")
@@ -343,11 +347,17 @@ FROM d GROUP BY user_id ORDER BY user_id
 
 
 def due_events(sf_dir: str) -> pd.DataFrame:
-    """Ready-time queue pop (S3/O1: ZRANGEBYSCORE 0..now analog)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
-    out = ready_queue(
-        ds, "ts", pd.Timestamp("2024-01-03 00:00:00"), ["ts", "event_id"], limit=100
-    ).to_pandas()
+    """Ready-time queue pop (S3/O1: ZRANGEBYSCORE 0..now analog); the
+    watermark predicate is pushed into the parquet read."""
+    import pyarrow.dataset as pads
+
+    watermark = pd.Timestamp("2024-01-03 00:00:00")
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts"],
+        filter=pads.field("ts") <= pads.scalar(watermark.to_datetime64()),
+    )
+    out = ready_queue(ds, "ts", watermark, ["ts", "event_id"], limit=100).to_pandas()
     for c in ("event_id", "user_id"):
         out[c] = out[c].astype("int64")
     return out[["event_id", "user_id", "ts"]].reset_index(drop=True)
