@@ -1,0 +1,104 @@
+"""CLI entrypoint — the ``ray job submit`` surface (SURVEY.md §7 step 9).
+
+    python -m deepcrawl4ai_ray gen-corpus --tier bench
+    python -m deepcrawl4ai_ray crawl --corpus /tmp/dc4r_corpus/tiny --out /tmp/crawl
+    python -m deepcrawl4ai_ray crawl --resume --corpus ... --out ...
+    python -m deepcrawl4ai_ray query q1_lineitem_agg --sf-dir /root/testdata/sf0.01
+
+Owns a Ray session only when one isn't already running (guarded init),
+per the driver contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="deepcrawl4ai_ray")
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-corpus", help="generate a synthetic web corpus tier", parents=[common])
+    g.add_argument("--tier", choices=["tiny", "small", "bench"], default="tiny")
+    g.add_argument("--out", default=None)
+    g.add_argument("--force", action="store_true")
+
+    c = sub.add_parser("crawl", help="run (or resume) a crawl", parents=[common])
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--num-shards", type=int, default=4)
+    c.add_argument("--max-rounds", type=int, default=50)
+    c.add_argument("--per-shard-budget", type=int, default=2000)
+    c.add_argument("--round-ms", type=int, default=10_000)
+    c.add_argument("--bloom-prescreen", action="store_true")
+    c.add_argument("--no-checkpoint", action="store_true")
+
+    q = sub.add_parser("query", help="run a registered pipeline", parents=[common])
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen-corpus":
+        from .sources.corpus import default_dir, generate
+
+        out = args.out or default_dir(args.tier)
+        generate(out, args.tier, force=args.force)
+        print(json.dumps({"corpus": out, "tier": args.tier}))
+        return 0
+
+    if args.cmd == "crawl":
+        _ensure_ray(args.num_cpus)
+        from .frontier.crawler import Crawler, CrawlConfig
+
+        cfg = CrawlConfig(
+            num_shards=args.num_shards,
+            max_rounds=args.max_rounds,
+            per_shard_budget=args.per_shard_budget,
+            round_ms=args.round_ms,
+            bloom_prescreen=args.bloom_prescreen,
+            checkpoint=not args.no_checkpoint,
+        )
+        if args.resume:
+            crawler = Crawler.resume(args.corpus, args.out, cfg)
+        else:
+            crawler = Crawler(args.corpus, args.out, cfg)
+        res = crawler.run()
+        crawler.kill_shards()
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "query":
+        _ensure_ray(args.num_cpus)
+        from .pipelines.queries import QUERIES
+
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}; available: {sorted(QUERIES)}", file=sys.stderr)
+            return 2
+        out = QUERIES[args.name](args.sf_dir)
+        print(out.to_string() if hasattr(out, "to_string") else out)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -793,6 +793,103 @@ def frame_samples(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
 
 
+def parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    """Grouped stats over part (brand rollup, partial-agg pattern)."""
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_brand", "p_retailprice", "p_size"])
+    out = partial_grouped_sum(
+        ds, ["p_brand"], sums=["p_retailprice"], count_alias="n_parts", maxs=["p_size"]
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "p_brand": out["p_brand"],
+            "n_parts": out["n_parts"].astype("int64"),
+            "avg_price": (out["sum_p_retailprice"] / out["n_parts"]).round(4),
+            "max_size": out["max_p_size"].astype("int64"),
+        }
+    )
+    return df.sort_values("p_brand").reset_index(drop=True)
+
+
+_PARTS_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       ROUND(SUM(p_retailprice) / COUNT(*), 4) AS avg_price,
+       CAST(MAX(p_size) AS BIGINT) AS max_size
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
+    """supplier ⋈ nation (broadcast dimension) → per-nation balances."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    lut_ref = ray.put(dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())))
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        names = [lut[k] for k in batch["s_nationkey"].to_pylist()]
+        return pa.table(
+            {"n_name": pa.array(names, pa.string()), "s_acctbal": batch["s_acctbal"]}
+        )
+
+    ds = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+    out = partial_grouped_sum(
+        ds.map_batches(add_nation, batch_format="pyarrow"), ["n_name"], sums=["s_acctbal"], count_alias="n_suppliers"
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "n_name": out["n_name"],
+            "n_suppliers": out["n_suppliers"].astype("int64"),
+            "total_acctbal": out["sum_s_acctbal"].round(2),
+        }
+    )
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
+_SUPPLIER_SQL = """
+SELECT n_name, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def props_k_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON field extraction from the events ``props`` column (M13 JSON
+    handling made columnar): per event_type stats of props.k."""
+    import json as _json
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract_k(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (_json.loads(p).get("k", 0) for p in batch["props"].to_pylist()),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return pa.table({"event_type": batch["event_type"], "k": pa.array(ks)})
+
+    out = partial_grouped_sum(
+        ds.map_batches(extract_k, batch_format="pyarrow"), ["event_type"], sums=["k"], count_alias="n", maxs=["k"]
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "n": out["n"].astype("int64"),
+            "avg_k": (out["sum_k"] / out["n"]).round(4),
+            "max_k": out["max_k"].astype("int64"),
+        }
+    )
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(SUM(CAST(props->>'k' AS BIGINT)) * 1.0 / COUNT(*), 4) AS avg_k,
+       MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def asof_last_click(sf_dir: str) -> pd.DataFrame:
     """As-of join: for each 'error' event, the most recent prior 'click'
     value of the same user (backward merge_asof per user-hash bucket).
@@ -1056,6 +1153,9 @@ QUERIES = {
     "simhash_signatures": simhash_signatures,
     "image_decode_meta": image_decode_meta,
     "frame_samples": frame_samples,
+    "parts_by_brand": parts_by_brand,
+    "supplier_balance_by_nation": supplier_balance_by_nation,
+    "props_k_stats": props_k_stats,
     "asof_last_click": asof_last_click,
     "events_rolling_sum": events_rolling_sum,
     "hash_sampled_events": hash_sampled_events,
@@ -1088,6 +1188,9 @@ ORACLES = {
     "embedding_label_stats": _EMB_STATS_SQL,
     "image_decode_meta": _IMAGE_DECODE_SQL,
     "llm_extract_stub": _LLM_STUB_SQL,
+    "parts_by_brand": _PARTS_SQL,
+    "supplier_balance_by_nation": _SUPPLIER_SQL,
+    "props_k_stats": _PROPS_SQL,
     "asof_last_click": _ASOF_SQL,
     "events_rolling_sum": _ROLLING_SQL,
     "hash_sampled_events": _HASH_SAMPLE_SQL,
