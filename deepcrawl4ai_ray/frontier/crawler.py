@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ..functions.urlnorm import hash64, hosts_of, host_buckets, normalize_url
+from ..functions.urlnorm import hash64, hosts_of, normalize_url
 from ..schema import CRAWL_OUT_SCHEMA, MANIFEST_SCHEMA
 from ..sources.corpus import NUM_HOST_BUCKETS
 from ..stages.extract import make_extract_stage

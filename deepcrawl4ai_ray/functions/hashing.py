@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import Iterable, List, Sequence
+from typing import Iterable, List
 
 import numpy as np
 

@@ -20,10 +20,9 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Min
 
 from ..functions import hashing as H
-from ..functions.textstats import quality_batch
 from ..functions.urlnorm import normalize_url, url_to_slug
 from ..stages.agg import partial_grouped_sum
 from ..stages.dedup import (

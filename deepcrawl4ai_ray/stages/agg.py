@@ -16,7 +16,7 @@ from typing import Sequence
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 
 def partial_grouped_sum(

@@ -15,7 +15,6 @@ queue (S3/O1, crawl.py:146-168).  Re-expression here:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
