@@ -68,6 +68,10 @@ def _clean_inline(fragment: str) -> str:
 
 def _blocks(html: bytes | str, prune: bool) -> List[str]:
     s = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
+    # strip our sentinel control chars from the input (never legitimate
+    # in HTML text; adversarial input must not corrupt block parsing)
+    if "\x02" in s or "\x03" in s or "\x04" in s:
+        s = s.replace("\x02", "").replace("\x03", "").replace("\x04", "")
     s = _DROP_RE.sub(" ", s)
     s = _HEADING_RE.sub(lambda m: f"\x04\x02{m.group(1)} {m.group(2)}\x04", s)
     s = _LI_RE.sub(lambda m: f"\x04\x03{m.group(1)}\x04", s)
