@@ -4,7 +4,8 @@ oracle_sql() DuckDB equivalents.
 Ray is initialised by the driver BEFORE this module is imported; nothing
 here (nor in deepcrawl4ai_ray) calls ray.init()/ray.shutdown().
 
-Coverage map (SURVEY.md §2 → queries):
+Full operator-by-operator map: COVERAGE.md (every SURVEY.md §2 row →
+implementation file → queries() key → check type).  Summary:
 - S1/S5 sources + K2/K3 parquet sinks .... every query (column-pruned
   read_parquet), crawl_tiny_e2e (partitioned zstd parquet sink)
 - M1 fetch / T1-T3,T8 stateful pool ...... crawl_tiny_e2e (FetchActor)
@@ -37,6 +38,15 @@ Coverage map (SURVEY.md §2 → queries):
   functions.textstats (pytest-covered)
 - multimodal binary columns .............. image_decode_meta,
   frame_samples (stubbed decode, real actor-pool plumbing)
+- as-of join / rolling windows ........... asof_last_click,
+  events_rolling_sum
+- deterministic hash sampling ............ hash_sampled_events
+- set intersection ....................... users_in_both_types
+- dup clusters (label propagation) ....... minhash_dup_clusters
+- end-to-end cleaning pipeline ........... clean_corpus_stats
+- JSON field extraction .................. props_k_stats
+- part/supplier rollups .................. parts_by_brand,
+  supplier_balance_by_nation
 """
 
 from __future__ import annotations
