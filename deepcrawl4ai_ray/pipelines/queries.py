@@ -243,6 +243,83 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """
 
 
+def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape (6-table join) with a broadcast-only plan: the
+    dimension chain customer→nation→region, supplier→nation, and the
+    orders key map are each shipped once via ray.put; ONE streaming
+    pass over lineitem computes per-nation revenue partials — zero
+    all-to-all shuffles (the final groupby has ≤25 rows).  At scales
+    where orders no longer broadcasts, the o_orderkey map becomes a
+    bucketed hash_join (stages/join.py) with the same downstream plan.
+    """
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_p(sf_dir, "nation"))
+    region = pq.read_table(_p(sf_dir, "region"))
+    r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n2name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    n2region = {
+        n: r_name[r]
+        for n, r in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    supp = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    ctx_ref = ray.put(
+        {
+            "s2n": dict(zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())),
+            "c2n": dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())),
+            "o2c": dict(zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist())),
+            "n2name": n2name,
+            "n2region": n2region,
+        }
+    )
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ctx = ray.get(ctx_ref)
+        s2n, c2n, o2c = ctx["s2n"], ctx["c2n"], ctx["o2c"]
+        n2name_, n2region_ = ctx["n2name"], ctx["n2region"]
+        ok = batch["l_orderkey"].to_pylist()
+        sk = batch["l_suppkey"].to_pylist()
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = price * (1.0 - disc)
+        sums: dict = {}
+        for i in range(len(ok)):
+            sn = s2n[sk[i]]
+            if n2region_[sn] != "ASIA":
+                continue
+            if c2n[o2c[ok[i]]] != sn:  # Q5: customer and supplier same nation
+                continue
+            name = n2name_[sn]
+            sums[name] = sums.get(name, 0.0) + rev[i]
+        return pa.table(
+            {
+                "n_name": pa.array(list(sums.keys()), pa.string()),
+                "rev": pa.array(list(sums.values()), pa.float64()),
+            }
+        )
+
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    out = partial_grouped_sum(li.map_batches(per_batch, batch_format="pyarrow"), ["n_name"], sums=["rev"]).to_pandas()
+    df = pd.DataFrame({"n_name": out["n_name"], "revenue": out["sum_rev"].round(2)})
+    return df.sort_values(["revenue", "n_name"], ascending=[False, True], kind="mergesort").reset_index(drop=True)
+
+
+_Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     """Anti join (J4 seen-set shape): customers ∄ orders via broadcast
     key set; at 10^9+ keys the set becomes a bloom + exact shard check."""
@@ -1129,6 +1206,7 @@ QUERIES = {
     "orders_status_counts": orders_status_counts,
     "region_customer_rollup": region_customer_rollup,
     "q3_top_revenue": q3_top_revenue,
+    "q5_region_revenue": q5_region_revenue,
     "customers_without_orders": customers_without_orders,
     "jaccard_adjacent_docs": jaccard_adjacent_docs,
     "events_hourly": events_hourly,
@@ -1170,6 +1248,7 @@ ORACLES = {
     "orders_status_counts": _ORDERS_STATUS_SQL,
     "region_customer_rollup": _REGION_CUSTOMER_SQL,
     "q3_top_revenue": _Q3_SQL,
+    "q5_region_revenue": _Q5_SQL,
     "customers_without_orders": _ANTI_SQL,
     "jaccard_adjacent_docs": _JACCARD_ADJ_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,

@@ -95,3 +95,41 @@ class TestTokenBucket:
             while tb.try_take(now):
                 taken += 1
                 assert taken <= cap + refill * now + 1e-6  # budget invariant
+
+
+class TestFrontierInvariants:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=40),  # page id
+                st.integers(min_value=0, max_value=4),   # host id
+                st.integers(min_value=0, max_value=3),   # priority
+            ),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_never_double_yields_and_conserves(self, offers):
+        """Random offer sequences across rounds: every URL is yielded at
+        most once ever; inserts == distinct new URLs; queue + yielded +
+        dropped accounts for all inserts."""
+        from deepcrawl4ai_ray.frontier.shard import FrontierShard
+
+        sh = FrontierShard(0, capacity=1 << 10, round_ms=1_000_000, max_per_host=1000)
+        yielded = []
+        seen_urls = set()
+        total_inserts = 0
+        for chunk_start in range(0, len(offers), 17):
+            chunk = offers[chunk_start : chunk_start + 17]
+            urls = [f"https://h{h}.x/p/{i}" for i, h, _ in chunk]
+            sh.offer(urls, [p for _, _, p in chunk], [f"h{h}.x" for _, h, _ in chunk])
+            stats = sh.finalize_round()
+            new = {u for u in urls if u not in seen_urls}
+            assert stats["inserts"] == len(new)
+            seen_urls |= new
+            total_inserts += stats["inserts"]
+            sel = sh.select(chunk_start // 17, budget=1000)
+            yielded.extend(sel["url"])
+        assert len(yielded) == len(set(yielded))  # never double-yielded
+        assert len(yielded) + sh.frontier_size() == total_inserts
