@@ -79,18 +79,21 @@ def _route_shards(urls: np.ndarray, hosts: np.ndarray, num_shards: int, hot_host
     """host → shard routing with deterministic hot-host salting.
 
     Default: hash64(host) % num_shards.  Salted host h with factor s:
-    shard = hash64(f"{h}#{hash64(url) % s}") % num_shards — a URL's
-    shard depends only on (host, url), so the sharded seen-set dedup
-    stays exact while the host's queue spreads over ≤ s shards.
+    shard = (hash64(h) + hash64(url) % s) % num_shards — the salt k is
+    derived from the URL (so a URL's shard depends only on (host, url)
+    and the sharded seen-set dedup stays exact) and shards are
+    CONSECUTIVE from the host's base shard, guaranteeing exactly
+    min(s, num_shards) distinct shards (a salted-name rehash would
+    birthday-collide, e.g. s=2 can land both salts on one shard).
     """
     sid = (hash64(hosts) % np.uint64(num_shards)).astype(np.int64)
     if hot_hosts:
         for h, s in hot_hosts.items():
             m = hosts == h
             if m.any():
+                base = int(hash64([h])[0] % np.uint64(num_shards))
                 salts = (hash64(urls[m]) % np.uint64(s)).astype(np.int64)
-                salted_hosts = np.asarray([f"{h}#{k}" for k in salts], dtype=object)
-                sid[m] = (hash64(salted_hosts) % np.uint64(num_shards)).astype(np.int64)
+                sid[m] = (base + salts) % num_shards
     return sid
 
 

@@ -3,8 +3,12 @@
 Standard design (Fan et al., CoNLF'14): buckets of 4 slots, 16-bit
 fingerprints, partial-key cuckoo hashing (alternate bucket =
 bucket XOR hash(fingerprint)), bounded eviction kicks with a victim
-stash.  ~2.25 bytes/key at 0.95 load → 10^10 URLs ≈ 22.5 GB across
-256 shards ≈ 88 MB/shard (SURVEY.md §4 scale math).
+stash.  2.25 B/key at 0.95 load with an exactly-sized table; bucket
+counts round up to a power of two (mask indexing), so worst case is
+~2× that — measured 4.2 MB per 10^6-key shard, i.e. 10^10 URLs ≈
+23–47 GB across 256 shards ≈ 90–180 MB/shard (SURVEY.md §4 scale
+math; size shard capacity near (0.95 · 4 · 2^k) to stay at the low
+end).
 
 The filter is keyed by 64-bit url hashes (functions.urlnorm.hash64) —
 batch operations take numpy arrays so the per-shard insert loop touches
