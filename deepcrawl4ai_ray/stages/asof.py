@@ -64,15 +64,25 @@ def asof_join(
     both = l.union(r)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # Right side sorted by (ts, remaining cols) so among equal-ts right
+        # rows the winner (merge_asof backward takes the LAST) is pinned
+        # deterministically across shuffle arrival orders (ADVICE r1).
+        r_tie = [ts] + [c for c in r_cols if c != ts]
         lg = g[g["__side"] == "l"][l_cols].sort_values(ts, kind="mergesort")
-        rg = g[g["__side"] == "r"][r_cols].sort_values(ts, kind="mergesort")
+        rg = g[g["__side"] == "r"][r_cols].sort_values(r_tie, kind="mergesort")
+        out_cols = l_cols + [c + suffix if c in l_cols else c for c in r_only]
         if lg.empty:
-            return pd.DataFrame()
+            # full merged column set even when empty: Ray's block concat
+            # must never see a column-less frame (schema stability)
+            out = lg.copy()
+            for c in r_only:
+                out[c + suffix if c in l_cols else c] = pd.Series(dtype="object")
+            return out[out_cols]
         if rg.empty:
             out = lg.copy()
             for c in r_only:
                 out[c + suffix if c in l_cols else c] = pd.NA
-            return out
+            return out[out_cols]
         out = pd.merge_asof(
             lg, rg, on=ts, by=key, direction=direction, suffixes=("", suffix)
         )

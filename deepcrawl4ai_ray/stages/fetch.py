@@ -62,6 +62,12 @@ class FetchActor:
     def _load_bucket(self, bucket: int) -> Optional[pa.Table]:
         hit = self._bucket_cache.get(bucket)
         if hit is not None:
+            # refresh recency so the cache is LRU, not FIFO (ADVICE r1)
+            try:
+                self._buckets_lru.remove(bucket)
+            except ValueError:
+                pass
+            self._buckets_lru.append(bucket)
             return hit[0]
         if self.bucket_refs is not None:
             ref = self.bucket_refs.get(bucket)
@@ -171,15 +177,34 @@ class FetchActor:
 # actor-pool variant (needed when state must be exclusive per key).
 # ---------------------------------------------------------------------------
 
-_PROC_FETCH_STATE: Dict[str, FetchActor] = {}
+_PROC_FETCH_STATE: Dict[tuple, FetchActor] = {}
+
+
+def _corpus_generation(corpus_dir: str, bucket_refs) -> str:
+    """Token that changes whenever the corpus or its pinned refs change,
+    so a second Crawler in the same Ray session never reuses stale
+    per-process fetch state (ADVICE r1).  ObjectRef hex is stable across
+    serialization; the _DONE marker mtime covers disk-mode regeneration."""
+    if bucket_refs:
+        ref = next(iter(bucket_refs.values()))
+        return ref.hex()
+    done = os.path.join(corpus_dir, "_DONE")
+    try:
+        return str(os.path.getmtime(done))
+    except OSError:
+        return "nodone"
 
 
 def make_fetch_fn(corpus_dir: str, bucket_refs: Optional[Dict[int, "ray.ObjectRef"]] = None):
+    gen = _corpus_generation(corpus_dir, bucket_refs)
+
     def fetch_batch(batch: pa.Table) -> pa.Table:
-        st = _PROC_FETCH_STATE.get(corpus_dir)
+        key = (corpus_dir, gen)
+        st = _PROC_FETCH_STATE.get(key)
         if st is None:
             st = FetchActor(corpus_dir, bucket_refs)
-            _PROC_FETCH_STATE[corpus_dir] = st
+            _PROC_FETCH_STATE.clear()  # one corpus generation live per process
+            _PROC_FETCH_STATE[key] = st
         return st(batch)
 
     return fetch_batch

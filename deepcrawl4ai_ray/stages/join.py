@@ -129,8 +129,9 @@ def hash_join(
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         lg = group.loc[group["__side"] == "l", lk]
         rg = group.loc[group["__side"] == "r", rk]
-        if lg.empty or (rg.empty and how == "inner"):
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in []})
+        # pandas merge on empty inputs still yields the full merged column
+        # set with dtypes — never return a column-less frame (Ray's block
+        # concat would mis-infer the schema; ADVICE r1)
         return lg.merge(rg, left_on=on, right_on=right_on, how=how)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -22,7 +22,26 @@ import ray.data
 
 
 def _to_matrix(col) -> np.ndarray:
+    """Arrow list<float> column → (n, d) ndarray via the flat values
+    buffer (zero-copy when the list is contiguous; no python round-trip)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type) or pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        arr = col
+        if arr.offset or (hasattr(arr, "offsets") and len(arr) and arr.offsets[0].as_py() != 0):
+            arr = pa.concat_arrays([arr])  # re-root sliced arrays
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        n = len(arr)
+        return flat.reshape(n, -1) if n else flat.reshape(0, 0)
     return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _topk_idx(sims: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (round(sim,4) desc, id asc) — the exact
+    comparator of the final merge and the SQL oracle."""
+    r = np.round(sims, 4)
+    order = np.lexsort((ids, -r))
+    return order[:k]
 
 
 def brute_force_topk(
@@ -46,8 +65,10 @@ def brute_force_topk(
         sims = V @ qv
         if exclude_id is not None:
             sims[ids == exclude_id] = -np.inf
-        take = min(k, len(ids))
-        idx = np.argpartition(-sims, take - 1)[:take]
+        # batch-local selection must use the SAME comparator as the final
+        # merge (cos_sim rounded 4dp desc, id asc) or a 4dp tie straddling
+        # the k-boundary could keep the wrong id (ADVICE r1)
+        idx = _topk_idx(sims, ids, min(k, len(ids)))
         return pa.table(
             {
                 id_col: pa.array(ids[idx], pa.int64()),
@@ -106,8 +127,7 @@ def ivf_topk(
         if len(ids) == 0:
             return pa.table({id_col: pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())})
         sims = V @ qv
-        take = min(k, len(ids))
-        idx = np.argpartition(-sims, take - 1)[:take]
+        idx = _topk_idx(sims, ids, min(k, len(ids)))
         return pa.table(
             {
                 id_col: pa.array(ids[idx], pa.int64()),

@@ -50,7 +50,9 @@ class LLMExtractStage:
             raise NotImplementedError("real LLM extraction requires a model endpoint")
         out: Dict[str, Any] = {}
         props = self.schema.get("properties", {})
-        words = chunk.split()
+        # split on ' ' exactly (no run-collapsing) to match the oracle's
+        # string_split(trim(text), ' ') token spec for arbitrary inputs
+        words = chunk.split(" ")
         for name, spec in props.items():
             t = spec.get("type", "string")
             if t == "string":
@@ -63,13 +65,31 @@ class LLMExtractStage:
                 out[name] = None
         return out
 
+    def _merge(self, per_chunk: list, total_words: int) -> Dict[str, Any]:
+        """Chunk results → one record: numeric fields SUM across chunks
+        (count semantics), strings come from the FIRST chunk, booleans
+        recomputed from the total word count — so chunked and unchunked
+        inputs produce identical records (matches the whole-text oracle)."""
+        merged: Dict[str, Any] = {}
+        props = self.schema.get("properties", {})
+        for name, spec in props.items():
+            t = spec.get("type", "string")
+            if t in ("integer", "number"):
+                merged[name] = sum(p[name] for p in per_chunk)
+            elif t == "boolean":
+                merged[name] = total_words % 2 == 0
+            else:
+                merged[name] = per_chunk[0][name]
+        return merged
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         extracted = []
         for t in texts:
-            merged: Dict[str, Any] = {}
-            for chunk in self._chunks(t or ""):
-                merged.update(self._infer(chunk))
+            stripped = (t or "").strip()
+            chunks = list(self._chunks(stripped))
+            per = [self._infer(c) for c in chunks]
+            merged = self._merge(per, len(stripped.split(" ")))
             extracted.append(json.dumps(merged, sort_keys=True))
         return pa.table(
             {
