@@ -26,10 +26,10 @@ from ..functions import hashing as H
 from ..functions.urlnorm import normalize_url, url_to_slug
 from ..stages.agg import partial_grouped_sum
 from ..stages.dedup import (
-    embedding_near_dups,
     exact_dedup_stats,
     minhash_lsh_pairs,
     simhash_stage,
+    srp_near_dup_pairs,
 )
 from ..stages.join import broadcast_filter, hash_join
 from ..stages.knn import brute_force_topk, ivf_topk, train_ivf_centroids
@@ -714,15 +714,62 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.95; rows-only)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    """Embedding-cosine near-dup pairs at threshold 0.95 via SRP-LSH
+    banding (stages/dedup.srp_near_dup_pairs — bucketed, no driver-side
+    matrix).  Planted near-dups: every vec_id % 50 == 0 gains a copy
+    (vec_id + 10_000_000) with its first component perturbed
+    (2·v₀ → 1.01·v₀ + 0.001 — cos ≈ 1.0 but bytes differ), so the
+    operator demonstrably returns rows; the same plant is expressed in
+    the SQL oracle, making this fully hash-checked despite LSH (recall
+    miss prob ≈ 1.5e-8 per pair at the threshold)."""
     ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return embedding_near_dups(ds, "vec_id", "embedding", ray.put(M), ray.put(ids), threshold=0.95)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        from ..stages.knn import _to_matrix
+
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % 50 == 0))
+        V = _to_matrix(sub["embedding"]).astype(np.float64, copy=False)
+        if V.size:
+            V = V.copy()
+            V[:, 0] = V[:, 0] * 1.01 + 0.001
+        return pa.table(
+            {
+                "vec_id": pc.add(sub["vec_id"], 10_000_000),
+                "embedding": pa.array(list(V), pa.list_(pa.float64())),
+            }
+        )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        # unify dtype with the planted branch (float32 parquet → float64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": pc.cast(batch["embedding"], pa.list_(pa.float64())),
+            }
+        )
+
+    aug = ds.map_batches(widen, batch_format="pyarrow").union(
+        ds.map_batches(plant, batch_format="pyarrow")
+    )
+    return srp_near_dup_pairs(aug, "vec_id", "embedding", threshold=0.95)
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+         list_prepend(CAST(embedding[1] AS DOUBLE) * 1.01 + 0.001,
+                      CAST(embedding[2:] AS DOUBLE[]))
+  FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+FROM aug a JOIN aug b ON b.vec_id > a.vec_id
+WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.95
+ORDER BY id_a, id_b
+"""
 
 
 # =========================================================================
@@ -1274,7 +1321,7 @@ ORACLES = {
     "hash_sampled_events": _HASH_SAMPLE_SQL,
     "users_in_both_types": _INTERSECT_SQL,
     "clean_corpus_stats": _CLEAN_SQL,
-    # rows-only (non-SQL-expressible): knn_ivf_top10, embedding_near_dup_pairs,
-    # minhash_near_dups, simhash_signatures, frame_samples, crawl_tiny_e2e,
-    # extract_corpus_text
+    "embedding_near_dup_pairs": _EMB_NEAR_DUP_SQL,
+    # rows-only (non-SQL-expressible): knn_ivf_top10, minhash_near_dups,
+    # simhash_signatures, frame_samples, crawl_tiny_e2e, extract_corpus_text
 }

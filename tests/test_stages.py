@@ -109,6 +109,39 @@ class TestDedup:
         assert [1, 2] in pairs[["id_a", "id_b"]].values.tolist()
         assert not any(3 in p for p in pairs[["id_a", "id_b"]].values.tolist())
 
+    def test_srp_near_dup_recall_and_precision(self):
+        """Planted pairs at cos ≈ 0.96-0.99 (NOT byte-identical) must all
+        surface; pairs below threshold must not.  Verifies the bucketed
+        SRP-LSH plan end-to-end against a brute-force oracle."""
+        from deepcrawl4ai_ray.stages.dedup import srp_near_dup_pairs
+
+        rng = np.random.RandomState(7)
+        d, n = 32, 120
+        V = rng.randn(n, d)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        # plant: ids 1000+i is a near-dup of i for i in 0..19, at varying
+        # perturbation strength spanning cos ~0.955..0.999
+        planted, p_ids = [], []
+        for i in range(20):
+            eps = 0.05 + 0.25 * (i / 19.0)  # cos in ≈ (0.955, 0.999)
+            w = V[i] + eps * rng.randn(d) / np.sqrt(d)
+            planted.append(w / np.linalg.norm(w))
+            p_ids.append(1000 + i)
+        allV = np.vstack([V, planted])
+        ids = np.concatenate([np.arange(n), np.array(p_ids)]).astype(np.int64)
+        df = pd.DataFrame({"vec_id": ids, "embedding": list(allV)})
+        got = srp_near_dup_pairs(_ds(df), "vec_id", "embedding", threshold=0.95)
+        got_pairs = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+        # brute-force oracle over the same comparator
+        S = np.round(allV @ allV.T, 4)
+        want = set()
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                if S[a, b] >= 0.95:
+                    want.add((int(min(ids[a], ids[b])), int(max(ids[a], ids[b]))))
+        assert got_pairs == want
+        assert len(want) >= 10  # the plant actually created ≥10 super-threshold pairs
+
 
 class TestKnn:
     def test_bruteforce_exact(self):
