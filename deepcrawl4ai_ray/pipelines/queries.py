@@ -126,16 +126,19 @@ def region_customer_rollup(sf_dir: str) -> pd.DataFrame:
     region = pq.read_table(_p(sf_dir, "region"))
     n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
     r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    lookup_ref = ray.put({n: r2name[r] for n, r in n2r.items()})
+    lut = {n: r2name[r] for n, r in n2r.items()}
+    lut_keys = pa.array(list(lut.keys()), pa.int64())
+    lut_vals = pa.array(list(lut.values()), pa.string())
+    lookup_ref = ray.put((lut_keys, lut_vals))
 
     class AddRegion:
         def __init__(self):
-            self.lut = ray.get(lookup_ref)
+            self.keys, self.vals = ray.get(lookup_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            nk = batch["c_nationkey"].to_pylist()
-            names = [self.lut[n] for n in nk]
-            return batch.append_column("r_name", pa.array(names, pa.string()))
+            idx = pc.index_in(pc.cast(batch["c_nationkey"], pa.int64()), value_set=self.keys)
+            names = pc.take(self.vals, idx)
+            return batch.append_column("r_name", names)
 
     ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
     ds = ds.map_batches(AddRegion, batch_format="pyarrow", concurrency=(1, 4))
@@ -244,64 +247,77 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 
 
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q5 shape (6-table join) with a broadcast-only plan: the
-    dimension chain customer→nation→region, supplier→nation, and the
-    orders key map are each shipped once via ray.put; ONE streaming
-    pass over lineitem computes per-nation revenue partials — zero
-    all-to-all shuffles (the final groupby has ≤25 rows).  At scales
-    where orders no longer broadcasts, the o_orderkey map becomes a
-    bucketed hash_join (stages/join.py) with the same downstream plan.
+    """TPC-H Q5 shape (6-table join), fact tables joined by SHUFFLE:
+
+    - orders ⋈ customer and lineitem ⋈ orders go through the bucketed
+      ``hash_join`` (one groupby shuffle each) — no fact table is ever
+      broadcast or materialized on the driver, so the plan survives
+      100× (r1 review finding #1 fixed).
+    - Only genuinely small sides broadcast: supplier (s_suppkey →
+      s_nationkey, an Arrow table read via zero-copy ``ray.put`` +
+      vectorized ``pc.index_in``/``take`` per batch) and the ≤25-row
+      nation/region chain.
+    - lineitem revenue is pre-aggregated per (orderkey, supp-nation)
+      inside map_batches BEFORE its shuffle, so only partials move.
     """
     import pyarrow.parquet as pq
 
     nation = pq.read_table(_p(sf_dir, "nation"))
     region = pq.read_table(_p(sf_dir, "region"))
     r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    n2name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    n2region = {
-        n: r_name[r]
+    asia = [
+        n
         for n, r in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
-    }
+        if r_name[r] == "ASIA"
+    ]
+    nk_arr = nation["n_nationkey"].combine_chunks()
+    nname_arr = nation["n_name"].combine_chunks()
     supp = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
-    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
-    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    ctx_ref = ray.put(
-        {
-            "s2n": dict(zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())),
-            "c2n": dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())),
-            "o2c": dict(zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist())),
-            "n2name": n2name,
-            "n2region": n2region,
-        }
+    supp_ref = ray.put(supp)
+    asia_set = pa.array(sorted(asia), pa.int64())
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    def per_batch(batch: pa.Table) -> pa.Table:
-        ctx = ray.get(ctx_ref)
-        s2n, c2n, o2c = ctx["s2n"], ctx["c2n"], ctx["o2c"]
-        n2name_, n2region_ = ctx["n2name"], ctx["n2region"]
-        ok = batch["l_orderkey"].to_pylist()
-        sk = batch["l_suppkey"].to_pylist()
-        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        rev = price * (1.0 - disc)
-        sums: dict = {}
-        for i in range(len(ok)):
-            sn = s2n[sk[i]]
-            if n2region_[sn] != "ASIA":
-                continue
-            if c2n[o2c[ok[i]]] != sn:  # Q5: customer and supplier same nation
-                continue
-            name = n2name_[sn]
-            sums[name] = sums.get(name, 0.0) + rev[i]
-        return pa.table(
-            {
-                "n_name": pa.array(list(sums.keys()), pa.string()),
-                "rev": pa.array(list(sums.values()), pa.float64()),
-            }
+    def li_partial(batch: pa.Table) -> pa.Table:
+        s = ray.get(supp_ref)  # zero-copy plasma read, cached per process
+        idx = pc.index_in(batch["l_suppkey"], value_set=s["s_suppkey"].combine_chunks())
+        s_nat = pc.take(s["s_nationkey"].combine_chunks(), idx)
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table(
+            {"l_orderkey": batch["l_orderkey"], "s_nat": pc.cast(s_nat, pa.int64()), "rev": rev}
+        ).filter(pc.is_in(pc.cast(s_nat, pa.int64()), value_set=asia_set))
+        part = (
+            t.group_by(["l_orderkey", "s_nat"])
+            .aggregate([("rev", "sum")])
+            .rename_columns(["l_orderkey", "s_nat", "rev"])
         )
+        return part
 
-    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    out = partial_grouped_sum(li.map_batches(per_batch, batch_format="pyarrow"), ["n_name"], sums=["rev"]).to_pandas()
+    li_p = li.map_batches(li_partial, batch_format="pyarrow")
+
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_buckets=16)
+    oc_slim = oc.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"], "c_nat": pc.cast(t["c_nationkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    j = hash_join(li_p, oc_slim, on="l_orderkey", right_on="o_orderkey", num_buckets=16)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # Q5 predicate: customer and supplier in the same (ASIA) nation
+        m = batch.filter(pc.equal(batch["s_nat"], batch["c_nat"]))
+        idx = pc.index_in(m["s_nat"], value_set=pc.cast(nk_arr, pa.int64()))
+        names = pc.take(nname_arr, idx)
+        return pa.table({"n_name": names, "rev": m["rev"]})
+
+    out = partial_grouped_sum(
+        j.map_batches(finish, batch_format="pyarrow"), ["n_name"], sums=["rev"]
+    ).to_pandas()
     df = pd.DataFrame({"n_name": out["n_name"], "revenue": out["sum_rev"].round(2)})
     return df.sort_values(["revenue", "n_name"], ascending=[False, True], kind="mergesort").reset_index(drop=True)
 
@@ -816,17 +832,21 @@ def clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
     The composition is SQL-expressible, so the whole multi-stage
     pipeline is oracle-checked."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
-    keep = exact_dedup_stats(ds, "doc_id", "text").to_pandas()
-    keep_ref = ray.put(sorted(keep["keep_doc_id"].astype("int64").tolist()))
-
-    kept = broadcast_filter(ds, "doc_id", keep_ref, keep_in=True)
+    # dedup winners stay a DATASET; the keep-set is applied by a bucketed
+    # hash semi-join, not a driver-materialized broadcast list (r1 review
+    # finding #6) — at 10^9 docs the winner set never fits the driver
+    keep_ds = exact_dedup_stats(ds, "doc_id", "text").map_batches(
+        lambda t: pa.table({"keep_doc_id": t["keep_doc_id"]}), batch_format="pyarrow"
+    )
 
     def tok_filter(batch: pa.Table) -> pa.Table:
         n = pc.add(pc.count_substring(batch["text"], " "), 1)
-        return batch.filter(pc.greater_equal(n, 20))
+        sub = batch.filter(pc.greater_equal(n, 20))
+        return sub.select(["doc_id", "lang"])  # drop payload before the join shuffle
 
-    filtered = kept.map_batches(tok_filter, batch_format="pyarrow")
-    out = partial_grouped_sum(filtered, ["lang"], count_alias="n_docs").to_pandas()
+    filtered = ds.map_batches(tok_filter, batch_format="pyarrow")
+    kept = hash_join(filtered, keep_ds, on="doc_id", right_on="keep_doc_id", num_buckets=16)
+    out = partial_grouped_sum(kept, ["lang"], count_alias="n_docs").to_pandas()
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
 
@@ -946,14 +966,12 @@ def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    lut_ref = ray.put(dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())))
+    lut_ref = ray.put((nation["n_nationkey"].combine_chunks(), nation["n_name"].combine_chunks()))
 
     def add_nation(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        names = [lut[k] for k in batch["s_nationkey"].to_pylist()]
-        return pa.table(
-            {"n_name": pa.array(names, pa.string()), "s_acctbal": batch["s_acctbal"]}
-        )
+        keys, vals = ray.get(lut_ref)
+        idx = pc.index_in(batch["s_nationkey"], value_set=keys)
+        return pa.table({"n_name": pc.take(vals, idx), "s_acctbal": batch["s_acctbal"]})
 
     ds = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
     out = partial_grouped_sum(
@@ -1110,21 +1128,37 @@ ORDER BY event_id
 
 def users_in_both_types(sf_dir: str) -> pd.DataFrame:
     """Set intersection (§2.7 — absent from the reference): users with
-    both 'click' and 'error' events; distinct-sets via per-batch unique
-    + broadcast-filtered semi join."""
+    both 'click' and 'error' events, as ONE grouped flag aggregation —
+    per-batch (user, has_click, has_error) partials pre-aggregated with
+    Arrow group_by, a single groupby(user) Max-merge, filter both flags.
+    No distinct-set ever lands on the driver (r1 review finding #3)."""
+    from ray.data.aggregate import Max
+
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
 
-    def users_of(etype: str):
-        sub = ds.map_batches(
-            lambda t, e=etype: pa.table(
-                {"user_id": pc.unique(t.filter(pc.equal(t["event_type"], e))["user_id"])}
-            ),
-            batch_format="pyarrow",
+    def flags(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "is_click": pc.cast(pc.equal(batch["event_type"], "click"), pa.int8()),
+                "is_error": pc.cast(pc.equal(batch["event_type"], "error"), pa.int8()),
+            }
         )
-        return set(sub.to_pandas()["user_id"])
+        return (
+            t.group_by(["user_id"])
+            .aggregate([("is_click", "max"), ("is_error", "max")])
+            .rename_columns(["user_id", "is_click", "is_error"])
+        )
 
-    both = sorted(users_of("click") & users_of("error"))
-    return pd.DataFrame({"user_id": pd.Series(both, dtype="int64")})
+    agg = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("is_click", alias_name="c"), Max("is_error", alias_name="e"))
+        .to_pandas()
+    )
+    out = agg[(agg["c"] == 1) & (agg["e"] == 1)][["user_id"]]
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 _INTERSECT_SQL = """

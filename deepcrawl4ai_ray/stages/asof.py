@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -63,13 +64,17 @@ def asof_join(
     )
     both = l.union(r)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pa.Table) -> pd.DataFrame:
+        # Select each side's own columns from the ARROW group BEFORE the
+        # pandas conversion — the union's null-padding would otherwise
+        # promote every int column to float64 (corrupting keys > 2^53).
         # Right side sorted by (ts, remaining cols) so among equal-ts right
         # rows the winner (merge_asof backward takes the LAST) is pinned
         # deterministically across shuffle arrival orders (ADVICE r1).
         r_tie = [ts] + [c for c in r_cols if c != ts]
-        lg = g[g["__side"] == "l"][l_cols].sort_values(ts, kind="mergesort")
-        rg = g[g["__side"] == "r"][r_cols].sort_values(r_tie, kind="mergesort")
+        mask = pc.equal(g["__side"], "l")
+        lg = g.filter(mask).select(l_cols).to_pandas().sort_values(ts, kind="mergesort")
+        rg = g.filter(pc.invert(mask)).select(r_cols).to_pandas().sort_values(r_tie, kind="mergesort")
         out_cols = l_cols + [c + suffix if c in l_cols else c for c in r_only]
         if lg.empty:
             # full merged column set even when empty: Ray's block concat
@@ -88,4 +93,4 @@ def asof_join(
         )
         return out
 
-    return both.groupby("__b").map_groups(merge, batch_format="pandas")
+    return both.groupby("__b").map_groups(merge, batch_format="pyarrow")

@@ -73,6 +73,13 @@ def _key_buckets(k: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
     if pa.types.is_integer(k.type):
         v = k.to_numpy(zero_copy_only=False).astype(np.uint64)
         return (v % np.uint64(num_buckets)).astype(np.int32)
+    if pa.types.is_floating(k.type):
+        # integral floats (e.g. an upstream pandas int→float promotion)
+        # must bucket IDENTICALLY to their int representation or the two
+        # sides of a join land in different buckets and matches are lost
+        v = k.to_numpy(zero_copy_only=False)
+        if np.all(np.isfinite(v)) and np.all(v == np.floor(v)):
+            return (v.astype(np.int64).astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
     h = pd.util.hash_array(np.asarray(k.to_pylist(), dtype=object), categorize=False)
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
@@ -126,12 +133,26 @@ def hash_join(
     lk = list(dict.fromkeys(l_cols))
     rk = list(dict.fromkeys(r_cols))
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        lg = group.loc[group["__side"] == "l", lk]
-        rg = group.loc[group["__side"] == "r", rk]
-        # pandas merge on empty inputs still yields the full merged column
-        # set with dtypes — never return a column-less frame (Ray's block
-        # concat would mis-infer the schema; ADVICE r1)
-        return lg.merge(rg, left_on=on, right_on=right_on, how=how)
+    def merge(group: pa.Table) -> pa.Table:
+        # Operate on the ARROW group and only convert each side to pandas
+        # AFTER selecting its own columns: the union's null-padding would
+        # otherwise promote every int column to float64 in a whole-group
+        # pandas frame — silently corrupting int keys > 2^53 and hashing
+        # chained-join keys inconsistently (int modulo path vs float
+        # object-hash path), which drops matches.
+        mask = pc.equal(group["__side"], "l")
+        lg = group.filter(mask).select(lk).to_pandas()
+        rg = group.filter(pc.invert(mask)).select(rk).to_pandas()
+        # merge on empty inputs still yields the full merged column set
+        # with dtypes — never a column-less frame (schema stability)
+        m = lg.merge(rg, left_on=on, right_on=right_on, how=how)
+        if how != "inner":
+            # unmatched right columns arrive as float NaN; restore nullable
+            # ints so the output schema matches the inner-join groups
+            for c in m.columns:
+                t_arrow = r_types.get(c, l_types.get(c))
+                if t_arrow is not None and pa.types.is_integer(t_arrow) and m[c].dtype.kind == "f":
+                    m[c] = m[c].astype("Int64")
+        return pa.Table.from_pandas(m, preserve_index=False)
 
-    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

@@ -41,6 +41,36 @@ class TestHashJoin:
         assert len(got) == 2
         assert got.loc[got.k == 1, "b"].isna().all()
 
+    def test_chained_join_preserves_int_keys(self):
+        """Regression: a join's output fed into ANOTHER join must keep
+        int64 key dtype (the union null-padding used to promote keys to
+        float64 in pandas groups, bucketing the two sides differently
+        and silently dropping ~15/16 of matches)."""
+        import ray.data as rd
+        from deepcrawl4ai_ray.stages.join import hash_join
+
+        n = 500
+        left = pd.DataFrame({"k": np.arange(n, dtype=np.int64), "x": np.arange(n, dtype=np.int64)})
+        right = pd.DataFrame({"k2": np.arange(n, dtype=np.int64), "y": np.arange(n, dtype=np.int64)})
+        j1 = hash_join(_ds(left), _ds(right), on="k", right_on="k2", num_buckets=16)
+        slim = j1.map_batches(
+            lambda t: pa.table({"k2": t["k2"], "y2": t["y"]}), batch_format="pyarrow"
+        )
+        assert dict(zip(slim.schema().names, slim.schema().types))["k2"] == pa.int64()
+        left2 = pd.DataFrame({"k": np.arange(n, dtype=np.int64), "z": np.arange(n, dtype=np.int64)})
+        j2 = hash_join(_ds(left2), slim, on="k", right_on="k2", num_buckets=16)
+        assert j2.count() == n
+
+    def test_big_int_keys_exact(self):
+        """Keys above 2^53 (float-unrepresentable) must join exactly."""
+        from deepcrawl4ai_ray.stages.join import hash_join
+
+        ks = np.array([2**53 + i for i in range(1, 9)], dtype=np.int64)
+        left = pd.DataFrame({"k": ks, "a": np.arange(8)})
+        right = pd.DataFrame({"k2": ks[::2], "b": np.arange(4)})
+        got = hash_join(_ds(left), _ds(right), on="k", right_on="k2", num_buckets=4).to_pandas()
+        assert sorted(got["k"]) == sorted(ks[::2])
+
     def test_overlapping_columns_rejected(self):
         from deepcrawl4ai_ray.stages.join import hash_join
 
