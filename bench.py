@@ -76,8 +76,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         texts = [extract_text(h) for h in batch["html"].to_pylist()]
         t = pa.array(texts, pa.string())
         n_tok = pc.cast(pc.add(pc.count_substring(t, " "), 1), pa.int64())
-        sigs = [H.minhash_signature_fast(H.shingles(x), 64).tobytes() for x in texts]
-        simh = np.array([H.simhash64(x) for x in texts], dtype=np.uint64)
+        # token hashes computed ONCE per doc, shared by minhash + simhash
+        ths = [H.token_hashes(x) for x in texts]
+        sigs = [H.minhash_signature_fast(H.shingles(th), 64).tobytes() for th in ths]
+        simh = np.array([H.simhash64(th) for th in ths], dtype=np.uint64)
         q = quality_batch(texts)
         return pa.table(
             {
@@ -216,8 +218,9 @@ def _hc_work(args):
     n = 0
     for h in _HC_DATA[lo:hi]:
         t = extract_text(h)
-        H.minhash_signature_fast(H.shingles(t), 64)
-        H.simhash64(t)
+        th = H.token_hashes(t)
+        H.minhash_signature_fast(H.shingles(th), 64)
+        H.simhash64(th)
         n += 1
     return n
 

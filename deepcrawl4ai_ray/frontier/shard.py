@@ -61,6 +61,10 @@ class FrontierShard:
         self.host_delays = host_delays or {}
         # host -> list[(priority, url)] — sorted lazily at select time
         self.queues: Dict[str, List[Tuple[int, str]]] = {}
+        # non-empty-queue index: select() scans only hosts that actually
+        # hold work, not every host ever seen (r1 review finding #5 — at
+        # 10^7 hosts/shard the full scan was the round-time floor)
+        self._ready: set = set()
         self.buckets: Dict[str, TokenBucket] = {}
         # round-local pending pool: url -> (priority, host)
         self._pending: Dict[str, Tuple[int, str]] = {}
@@ -103,6 +107,7 @@ class FrontierShard:
                     dropped += 1  # bounded per-partition queue depth
                     continue
                 q.append((p, u))
+                self._ready.add(host)
                 n_new += 1
             self._stats["inserts"] += int(new.sum())
             # dupes = within-round merged offers + already-seen urls
@@ -132,10 +137,9 @@ class FrontierShard:
         """
         now_ms = round_index * self.round_ms
         picked: List[Tuple[int, str, str]] = []  # (priority, host, url)
-        for host in sorted(self.queues):
+        drained: List[str] = []
+        for host in sorted(self._ready):
             q = self.queues[host]
-            if not q:
-                continue
             bucket = self.buckets.get(host)
             if bucket is None:
                 delay = self.host_delays.get(host, DEFAULT_DELAY_MS)
@@ -148,14 +152,21 @@ class FrontierShard:
                 n += 1
             if n:
                 take, rest = q[:n], q[n:]
-                self.queues[host] = rest
+                if rest:
+                    self.queues[host] = rest
+                else:
+                    del self.queues[host]
+                    drained.append(host)
                 picked.extend((p, host, u) for p, u in take)
+        for host in drained:
+            self._ready.discard(host)
         picked.sort()
         if len(picked) > budget:
             # push back the overflow (tokens are *not* refunded — the
             # politeness budget was spent; mirrors a busy fetcher)
             for p, host, u in picked[budget:]:
                 self.queues.setdefault(host, []).append((p, u))
+                self._ready.add(host)
             picked = picked[:budget]
         return {
             "url": [u for _, _, u in picked],
@@ -248,7 +259,8 @@ class FrontierShard:
         obj.seen = CuckooFilter.from_bytes(d["seen"])
         obj.bloom = BloomFilter.from_bytes(d["bloom"])
         obj.host_delays = d["host_delays"]
-        obj.queues = d["queues"]
+        obj.queues = {h: q for h, q in d["queues"].items() if q}
+        obj._ready = set(obj.queues)
         obj.buckets = {h: TokenBucket.from_state(s) for h, s in d["buckets"].items()}
         obj._pending = {}
         obj._picked = None

@@ -38,20 +38,46 @@ def tokens(text: str) -> List[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
-def shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles → uint64 hashes (sorted unique)."""
-    toks = tokens(text)
-    if len(toks) < k:
-        sh = [" ".join(toks)] if toks else []
-    else:
-        sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not sh:
+def token_hashes(text: str) -> np.ndarray:
+    """uint64 hash per word token — ONE C-level pass (pandas siphash
+    with its fixed default key: deterministic across processes and
+    platforms).  The shared primitive of shingles() and simhash64();
+    compute once per document and pass to both."""
+    import pandas as pd
+
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
         return np.empty(0, dtype=np.uint64)
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") for s in sh),
-        dtype=np.uint64,
-        count=len(sh),
-    )
+    return pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False)
+
+
+# odd multipliers for positional shingle combination (splitmix64-style)
+_SHINGLE_C = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93, 0xA5A3564DCF569DE3],
+    dtype=np.uint64,
+)
+
+
+def shingles(text: str | np.ndarray, k: int = 3) -> np.ndarray:
+    """Word k-shingles → uint64 hashes (sorted unique).
+
+    Vectorized: per-token uint64 hashes (token_hashes) combined over a
+    sliding window with fixed odd multipliers and uint64 wraparound —
+    no per-shingle string joins or digest calls (the r1 hot-path cost).
+    Accepts a precomputed token_hashes() array to share work with
+    simhash64 in enrich kernels.
+    """
+    h = text if isinstance(text, np.ndarray) else token_hashes(text)
+    if h.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    k = min(k, len(_SHINGLE_C))
+    if h.size < k:
+        out = (h * _SHINGLE_C[: h.size]).sum(keepdims=True).astype(np.uint64)
+        return out
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(h, k)
+    out = (win * _SHINGLE_C[None, :k]).sum(axis=1, dtype=np.uint64)
     return np.unique(out)
 
 
@@ -129,27 +155,24 @@ def char_jaccard(a: str, b: str) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def simhash64(text: str) -> int:
+_BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def simhash64(text: str | np.ndarray) -> int:
     """64-bit SimHash over word tokens (Charikar '02).
 
-    Each token hashes to 64 bits (blake2b); bit-wise vote sum; sign →
-    output bit.  Near-dup docs differ in few bits (Hamming distance).
+    Each token hashes to 64 bits (token_hashes — C siphash); bit-wise
+    vote sum via np.unpackbits (no (n,64) int32 blowup); sign → output
+    bit.  Near-dup docs differ in few bits (Hamming distance).  Accepts
+    a precomputed token_hashes() array.
     """
-    toks = tokens(text)
-    if not toks:
+    h = text if isinstance(text, np.ndarray) else token_hashes(text)
+    n = h.size
+    if n == 0:
         return 0
-    hashes = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") for t in toks),
-        dtype=np.uint64,
-        count=len(toks),
-    )
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-    votes = bits.sum(axis=0) * 2 - len(toks)  # (+1 / -1 votes)
-    out = np.uint64(0)
-    for i in range(64):
-        if votes[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    bits = np.unpackbits(h.view(np.uint8).reshape(n, 8), axis=1, bitorder="little")
+    ones = bits.sum(axis=0, dtype=np.int64)
+    return int((( ones * 2 > n).astype(np.uint64) * _BIT_WEIGHTS).sum())
 
 
 def hamming64(a: int, b: int) -> int:

@@ -44,6 +44,9 @@ def bpe_ish_token_count(text: str) -> int:
     return len(_BPE_ISH_RE.findall(text))
 
 
+_ALPHA_RUN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
 def quality_metrics(text: str) -> Dict[str, float]:
     """Per-document quality signals (length / stopword / punct ratios)."""
     toks = text.split()
@@ -51,7 +54,8 @@ def quality_metrics(text: str) -> Dict[str, float]:
     if n == 0:
         return {"n_tokens": 0, "stopword_ratio": 0.0, "mean_token_len": 0.0, "alpha_ratio": 0.0}
     stop = sum(1 for t in toks if t.lower() in STOPWORDS)
-    alpha = sum(1 for c in text if c.isalpha())
+    # alpha chars counted as runs (one C regex pass, not a per-char loop)
+    alpha = sum(map(len, _ALPHA_RUN_RE.findall(text)))
     return {
         "n_tokens": n,
         "stopword_ratio": stop / n,

@@ -81,67 +81,109 @@ class CuckooFilter:
                     found[j] = True
         return found
 
+    def _bulk_place(self, idx_arr: np.ndarray, fp_arr: np.ndarray) -> np.ndarray:
+        """Vectorized empty-slot placement: each key takes the next free
+        slot of its bucket (intra-batch contention resolved by per-bucket
+        cumulative rank).  Returns bool[m]: True where placed."""
+        tab = self.table
+        m = idx_arr.size
+        if m == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.argsort(idx_arr, kind="stable")
+        sidx = idx_arr[order]
+        sfp = fp_arr[order]
+        _, start_pos, counts = np.unique(sidx, return_index=True, return_counts=True)
+        cum = np.arange(m) - np.repeat(start_pos, counts)  # rank within bucket
+        rows = tab[sidx]  # (m, 4) gather
+        empty = rows == _EMPTY
+        free = empty.sum(axis=1)
+        can = cum < free
+        cs = np.cumsum(empty, axis=1)
+        target_slot = np.full(m, -1, dtype=np.int64)
+        for s in range(_SLOTS):
+            hit = can & empty[:, s] & (cs[:, s] - 1 == cum)
+            target_slot[hit] = s
+        tab[sidx[can], target_slot[can]] = sfp[can]
+        placed = np.zeros(m, dtype=bool)
+        placed[order[can]] = True
+        return placed
+
+    def _evict_insert(self, i1: int, fp: int) -> None:
+        """Deterministic pseudo-random eviction walk (the rare slow path)."""
+        tab = self.table
+        if self.count > self.num_buckets * _SLOTS * 0.98:
+            # table saturated: skip the (futile) eviction walk
+            self.overflow.add((i1, fp))
+            return
+        cur_fp = fp
+        idx = i1
+        for _ in range(_MAX_KICKS):
+            self._kick_state = (self._kick_state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            slot = self._kick_state % _SLOTS
+            victim = int(tab[idx, slot])
+            tab[idx, slot] = cur_fp
+            cur_fp = victim
+            idx = int(
+                (np.uint64(idx) ^ (np.uint64(cur_fp) * np.uint64(0x5BD1E995))) & self._mask
+            )
+            b = tab[idx]
+            empt = np.nonzero(b == _EMPTY)[0]
+            if empt.size:
+                tab[idx, empt[0]] = cur_fp
+                return
+        # the walk's final homeless fingerprint: (idx, cur_fp) is a
+        # valid (bucket, fp) slot for its key, so stash membership
+        # checks against either candidate bucket find it.
+        self.overflow.add((idx, cur_fp))
+
     def add_if_absent_many(self, h64: np.ndarray) -> np.ndarray:
         """Insert each absent key; returns bool[n]: True where newly inserted.
 
         The contains+insert primitive of the frontier's J4 anti-join
         (SURVEY.md §2.4): first occurrence wins, duplicates report False.
+
+        Fully vectorized on the hot path (r1 review finding #6): present
+        check is one gather per candidate bucket; intra-batch duplicate
+        suppression exploits that candidate sets {i1, i2} of equal
+        fingerprints are either disjoint or identical (i2 = i1 ^ H(fp) is
+        an involution), so 'seen earlier in this batch' reduces to
+        first-occurrence-wins on the canonical key (min(i1,i2), fp); bulk
+        placement fills empty slots per bucket by rank.  Only keys whose
+        both buckets are full fall back to the python eviction walk —
+        outputs are exactly those of the sequential loop because
+        membership depends only on WHICH (fp, bucket-set) pairs are
+        stored, never on slot placement.
         """
         h64 = h64.astype(np.uint64)
-        out = np.zeros(h64.size, dtype=bool)
+        n = h64.size
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return out
         fp_all = self._fingerprint(h64)
         i1_all = self._index1(h64)
         i2_all = self._alt_index(i1_all, fp_all)
-        tab = self.table
-        for j in range(h64.size):
-            fp = fp_all[j]
-            i1 = int(i1_all[j])
-            i2 = int(i2_all[j])
-            b1 = tab[i1]
-            b2 = tab[i2]
-            if (b1 == fp).any() or (b2 == fp).any():
-                continue
-            if self.overflow and ((i1, int(fp)) in self.overflow or (i2, int(fp)) in self.overflow):
-                continue
-            out[j] = True
-            self.count += 1
-            placed = False
-            for b, i in ((b1, i1), (b2, i2)):
-                empt = np.nonzero(b == _EMPTY)[0]
-                if empt.size:
-                    tab[i, empt[0]] = fp
-                    placed = True
-                    break
-            if placed:
-                continue
-            if self.count > self.num_buckets * _SLOTS * 0.98:
-                # table saturated: skip the (futile) eviction walk
-                self.overflow.add((i1, int(fp)))
-                continue
-            # evict: deterministic pseudo-random walk
-            cur_fp = int(fp)
-            idx = i1
-            ok = False
-            for _ in range(_MAX_KICKS):
-                self._kick_state = (self._kick_state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
-                slot = self._kick_state % _SLOTS
-                victim = int(tab[idx, slot])
-                tab[idx, slot] = cur_fp
-                cur_fp = victim
-                idx = int(
-                    (np.uint64(idx) ^ (np.uint64(cur_fp) * np.uint64(0x5BD1E995))) & self._mask
-                )
-                b = tab[idx]
-                empt = np.nonzero(b == _EMPTY)[0]
-                if empt.size:
-                    tab[idx, empt[0]] = cur_fp
-                    ok = True
-                    break
-            if not ok:
-                # the walk's final homeless fingerprint: (idx, cur_fp) is a
-                # valid (bucket, fp) slot for its key, so stash membership
-                # checks against either candidate bucket find it.
-                self.overflow.add((idx, cur_fp))
+        present = (self.table[i1_all] == fp_all[:, None]).any(axis=1) | (
+            self.table[i2_all] == fp_all[:, None]
+        ).any(axis=1)
+        if self.overflow:
+            for j in np.nonzero(~present)[0]:
+                f = int(fp_all[j])
+                if (int(i1_all[j]), f) in self.overflow or (int(i2_all[j]), f) in self.overflow:
+                    present[j] = True
+        # first-occurrence-wins within the batch on the canonical key
+        canon = (np.minimum(i1_all, i2_all).astype(np.uint64) << np.uint64(16)) | fp_all.astype(np.uint64)
+        _, first_idx = np.unique(canon, return_index=True)
+        is_first = np.zeros(n, dtype=bool)
+        is_first[first_idx] = True
+        new = ~present & is_first
+        out[new] = True
+        new_idx = np.nonzero(new)[0]
+        self.count += int(new_idx.size)
+        placed1 = self._bulk_place(i1_all[new_idx], fp_all[new_idx])
+        rest = new_idx[~placed1]
+        placed2 = self._bulk_place(i2_all[rest], fp_all[rest])
+        for j in rest[~placed2]:
+            self._evict_insert(int(i1_all[j]), int(fp_all[j]))
         return out
 
     def __contains__(self, h64: int) -> bool:
