@@ -63,6 +63,18 @@ class CrawlConfig:
     bloom_prescreen: bool = False  # lossy mode: drop bloom-positive candidates batch-side
     fetch_concurrency: int = 4
     checkpoint: bool = True
+    # per-URL retry (reference utils.py:383-399 backoff, storage.py:200-235
+    # 3x retry, Celery acks-late): a transiently-failed url is re-offered
+    # (seen-set bypass) up to max_retries times, then written exactly once
+    # to pages/dead_letter/round=r/.  0 = off (misses flow to the round
+    # output as before).
+    max_retries: int = 0
+    # graceful mid-run cancel (reference api.py:484-606 revoke + SIGTERM +
+    # state reconciliation, re-expressed round-synchronously): when this
+    # file appears — or request_stop() is called — the crawl finishes the
+    # CURRENT round (atomic publish + checkpoint as usual) and returns
+    # with stopped=True; resume() continues exactly where it left off.
+    stop_file: Optional[str] = None
     # pin corpus bucket tables in the object store once (zero-copy shared
     # across fetch actors); disable when the corpus exceeds plasma
     corpus_in_object_store: bool = True
@@ -150,6 +162,59 @@ class _Router:
         return batch.drop_columns(["links"])
 
 
+class _RetrySplit:
+    """Between fetch and extract: route transient misses back to their
+    frontier shard (retries+1, same determinism barrier as offers) and
+    sink retry-exhausted misses to the round's dead-letter partition
+    (deterministic part name = first fetch_seq → exactly-once under Ray
+    task retries; the round dir is atomically published like pages/).
+    Surviving rows (ok / robots_denied / first-time misses when the
+    feature is off) flow on unchanged."""
+
+    def __init__(self, shards, num_shards: int, max_retries: int, hot_hosts, dead_tmp_dir: str):
+        self.shards = shards
+        self.num_shards = num_shards
+        self.max_retries = max_retries
+        self.hot_hosts = hot_hosts or {}
+        self.dead_tmp_dir = dead_tmp_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(batch) == 0:
+            return batch
+        status = np.asarray(batch["status"].to_pylist(), dtype=object)
+        retries = batch["retries"].to_numpy(zero_copy_only=False)
+        miss = status == "miss"
+        retry_mask = miss & (retries < self.max_retries)
+        dead_mask = miss & (retries >= self.max_retries)
+        if retry_mask.any():
+            urls = np.asarray(batch["url"].to_pylist(), dtype=object)[retry_mask]
+            hosts = np.asarray(batch["host"].to_pylist(), dtype=object)[retry_mask]
+            prios = batch["priority"].to_numpy(zero_copy_only=False)[retry_mask]
+            nr = retries[retry_mask] + 1
+            sid = _route_shards(urls, hosts, self.num_shards, self.hot_hosts)
+            refs = []
+            for s in range(self.num_shards):
+                m = sid == s
+                if m.any():
+                    refs.append(
+                        self.shards[s].reoffer.remote(
+                            list(urls[m]), [int(x) for x in prios[m]], list(hosts[m]), [int(x) for x in nr[m]]
+                        )
+                    )
+            ray.get(refs)  # backpressure, same as _Router offers
+        if dead_mask.any():
+            dead = batch.filter(pa.array(dead_mask)).select(
+                ["fetch_seq", "round", "url", "host", "priority", "retries"]
+            )
+            os.makedirs(self.dead_tmp_dir, exist_ok=True)
+            first_seq = int(dead["fetch_seq"][0].as_py())
+            pq.write_table(dead, os.path.join(self.dead_tmp_dir, f"part-{first_seq:012d}.parquet"))
+        keep = ~(retry_mask | dead_mask)
+        return batch.filter(pa.array(keep))
+
+
 class Crawler:
     def __init__(self, corpus_dir: str, out_dir: str, cfg: Optional[CrawlConfig] = None):
         self.corpus_dir = corpus_dir
@@ -176,6 +241,7 @@ class Crawler:
         self.next_round = 0
         self.total_fetched = 0
         self.fetch_seq = 0
+        self._stop = False
 
     def _host_delays(self) -> Dict[str, int]:
         path = os.path.join(self.corpus_dir, "robots.parquet")
@@ -261,23 +327,37 @@ class Crawler:
             bloom_ref = ray.put(merged.to_bytes())
 
         router = _Router(self.shards, cfg.num_shards, bloom_ref, cfg.hot_hosts)
-        out = (
-            ds.map_batches(
-                # stateless tasks + process-global cache: warm across rounds
-                make_fetch_fn(self.corpus_dir, self.bucket_refs),
+        out = ds.map_batches(
+            # stateless tasks + process-global cache: warm across rounds
+            make_fetch_fn(self.corpus_dir, self.bucket_refs, cfg.extra.get("flaky")),
+            batch_format="pyarrow",
+            batch_size=None,
+            num_cpus=1,
+        )
+        dead_dir = dead_tmp = None
+        if cfg.max_retries > 0:
+            dead_dir = os.path.join(self.out_dir, "dead_letter", f"round={r:05d}")
+            dead_tmp = dead_dir + ".tmp"
+            shutil.rmtree(dead_tmp, ignore_errors=True)
+            out = out.map_batches(
+                _RetrySplit(self.shards, cfg.num_shards, cfg.max_retries, cfg.hot_hosts, dead_tmp),
                 batch_format="pyarrow",
-                batch_size=None,
-                num_cpus=1,
             )
-            .map_batches(make_extract_stage(cfg.exclude_external), batch_format="pyarrow")
-            .map_batches(router, batch_format="pyarrow")
+        out = out.map_batches(make_extract_stage(cfg.exclude_external), batch_format="pyarrow").map_batches(
+            router, batch_format="pyarrow"
         )
         round_dir = os.path.join(self.out_dir, "pages", f"round={r:05d}")
         tmp_dir = round_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        # pre-create: a round whose rows were ALL retried/dead-lettered
+        # writes zero files, and the atomic publish still needs the dir
+        os.makedirs(tmp_dir, exist_ok=True)
         out.write_parquet(tmp_dir)
         shutil.rmtree(round_dir, ignore_errors=True)
         os.rename(tmp_dir, round_dir)  # atomic publish → resumable output
+        if dead_tmp is not None and os.path.isdir(dead_tmp):
+            shutil.rmtree(dead_dir, ignore_errors=True)
+            os.rename(dead_tmp, dead_dir)  # atomic dead-letter publish
         phases["pipeline"] = time.perf_counter() - t0 - sum(phases.values())
 
         stats = ray.get([s.finalize_round.remote() for s in self.shards])
@@ -363,11 +443,19 @@ class Crawler:
         return obj
 
     # -------------------------------------------------------------------- run
+    def request_stop(self) -> None:
+        """Ask the crawl to stop after the round in flight completes."""
+        self._stop = True
+
+    def _stop_requested(self) -> bool:
+        return self._stop or bool(self.cfg.stop_file and os.path.exists(self.cfg.stop_file))
+
     def run(self) -> Dict[str, int]:
         if self.next_round == 0:
             self.offer_seeds()
         r = self.next_round
         rounds_run = 0
+        stopped = False
         while r < self.cfg.max_rounds and self.total_fetched < self.cfg.max_pages:
             res = self.run_round(r)
             rounds_run += 1
@@ -375,10 +463,14 @@ class Crawler:
                 break
             r += 1
             self.next_round = r
+            if self._stop_requested():
+                stopped = True  # round published + checkpointed; clean exit
+                break
         return {
             "rounds": rounds_run,
             "total_fetched": self.total_fetched,
             "last_round": r,
+            "stopped": stopped,
         }
 
     def kill_shards(self) -> None:
@@ -396,3 +488,22 @@ def read_crawl_output(out_dir: str) -> pa.Table:
         return CRAWL_OUT_SCHEMA.empty_table()
     tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
     return tbl.sort_by("fetch_seq")
+
+
+def read_dead_letters(out_dir: str) -> pa.Table:
+    """All retry-exhausted urls across rounds (url, retries, lineage)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out_dir, "dead_letter", "round=*", "*.parquet")))
+    if not files:
+        return pa.schema(
+            [
+                ("fetch_seq", pa.int64()),
+                ("round", pa.int32()),
+                ("url", pa.string()),
+                ("host", pa.string()),
+                ("priority", pa.int32()),
+                ("retries", pa.int32()),
+            ]
+        ).empty_table()
+    return pa.concat_tables([pq.read_table(f) for f in files]).sort_by("fetch_seq")

@@ -68,6 +68,13 @@ class FrontierShard:
         self.buckets: Dict[str, TokenBucket] = {}
         # round-local pending pool: url -> (priority, host)
         self._pending: Dict[str, Tuple[int, str]] = {}
+        # retry path (reference utils.py:383-399 exponential backoff /
+        # storage.py:200-235 3x retry, re-expressed round-synchronously):
+        # url -> (priority, host, retries); enqueued at the round barrier
+        # WITHOUT a seen-set check (the url is already seen — it's being
+        # re-offered after a transient fetch failure)
+        self._pending_retry: Dict[str, Tuple[int, str, int]] = {}
+        self.retry_counts: Dict[str, int] = {}
         self._picked = None
         self._stats = dict(offered=0, inserts=0, dupes_skipped=0, overflow_dropped=0)
 
@@ -80,6 +87,17 @@ class FrontierShard:
             cur = pend.get(u)
             if cur is None or p < cur[0]:
                 pend[u] = (int(p), h)
+        return len(urls)
+
+    def reoffer(self, urls: List[str], priorities: List[int], hosts: List[str], retries: List[int]) -> int:
+        """Re-queue transiently-failed urls (bypasses the seen set).
+        Accumulated round-locally, committed in finalize_round (same
+        determinism barrier as first-time offers)."""
+        pend = self._pending_retry
+        for u, p, h, r in zip(urls, priorities, hosts, retries):
+            cur = pend.get(u)
+            if cur is None or r > cur[2]:
+                pend[u] = (int(p), h, int(r))
         return len(urls)
 
     # --------------------------------------------------------------- finalize
@@ -113,6 +131,13 @@ class FrontierShard:
             # dupes = within-round merged offers + already-seen urls
             self._stats["dupes_skipped"] += self._stats["offered"] - int(new.sum())
             self._stats["overflow_dropped"] += dropped
+        retry_pend = self._pending_retry
+        self._pending_retry = {}
+        for u in sorted(retry_pend):  # deterministic commit order
+            p, host, r = retry_pend[u]
+            self.queues.setdefault(host, []).append((p, u))
+            self._ready.add(host)
+            self.retry_counts[u] = r
         import resource
 
         stats = dict(
@@ -199,6 +224,11 @@ class FrontierShard:
         if n == 0:
             return []
         hosts = np.asarray(sel["host"], dtype=object)
+        retries = (
+            [self.retry_counts.pop(u, 0) for u in sel["url"]]
+            if self.retry_counts
+            else np.zeros(n, dtype=np.int32)
+        )
         tbl = pa.table(
             {
                 "fetch_seq": pa.array(seq_start + np.arange(n, dtype=np.int64)),
@@ -206,6 +236,7 @@ class FrontierShard:
                 "url": pa.array(sel["url"], pa.string()),
                 "host": pa.array(sel["host"], pa.string()),
                 "priority": pa.array(np.asarray(sel["priority"], dtype=np.int32)),
+                "retries": pa.array(np.asarray(retries, dtype=np.int32)),
                 "host_bucket": pa.array(host_buckets(hosts, num_buckets)),
             }
         )
@@ -245,6 +276,7 @@ class FrontierShard:
                 "host_delays": self.host_delays,
                 "queues": self.queues,
                 "buckets": {h: b.state() for h, b in self.buckets.items()},
+                "retry_counts": self.retry_counts,
             },
             protocol=4,
         )
@@ -262,7 +294,9 @@ class FrontierShard:
         obj.queues = {h: q for h, q in d["queues"].items() if q}
         obj._ready = set(obj.queues)
         obj.buckets = {h: TokenBucket.from_state(s) for h, s in d["buckets"].items()}
+        obj.retry_counts = d.get("retry_counts", {})
         obj._pending = {}
+        obj._pending_retry = {}
         obj._picked = None
         obj._stats = dict(offered=0, inserts=0, dupes_skipped=0, overflow_dropped=0)
         return obj

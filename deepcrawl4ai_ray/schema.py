@@ -54,6 +54,7 @@ CRAWL_OUT_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("host", pa.string()),
         ("priority", pa.int32()),
+        ("retries", pa.int32()),  # attempt number this row was fetched at
         ("status", pa.string()),  # ok | miss | robots_denied
         ("warc_ts", pa.timestamp("us")),
         ("text", pa.string()),

@@ -195,7 +195,15 @@ def _corpus_generation(corpus_dir: str, bucket_refs) -> str:
         return "nodone"
 
 
-def make_fetch_fn(corpus_dir: str, bucket_refs: Optional[Dict[int, "ray.ObjectRef"]] = None):
+def make_fetch_fn(
+    corpus_dir: str,
+    bucket_refs: Optional[Dict[int, "ray.ObjectRef"]] = None,
+    flaky: Optional[dict] = None,
+):
+    """``flaky`` = {"mod": M, "fail_attempts": K}: urls with
+    hash64(url) % M == 0 fail transiently (status='miss') until their
+    ``retries`` column reaches K — the deterministic fault injector for
+    the retry/dead-letter path (tests only; None in production)."""
     gen = _corpus_generation(corpus_dir, bucket_refs)
 
     def fetch_batch(batch: pa.Table) -> pa.Table:
@@ -205,7 +213,29 @@ def make_fetch_fn(corpus_dir: str, bucket_refs: Optional[Dict[int, "ray.ObjectRe
             st = FetchActor(corpus_dir, bucket_refs)
             _PROC_FETCH_STATE.clear()  # one corpus generation live per process
             _PROC_FETCH_STATE[key] = st
-        return st(batch)
+        out = st(batch)
+        if flaky and len(out):
+            from ..functions.urlnorm import hash64
+
+            urls = np.asarray(out["url"].to_pylist(), dtype=object)
+            mask = (hash64(urls) % np.uint64(int(flaky["mod"]))) == 0
+            if "retries" in out.column_names:
+                mask &= out["retries"].to_numpy(zero_copy_only=False) < int(flaky["fail_attempts"])
+            mask &= np.asarray(out["status"].to_pylist(), dtype=object) == "ok"
+            if mask.any():
+                status_np = np.asarray(out["status"].to_pylist(), dtype=object)
+                status_np[mask] = "miss"
+                keep = pa.array(~mask)
+                out = out.set_column(
+                    out.column_names.index("html"),
+                    "html",
+                    pc.if_else(keep, out["html"], pa.scalar(None, pa.binary())),
+                ).set_column(
+                    out.column_names.index("status"),
+                    "status",
+                    pa.array(status_np.astype(str), pa.string()),
+                )
+        return out
 
     return fetch_batch
 

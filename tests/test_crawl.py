@@ -92,6 +92,152 @@ class TestCrawlE2E:
         assert man.num_rows == res["rounds"] * CFG["num_shards"]
 
 
+class TestRetryDeadLetter:
+    """Per-URL retry + dead-letter (reference utils.py:383-399 retry /
+    storage.py:200-235): transient failures converge, exhausted urls land
+    in dead_letter exactly once, resume preserves retry counts."""
+
+    FLAKY = {"mod": 5, "fail_attempts": 2}
+
+    def test_flaky_converges(self, ray_session, tiny_corpus):
+        """Urls failing twice then succeeding must appear in the output
+        exactly once with status ok and oracle-identical text."""
+        from deepcrawl4ai_ray.frontier.crawler import read_dead_letters
+        from deepcrawl4ai_ray.functions.urlnorm import hash64
+        import numpy as np
+
+        res, out = _run(
+            tiny_corpus,
+            "/tmp/dc4r_test/retry_ok",
+            max_rounds=24,
+            max_retries=3,
+            extra={"flaky": self.FLAKY},
+        )
+        urls = np.asarray(out.column("url").to_pylist(), dtype=object)
+        assert len(urls) == len(set(urls))  # still exactly once each
+        flaky_mask = (hash64(urls) % np.uint64(self.FLAKY["mod"])) == 0
+        ok = np.asarray(out.column("status").to_pylist(), dtype=object) == "ok"
+        retries = np.asarray(out.column("retries").to_pylist())
+        # every flaky-but-retryable url eventually succeeded on attempt 2
+        assert (retries[flaky_mask & ok] == self.FLAKY["fail_attempts"]).all()
+        assert (flaky_mask & ok).sum() > 0
+        # non-flaky rows were fetched on attempt 0
+        assert (retries[~flaky_mask] == 0).all()
+        # baseline (no flakiness) fetches the same url SET
+        _, base = _run(tiny_corpus, "/tmp/dc4r_test/retry_base", max_rounds=24, max_retries=3)
+        assert sorted(out.column("url").to_pylist()) == sorted(base.column("url").to_pylist())
+        # every dead letter is a GENUINE corpus miss (dangling link), not a
+        # recoverable flaky url: flaky and baseline runs dead-letter the
+        # exact same url set
+        dead_flaky = sorted(read_dead_letters("/tmp/dc4r_test/retry_ok").column("url").to_pylist())
+        dead_base = sorted(read_dead_letters("/tmp/dc4r_test/retry_base").column("url").to_pylist())
+        assert dead_flaky == dead_base
+        corpus_urls = set()
+        for f in glob.glob(os.path.join(tiny_corpus, "pages", "*.parquet")):
+            corpus_urls |= set(pq.read_table(f, columns=["url"]).column("url").to_pylist())
+        assert not set(dead_flaky) & corpus_urls
+
+    def test_exhausted_urls_dead_letter_exactly_once(self, ray_session, tiny_corpus):
+        from deepcrawl4ai_ray.frontier.crawler import read_dead_letters
+        from deepcrawl4ai_ray.functions.urlnorm import hash64
+        import numpy as np
+
+        flaky = {"mod": 5, "fail_attempts": 99}  # never recovers
+        res, out = _run(
+            tiny_corpus,
+            "/tmp/dc4r_test/retry_dead",
+            max_rounds=24,
+            max_retries=2,
+            extra={"flaky": flaky},
+        )
+        dead = read_dead_letters("/tmp/dc4r_test/retry_dead")
+        dead_urls = dead.column("url").to_pylist()
+        assert len(dead_urls) == len(set(dead_urls))  # exactly once
+        assert dead.num_rows > 0
+        assert (np.asarray(dead.column("retries").to_pylist()) == 2).all()
+        # dead urls never appear in the pages output
+        out_urls = out.column("url").to_pylist()
+        assert not set(dead_urls) & set(out_urls)
+        # every selected never-recovering url ended in dead_letter, none in
+        # pages: flaky urls (hash%5==0) and genuine corpus misses only
+        out_flaky = (hash64(np.asarray(out_urls, dtype=object)) % np.uint64(flaky["mod"])) == 0
+        out_ok = np.asarray(out.column("status").to_pylist(), dtype=object) == "ok"
+        # (robots_denied flaky urls legitimately stay in the output — the
+        # injector only flips successful fetches)
+        assert not (out_flaky & out_ok).any()
+        corpus_urls = set()
+        for f in glob.glob(os.path.join(tiny_corpus, "pages", "*.parquet")):
+            corpus_urls |= set(pq.read_table(f, columns=["url"]).column("url").to_pylist())
+        dead_arr = np.asarray(dead_urls, dtype=object)
+        dead_flaky = (hash64(dead_arr) % np.uint64(flaky["mod"])) == 0
+        for u, fl in zip(dead_urls, dead_flaky):
+            assert fl or u not in corpus_urls  # flaky or a dangling link
+
+    def test_resume_preserves_retry_state(self, ray_session, tiny_corpus):
+        """Kill after round 2 mid-retry; resume ≡ uninterrupted run."""
+        over = dict(max_rounds=16, max_retries=3, extra={"flaky": self.FLAKY})
+        _, full = _run(tiny_corpus, "/tmp/dc4r_test/retry_full", **over)
+
+        out_dir = "/tmp/dc4r_test/retry_resumed"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        c1 = Crawler(tiny_corpus, out_dir, CrawlConfig(**{**CFG, **over, "max_rounds": 2}))
+        c1.run()
+        c1.kill_shards()
+        c2 = Crawler.resume(tiny_corpus, out_dir, CrawlConfig(**{**CFG, **over}))
+        c2.run()
+        c2.kill_shards()
+        resumed = read_crawl_output(out_dir)
+        assert resumed.column("url").to_pylist() == full.column("url").to_pylist()
+        assert resumed.column("retries").to_pylist() == full.column("retries").to_pylist()
+        assert resumed.column("fetch_seq").to_pylist() == full.column("fetch_seq").to_pylist()
+
+
+class TestGracefulStop:
+    def test_stop_file_then_resume_equals_uninterrupted(self, ray_session, tiny_corpus):
+        """Graceful cancel (reference api.py:484-606): a stop file makes
+        run() finish the in-flight round, checkpoint, and exit cleanly;
+        resume() then reproduces the uninterrupted crawl exactly —
+        regardless of WHICH round the stop landed on."""
+        import threading
+        import time as _time
+
+        _, full = _run(tiny_corpus, "/tmp/dc4r_test/stop_full", max_rounds=5)
+
+        out_dir = "/tmp/dc4r_test/stop_partial"
+        stop_file = "/tmp/dc4r_test/stop_signal"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        if os.path.exists(stop_file):
+            os.remove(stop_file)
+        c1 = Crawler(tiny_corpus, out_dir, CrawlConfig(**{**CFG, "max_rounds": 5, "stop_file": stop_file}))
+        t = threading.Timer(0.5, lambda: open(stop_file, "w").close())
+        t.start()
+        res1 = c1.run()
+        t.cancel()
+        c1.kill_shards()
+        os.remove(stop_file)
+        if res1.get("stopped"):
+            c2 = Crawler.resume(tiny_corpus, out_dir, CrawlConfig(**{**CFG, "max_rounds": 5}))
+            c2.run()
+            c2.kill_shards()
+        resumed = read_crawl_output(out_dir)
+        assert resumed.column("url").to_pylist() == full.column("url").to_pylist()
+        assert resumed.column("fetch_seq").to_pylist() == full.column("fetch_seq").to_pylist()
+
+    def test_request_stop_api(self, ray_session, tiny_corpus):
+        """Programmatic request_stop() before run(): exactly one round
+        executes, then a clean stopped exit with a valid checkpoint."""
+        out_dir = "/tmp/dc4r_test/stop_api"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        c = Crawler(tiny_corpus, out_dir, CrawlConfig(**{**CFG, "max_rounds": 5}))
+        c.request_stop()
+        res = c.run()
+        c.kill_shards()
+        assert res["stopped"] and res["rounds"] == 1
+        c2 = Crawler.resume(tiny_corpus, out_dir, CrawlConfig(**{**CFG, "max_rounds": 5}))
+        assert c2.next_round == 1
+        c2.kill_shards()
+
+
 class TestResume:
     def test_resume_equivalence(self, ray_session, tiny_corpus):
         """run(k rounds) + resume ≡ uninterrupted run (SURVEY.md §5)."""
