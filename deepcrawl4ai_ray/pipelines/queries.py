@@ -337,14 +337,28 @@ ORDER BY revenue DESC, n_name
 
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti join (J4 seen-set shape): customers ∄ orders via broadcast
-    key set; at 10^9+ keys the set becomes a bloom + exact shard check."""
-    import pyarrow.parquet as pq
+    """Anti join (J4 seen-set shape) on the 10^9-key plan: Bloom
+    prescreen (built distributed over the orders keys, driver holds only
+    the bit array) + exact hash-join verify of the bloom-positive
+    minority (stages/join.bloom_semi_anti) — no driver key list, no
+    broadcast.  Ghost customers (c_custkey % 10 == 0 → +10M copy with no
+    orders) are planted — SQL-reproducibly — so the anti join returns a
+    non-empty, hash-checked result instead of passing on 0 rows."""
+    from ..stages.join import bloom_semi_anti
 
-    okeys = pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"])
-    keys_ref = ray.put(pc.unique(okeys["o_custkey"]).to_pylist())
     ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    out = broadcast_filter(ds, "c_custkey", keys_ref, keep_in=False).to_pandas()
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % 10 == 0))
+        names = pc.binary_join_element_wise(pa.scalar("ghost-"), sub["c_name"], "")
+        return pa.table(
+            {"c_custkey": pc.add(sub["c_custkey"], 10_000_000), "c_name": names}
+        )
+
+    aug = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    okeys = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+    out = bloom_semi_anti(aug, "c_custkey", okeys, "o_custkey", keep_in=False).to_pandas()
     if out.empty:  # schema-stable empty result
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")})
     out["c_custkey"] = out["c_custkey"].astype("int64")
@@ -352,7 +366,13 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
 
 _ANTI_SQL = """
-SELECT c_custkey, c_name FROM customer
+WITH cust_aug AS (
+  SELECT c_custkey, c_name FROM customer
+  UNION ALL
+  SELECT c_custkey + 10000000 AS c_custkey, 'ghost-' || c_name AS c_name
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c_custkey, c_name FROM cust_aug
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 ORDER BY c_custkey
 """

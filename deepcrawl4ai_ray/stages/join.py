@@ -59,6 +59,106 @@ def broadcast_filter(
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def _hash_col(col) -> np.ndarray:
+    """Deterministic uint64 hash of a key column (pandas siphash — same
+    result in every process; both join sides MUST use this)."""
+    if pa.types.is_integer(col.type):
+        return pd.util.hash_array(col.to_numpy(zero_copy_only=False).astype(np.int64))
+    return pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object), categorize=False)
+
+
+def build_bloom_bytes(keys_ds, column: str, capacity: int, fp_rate: float = 0.01, batch_size: int = 65536):
+    """Distributed Bloom build: each task builds a partial filter over
+    its batch; the driver OR-merges ONLY the bit arrays (memory = bloom
+    bits + one blob, never O(keys)).  At 10^9 keys raise batch_size /
+    pre-repartition so partial count × bloom size stays sane, or
+    tree-reduce the OR in Ray tasks — the shape is unchanged."""
+    from ..state.bloom import BloomFilter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fp_rate)
+        bf.add_many(_hash_col(batch[column]))
+        return pa.table(
+            {"bloom": pa.array([bf.bits.tobytes()], pa.large_binary()), "n": pa.array([len(batch)], pa.int64())}
+        )
+
+    merged = None
+    total = 0
+    parts = keys_ds.map_batches(partial, batch_size=batch_size, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob, n in zip(b["bloom"].to_pylist(), b["n"].to_pylist()):
+            arr = np.frombuffer(blob, dtype=np.uint64)
+            merged = arr.copy() if merged is None else np.bitwise_or(merged, arr, out=merged)
+            total += int(n)
+    bf = BloomFilter(capacity, fp_rate)
+    if merged is not None:
+        bf.bits = merged
+    bf.count = total
+    return bf.to_bytes()
+
+
+def bloom_semi_anti(
+    ds: "ray.data.Dataset",
+    column: str,
+    keys_ds: "ray.data.Dataset",
+    key_col: str,
+    keep_in: bool = False,
+    fp_rate: float = 0.01,
+    num_buckets: int = 32,
+    capacity: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """EXACT semi/anti join for key cardinalities where a driver-side key
+    list is impossible (the 10^9-key path promised at the module head):
+
+    1. Bloom over the key side, built distributed and OR-merged — the
+       driver holds only the bit array (~1.2 GB per 10^9 keys at 1% FPR).
+    2. Bloom-NEGATIVE probe rows are DEFINITELY keyless → emitted
+       directly for anti, dropped for semi (no shuffle for ~99% of a
+       mostly-novel stream).
+    3. The bloom-positive minority is exactly verified against the key
+       Dataset with the bucketed hash_join (FPR-sized shuffle only).
+
+    Output rows == the exact semi/anti join (bloom errors only route rows
+    to the verify path, never change the answer).
+    """
+    from ..state.bloom import BloomFilter
+
+    cap = capacity if capacity is not None else max(16, keys_ds.count())
+    bloom_ref = ray.put(build_bloom_bytes(keys_ds, key_col, cap, fp_rate))
+
+    def make_split(want_positive: bool):
+        def split(batch: pa.Table) -> pa.Table:
+            bf = _BCAST_CACHE.get(("bloom", bloom_ref.hex()))
+            if bf is None:
+                bf = BloomFilter.from_bytes(ray.get(bloom_ref))
+                _BCAST_CACHE[("bloom", bloom_ref.hex())] = bf
+            m = bf.contains_many(_hash_col(batch[column]))
+            return batch.filter(pa.array(m if want_positive else ~m))
+
+        return split
+
+    positives = ds.map_batches(make_split(True), batch_format="pyarrow")
+    marked = keys_ds.map_batches(
+        lambda t: pa.table(
+            {key_col: t[key_col], "__hit": pa.array(np.ones(len(t), dtype=np.int8))}
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(positives, marked, on=column, right_on=key_col, how="left", num_buckets=num_buckets)
+    out_cols = list(ds.schema().names)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hit = pc.is_valid(batch["__hit"])
+        keep = hit if keep_in else pc.invert(hit)
+        return batch.filter(keep).select(out_cols)
+
+    checked = j.map_batches(finish, batch_format="pyarrow")
+    if keep_in:
+        return checked
+    negatives = ds.map_batches(make_split(False), batch_format="pyarrow")
+    return negatives.union(checked)
+
+
 def _arrow_type(t) -> pa.DataType:
     """Coerce a Ray schema type (arrow / numpy / python) to pa.DataType."""
     if isinstance(t, pa.DataType):

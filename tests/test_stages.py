@@ -80,6 +80,35 @@ class TestHashJoin:
             hash_join(_ds(l), _ds(r), on="k")
 
 
+class TestBloomSemiAnti:
+    def test_exact_vs_reference_at_1e6_keys(self):
+        """10^6-key anti/semi join: output must EQUAL the exact set
+        result (bloom FPs only reroute rows to the verify join), and the
+        serialized bloom must stay ~1.2 MB — driver memory is the bit
+        array, never the key list."""
+        import ray.data as rd
+        from deepcrawl4ai_ray.stages.join import bloom_semi_anti, build_bloom_bytes
+
+        n_keys = 1_000_000
+        keys = np.arange(n_keys, dtype=np.int64) * 2  # even keys
+        probe = np.arange(0, 2 * n_keys, 997, dtype=np.int64)  # mixed parity
+        keys_ds = rd.from_pandas(pd.DataFrame({"k": keys}))
+        probe_ds = rd.from_pandas(pd.DataFrame({"k": probe, "v": probe + 1}))
+
+        blob = build_bloom_bytes(keys_ds, "k", n_keys, fp_rate=0.01)
+        assert len(blob) < 2_500_000  # ~1.2MB bits + header, NOT O(keys) python objects
+
+        anti = bloom_semi_anti(probe_ds, "k", keys_ds, "k", keep_in=False).to_pandas()
+        semi = bloom_semi_anti(probe_ds, "k", keys_ds, "k", keep_in=True).to_pandas()
+        key_set = set(keys.tolist())
+        want_anti = sorted(int(x) for x in probe if int(x) not in key_set)
+        want_semi = sorted(int(x) for x in probe if int(x) in key_set)
+        assert sorted(anti["k"]) == want_anti
+        assert sorted(semi["k"]) == want_semi
+        # values rode along intact
+        assert (anti.sort_values("k")["v"].to_numpy() == np.array(want_anti) + 1).all()
+
+
 class TestBroadcastFilter:
     def test_semi_and_anti(self):
         from deepcrawl4ai_ray.stages.join import broadcast_filter
