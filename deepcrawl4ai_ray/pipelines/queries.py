@@ -812,14 +812,10 @@ ORDER BY id_a, id_b
 # F. Near-dup text dedup (rows-only: not SQL-expressible)
 # =========================================================================
 
-def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-dup pairs over documents ∪ perturbed copies.
-
-    Each doc with doc_id % 10 == 0 gets a copy (doc_id + 10_000_000)
-    with its last word dropped — guaranteeing a near-dup population so
-    the operator's recall is visible.  Rows-only check (LSH is not
-    SQL-expressible); tests assert planted pairs are recovered.
-    """
+def _augmented_docs(sf_dir: str) -> "rd.Dataset":
+    """documents ∪ perturbed copies: each doc with doc_id % 10 == 0 gets
+    a copy (doc_id + 10_000_000) with its last word dropped — planting a
+    near-dup population whose recovery is oracle-verifiable."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def perturb(batch: pa.Table) -> pa.Table:
@@ -833,17 +829,92 @@ def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    aug = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
-    return minhash_lsh_pairs(aug, "doc_id", "text", threshold=0.5, num_perm=64, bands=16, k=3)
+    return ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+
+
+def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs over documents ∪ perturbed copies,
+    with candidates verified by EXACT shingle-set Jaccard inside the
+    bucket — so the result equals the exact all-pairs answer (LSH miss
+    prob ≈ 4e-8/pair at threshold 0.9) and is hash-checked against a
+    DuckDB all-pairs word-3-shingle Jaccard oracle (r1: rows-only)."""
+    return minhash_lsh_pairs(
+        _augmented_docs(sf_dir), "doc_id", "text", threshold=0.9, num_perm=64, bands=16, k=3, verify="exact"
+    )
+
+
+# word-3-shingle jaccard over documents ∪ perturbed copies.  Tokens =
+# regexp \w+ on lower(text) (identical to functions.hashing.tokens for
+# this ASCII corpus; RE2 \w is ASCII — python \w is unicode, so non-ascii
+# corpora would need [a-z0-9_] pinned on both sides).
+_MINHASH_PAIRS_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string((string_split(text, ' '))[1:len(string_split(text, ' '))-1], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w FROM aug),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM w WHERE len(w) >= 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)), 4) AS jac
+FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(a.s || b.s)) >= 0.9
+ORDER BY id_a, id_b
+"""
 
 
 def minhash_dup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs → duplicate clusters via distributed min-label
-    propagation (rows-only; clusters of the planted perturbed copies)."""
+    propagation (labels live as a Dataset, hash-joined per round).
+    Oracle: recursive-CTE transitive closure over the same exact-Jaccard
+    pair set (r1: rows-only)."""
     from ..stages.dedup import connected_components
 
     pairs = minhash_near_dups(sf_dir)
     return connected_components(pairs)
+
+
+_MINHASH_CLUSTERS_SQL = """
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string((string_split(text, ' '))[1:len(string_split(text, ' '))-1], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w FROM aug),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM w WHERE len(w) >= 1
+),
+edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.9
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+)
+SELECT a AS node, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a ORDER BY node
+"""
 
 
 def clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
@@ -933,8 +1004,20 @@ FROM documents ORDER BY doc_id
 """
 
 
+_FRAME_SAMPLES_SQL = """
+WITH f AS (
+  SELECT doc_id, GREATEST(1, octet_length(encode(text)) // 64) AS n_frames
+  FROM documents
+)
+SELECT doc_id, j AS frame_idx, j * GREATEST(1, n_frames // 4) AS frame_offset
+FROM f, UNNEST(range(LEAST(4, n_frames))) AS u(j)
+ORDER BY doc_id, frame_idx
+"""
+
+
 def frame_samples(sf_dir: str) -> pd.DataFrame:
-    """Frame-sampling stage over binary 'video' payloads (rows-only)."""
+    """Frame-sampling stage over binary 'video' payloads.  The stub's
+    frame arithmetic is pure → fully oracle-checked (r1: rows-only)."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def to_payload(batch: pa.Table) -> pa.Table:
@@ -1376,6 +1459,11 @@ ORACLES = {
     "users_in_both_types": _INTERSECT_SQL,
     "clean_corpus_stats": _CLEAN_SQL,
     "embedding_near_dup_pairs": _EMB_NEAR_DUP_SQL,
-    # rows-only (non-SQL-expressible): knn_ivf_top10, minhash_near_dups,
-    # simhash_signatures, frame_samples, crawl_tiny_e2e, extract_corpus_text
+    "minhash_near_dups": _MINHASH_PAIRS_SQL,
+    "minhash_dup_clusters": _MINHASH_CLUSTERS_SQL,
+    "frame_samples": _FRAME_SAMPLES_SQL,
+    # rows-only (non-SQL-expressible): knn_ivf_top10 (approximate by
+    # design), simhash_signatures (siphash not in SQL; frozen-fixture
+    # pytest), selector_tag_counts / crawl_tiny_e2e / extract_corpus_text
+    # (corpus tables not registered as driver views; pytest-verified)
 }

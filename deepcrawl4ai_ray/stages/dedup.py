@@ -57,7 +57,13 @@ def exact_dedup_stats(ds: "ray.data.Dataset", id_col: str, text_col: str):
 
 
 def make_minhash_explode_fn(
-    text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, k: int = 3, num_buckets: int = 32
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    num_buckets: int = 32,
+    ship_shingles: bool = False,
 ):
     """Stateless map_batches fn: text → one row per (band, doc) with a
     ``band_bucket`` shuffle key.  Hash coefficients live in the hashing
@@ -65,6 +71,13 @@ def make_minhash_explode_fn(
     on ``band_bucket`` (num_buckets groups) rather than raw band keys so
     the downstream map_groups sees a few large groups, not thousands of
     two-row ones.
+
+    ``ship_shingles``: carry the doc's full shingle-hash set to the
+    bucket so candidates can be verified by EXACT Jaccard there (heavier
+    shuffle: ~8 B × shingles × bands per doc; at corpus scale emit
+    candidates id-only instead and join the sets back per bucket —
+    same plan shape).  Zero-token docs emit nothing in this mode
+    (empty sets have no meaningful similarity; mirrors the oracle).
     """
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -73,13 +86,19 @@ def make_minhash_explode_fn(
         out_ids: List[int] = []
         out_keys: List[bytes] = []
         out_sigs: List[bytes] = []
+        out_sh: List[bytes] = []
         for i, t in zip(ids, texts):
-            sig = H.minhash_signature_fast(H.shingles(t, k), num_perm)
+            sh = H.shingles(t, k)
+            if ship_shingles and sh.size == 0:
+                continue
+            sig = H.minhash_signature_fast(sh, num_perm)
             sb = sig.tobytes()
+            shb = sh.tobytes() if ship_shingles else b""
             for key in H.lsh_band_keys(sig, bands):
                 out_ids.append(i)
                 out_keys.append(key)
                 out_sigs.append(sb)
+                out_sh.append(shb)
         # bucket from the band hash bytes themselves — deterministic across
         # processes (python's hash() is salted per process; never use it
         # for shuffle keys)
@@ -88,14 +107,15 @@ def make_minhash_explode_fn(
             dtype=np.int32,
             count=len(out_keys),
         )
-        return pa.table(
-            {
-                "band_bucket": pa.array(buckets),
-                "band_key": pa.array(out_keys, pa.binary()),
-                id_col: pa.array(out_ids, pa.int64()),
-                "sig": pa.array(out_sigs, pa.binary()),
-            }
-        )
+        cols = {
+            "band_bucket": pa.array(buckets),
+            "band_key": pa.array(out_keys, pa.binary()),
+            id_col: pa.array(out_ids, pa.int64()),
+            "sig": pa.array(out_sigs, pa.binary()),
+        }
+        if ship_shingles:
+            cols["sh"] = pa.array(out_sh, pa.binary())
+        return pa.table(cols)
 
     return fn
 
@@ -108,22 +128,32 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     k: int = 3,
+    verify: str = "sig",
 ) -> pd.DataFrame:
-    """Near-dup candidate pairs verified by signature Jaccard estimate.
+    """Near-dup pairs from LSH band candidates.
 
-    Returns pandas (id_a < id_b, est_jaccard ≥ threshold), sorted,
-    deduped across bands.  The band-bucket groupby is the only shuffle;
-    within a bucket the candidate set is small by construction (docs
-    agreeing on a full band).
+    verify="sig":   filter candidates on the signature-Jaccard estimate
+                    → (id_a, id_b, est_jaccard) — the cheap classic.
+    verify="exact": compute EXACT shingle-set Jaccard within the bucket
+                    (sets shipped with the band rows) → (id_a, id_b, jac)
+                    — deterministic ground truth, SQL-oracle-comparable
+                    (LSH miss prob at threshold 0.9 ≈ 4e-8 per pair).
+
+    Returns pandas (id_a < id_b), sorted, deduped across bands.  The
+    band-bucket groupby is the only shuffle; within a bucket the
+    candidate set is small by construction (docs agreeing on a full
+    band).
     """
+    exact = verify == "exact"
     exploded = ds.map_batches(
-        make_minhash_explode_fn(text_col, id_col, num_perm, bands, k),
+        make_minhash_explode_fn(text_col, id_col, num_perm, bands, k, ship_shingles=exact),
         batch_format="pyarrow",
     )
+    val_col = "jac" if exact else "est_jaccard"
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One call per band_bucket: vectorized within-band pairing."""
-        rows_a, rows_b, est = [], [], []
+        """One call per band_bucket: within-band pairing."""
+        rows_a, rows_b, vals = [], [], []
         for _, band in g.groupby("band_key", sort=False):
             if len(band) < 2:
                 continue
@@ -131,19 +161,35 @@ def minhash_lsh_pairs(
             if len(band) < 2:
                 continue
             ids = band[id_col].to_numpy()
-            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in band["sig"]])
-            for a in range(len(ids)):
-                eq = (sigs[a + 1 :] == sigs[a]).mean(axis=1)
-                hit = np.nonzero(eq >= threshold)[0]
-                for h in hit:
-                    rows_a.append(ids[a])
-                    rows_b.append(ids[a + 1 + h])
-                    est.append(float(eq[h]))
-        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "est_jaccard": est})
+            if exact:
+                sets = [np.frombuffer(s, dtype=np.uint64) for s in band["sh"]]
+                for a in range(len(ids)):
+                    for b in range(a + 1, len(ids)):
+                        jac = H.jaccard(sets[a], sets[b])
+                        if jac >= threshold:
+                            rows_a.append(ids[a])
+                            rows_b.append(ids[b])
+                            vals.append(round(jac, 4))
+            else:
+                sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in band["sig"]])
+                for a in range(len(ids)):
+                    eq = (sigs[a + 1 :] == sigs[a]).mean(axis=1)
+                    hit = np.nonzero(eq >= threshold)[0]
+                    for h in hit:
+                        rows_a.append(ids[a])
+                        rows_b.append(ids[a + 1 + h])
+                        vals.append(float(eq[h]))
+        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, val_col: vals})
 
     pairs = exploded.groupby("band_bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
     if pairs.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                val_col: pd.Series(dtype="float64"),
+            }
+        )
     pairs = pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return pairs.reset_index(drop=True)
 

@@ -128,6 +128,30 @@ class TestHashing:
         c = simhash64("completely different words about other topics entirely here")
         assert hamming64(a, b) < hamming64(a, c)
 
+    def test_simhash_minhash_frozen_spec(self):
+        """Frozen-fixture hashes: the signature SPEC is part of the
+        engine's contract (signatures persist in sinks and must be
+        comparable across runs/versions).  Regenerate these constants
+        ONLY on an intentional hash-family change."""
+        import hashlib
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "",
+            "one",
+            "Sphinx of black quartz judge my vow",
+        ]
+        assert [simhash64(t) for t in texts] == [
+            16752526971192447336,
+            7406011269483192384,
+            0,
+            10602548211567132629,
+            8151218429091431610,
+        ]
+        sigs = [minhash_signature_fast(shingles(t), 16).tolist() for t in texts]
+        assert hashlib.md5(repr(sigs).encode()).hexdigest() == "ca93cde4487dd17a599b0f358f734a7d"
+
     def test_fingerprint_deterministic(self):
         t = "some document text for fingerprinting purposes with enough length"
         assert rolling_fingerprint(t) == rolling_fingerprint(t)
