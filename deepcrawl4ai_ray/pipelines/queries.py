@@ -715,9 +715,11 @@ def knn_ivf_top10(sf_dir: str) -> pd.DataFrame:
     recall vs brute force is asserted in tests, not by the oracle)."""
     import pyarrow.parquet as pq
 
+    from ..stages.knn import _to_matrix
+
     q = _load_query_vec(sf_dir)
     sample = pq.read_table(_p(sf_dir, "embeddings"), columns=["embedding"])
-    M = np.asarray(sample["embedding"].to_pylist(), dtype=np.float64)[:2048]
+    M = _to_matrix(sample["embedding"].slice(0, 2048))
     cents = train_ivf_centroids(M, nlist=16, iters=5)
     ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return ivf_topk(ds, "vec_id", "embedding", q, cents, k=10, nprobe=4, exclude_id=0)

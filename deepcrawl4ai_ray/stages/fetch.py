@@ -43,21 +43,45 @@ from ..state.robots import DEFAULT_DELAY_MS, RobotsCache
 from ..state.tokenbucket import TokenBucket
 
 
-class FetchActor:
+class PageStore:
+    """The transport seam: where pages come FROM.
+
+    ``fetch_bucket(urls, bucket)`` returns the page columns for a batch
+    of same-bucket urls — (html: binary, warc_ts: timestamp[us],
+    lang: string, found: bool[n]); a missing/failed url is found=False
+    with null html.  FetchActor keeps everything transport-independent
+    (robots, politeness accounting, status mapping, retry signalling) and
+    delegates ONLY the page retrieval here, so a real HTTP client is a
+    drop-in subclass — the reference's ``crawler.arun`` dispatch
+    (triggers.py:240-284) maps to one ``fetch_bucket`` implementation.
+    """
+
+    def fetch_bucket(self, urls: pa.ChunkedArray | pa.Array, bucket: int):
+        raise NotImplementedError
+
+
+class HttpPageStore(PageStore):
+    """Contract stub for a real HTTP transport (no network in this
+    sandbox).  An implementation would hold a connection pool / browser
+    pool per actor (reference crawler_pool.py:14-74) in __init__ and
+    return (html, warc_ts=now, lang=None, found=status<400) per url;
+    transient errors surface as found=False so the frontier's
+    retry/dead-letter path (frontier/crawler.py) handles them."""
+
+    def fetch_bucket(self, urls, bucket):  # pragma: no cover
+        raise NotImplementedError("HTTP transport unavailable in this sandbox")
+
+
+class CorpusPageStore(PageStore):
+    """Parquet-corpus transport: keyed lookup into per-host-bucket page
+    tables (zero-copy plasma refs or column-pruned disk reads + LRU)."""
+
     def __init__(self, corpus_dir: str, bucket_refs: Optional[Dict[int, "ray.ObjectRef"]] = None, max_cached_buckets: int = 64):
         self.pages_dir = os.path.join(corpus_dir, "pages")
         self.bucket_refs = bucket_refs
         self.max_cached_buckets = max_cached_buckets
-        robots_path = os.path.join(corpus_dir, "robots.parquet")
-        if os.path.exists(robots_path):
-            self.robots = RobotsCache.from_arrow(pq.read_table(robots_path))
-        else:
-            self.robots = RobotsCache({})
-        # bucket -> (arrow table, {url: row_index})
         self._bucket_cache: Dict[int, tuple] = {}
         self._buckets_lru: list[int] = []
-        self._politeness_wait_ms = 0.0
-        self._buckets_tb: Dict[str, TokenBucket] = {}
 
     def _load_bucket(self, bucket: int) -> Optional[pa.Table]:
         hit = self._bucket_cache.get(bucket)
@@ -90,6 +114,44 @@ class FetchActor:
         self._buckets_lru.append(bucket)
         return t
 
+    def fetch_bucket(self, urls, bucket: int):
+        """Vectorized keyed lookup: urls ⨝ bucket table via pc.index_in
+        + pc.take — no per-worker python index."""
+        n = len(urls)
+        tbl = self._load_bucket(bucket)
+        if tbl is None:
+            return (
+                pa.nulls(n, pa.binary()),
+                pa.nulls(n, pa.timestamp("us")),
+                pa.nulls(n, pa.string()),
+                np.zeros(n, dtype=bool),
+            )
+        idx = pc.index_in(urls, value_set=tbl.column("url").combine_chunks())
+        return (
+            pc.take(tbl.column("html"), idx),
+            pc.take(tbl.column("warc_ts"), idx),
+            pc.take(tbl.column("lang"), idx),
+            pc.is_valid(idx).to_numpy(zero_copy_only=False),
+        )
+
+
+class FetchActor:
+    def __init__(
+        self,
+        corpus_dir: str,
+        bucket_refs: Optional[Dict[int, "ray.ObjectRef"]] = None,
+        max_cached_buckets: int = 64,
+        page_store: Optional[PageStore] = None,
+    ):
+        self.page_store = page_store or CorpusPageStore(corpus_dir, bucket_refs, max_cached_buckets)
+        robots_path = os.path.join(corpus_dir, "robots.parquet")
+        if os.path.exists(robots_path):
+            self.robots = RobotsCache.from_arrow(pq.read_table(robots_path))
+        else:
+            self.robots = RobotsCache({})
+        self._politeness_wait_ms = 0.0
+        self._buckets_tb: Dict[str, TokenBucket] = {}
+
     def _politeness_account(self, host: str, count: int, round_ms_now: int) -> None:
         """Metric-only token accounting (quota enforcement is shard-side)."""
         tb = self._buckets_tb.get(host)
@@ -103,22 +165,10 @@ class FetchActor:
                 break  # metric recorded; no wall-clock waiting
 
     def _fetch_one_bucket(self, batch: pa.Table, bucket: int) -> pa.Table:
-        """Vectorized keyed lookup: batch urls ⨝ bucket table via
-        pc.index_in + pc.take — no per-worker python index."""
+        """Transport via self.page_store; robots/politeness/status here."""
         n = len(batch)
         urls = batch.column("url")
-        tbl = self._load_bucket(bucket)
-        if tbl is not None:
-            idx = pc.index_in(urls, value_set=tbl.column("url").combine_chunks())
-            html = pc.take(tbl.column("html"), idx)
-            ts = pc.take(tbl.column("warc_ts"), idx)
-            lang = pc.take(tbl.column("lang"), idx)
-            found = pc.is_valid(idx).to_numpy(zero_copy_only=False)
-        else:
-            html = pa.nulls(n, pa.binary())
-            ts = pa.nulls(n, pa.timestamp("us"))
-            lang = pa.nulls(n, pa.string())
-            found = np.zeros(n, dtype=bool)
+        html, ts, lang, found = self.page_store.fetch_bucket(urls, bucket)
 
         # robots disallow: vectorized per (host, prefix); hosts per batch
         # are few (blocks are bucket-grouped)

@@ -192,6 +192,64 @@ class TestRetryDeadLetter:
         assert resumed.column("fetch_seq").to_pylist() == full.column("fetch_seq").to_pylist()
 
 
+class TestPageStoreSeam:
+    def test_custom_page_store_is_a_drop_in(self, ray_session, tiny_corpus):
+        """The transport seam: a PageStore serving from a python dict
+        must produce byte-identical FetchActor output to the default
+        corpus store — robots/status/politeness logic is transport-
+        independent (an HTTP client implements the same one method)."""
+        import numpy as np
+
+        from deepcrawl4ai_ray.functions.urlnorm import host_buckets
+        from deepcrawl4ai_ray.sources.corpus import NUM_HOST_BUCKETS
+        from deepcrawl4ai_ray.stages.fetch import FetchActor, PageStore
+
+        pages = pa.concat_tables(
+            pq.read_table(f) for f in glob.glob(os.path.join(tiny_corpus, "pages", "*.parquet"))
+        )
+        lut = {
+            u: (h, t, l)
+            for u, h, t, l in zip(
+                pages["url"].to_pylist(),
+                pages["html"].to_pylist(),
+                pages["warc_ts"].to_pylist(),
+                pages["lang"].to_pylist(),
+            )
+        }
+
+        class DictStore(PageStore):
+            def fetch_bucket(self, urls, bucket):
+                hs, ts, ls, found = [], [], [], []
+                for u in urls.to_pylist():
+                    hit = lut.get(u)
+                    found.append(hit is not None)
+                    hs.append(hit[0] if hit else None)
+                    ts.append(hit[1] if hit else None)
+                    ls.append(hit[2] if hit else None)
+                return (
+                    pa.array(hs, pa.binary()),
+                    pa.array(ts, pa.timestamp("us")),
+                    pa.array(ls, pa.string()),
+                    np.array(found, dtype=bool),
+                )
+
+        urls = pages["url"].to_pylist()[:40] + ["https://host-0.example/nonexistent"]
+        hosts = np.asarray([u.split("/")[2] for u in urls], dtype=object)
+        hb = host_buckets(hosts, NUM_HOST_BUCKETS)
+        batch = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(list(hosts), pa.string()),
+                "round": pa.array(np.zeros(len(urls), dtype=np.int32)),
+                "host_bucket": pa.array(hb),
+            }
+        )
+        default_out = FetchActor(tiny_corpus)(batch)
+        custom_out = FetchActor(tiny_corpus, page_store=DictStore())(batch)
+        assert default_out.equals(custom_out)
+        assert "miss" in custom_out["status"].to_pylist()
+
+
 class TestGracefulStop:
     def test_stop_file_then_resume_equals_uninterrupted(self, ray_session, tiny_corpus):
         """Graceful cancel (reference api.py:484-606): a stop file makes
