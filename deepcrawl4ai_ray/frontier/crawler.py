@@ -242,6 +242,12 @@ class Crawler:
         self.total_fetched = 0
         self.fetch_seq = 0
         self._stop = False
+        self._writer = None  # background round-publish thread (throughput mode)
+
+    def _join_writer(self) -> None:
+        if self._writer is not None:
+            self._writer.join()
+            self._writer = None
 
     def _host_delays(self) -> Dict[str, int]:
         path = os.path.join(self.corpus_dir, "robots.parquet")
@@ -352,12 +358,32 @@ class Crawler:
         # pre-create: a round whose rows were ALL retried/dead-lettered
         # writes zero files, and the atomic publish still needs the dir
         os.makedirs(tmp_dir, exist_ok=True)
-        out.write_parquet(tmp_dir)
-        shutil.rmtree(round_dir, ignore_errors=True)
-        os.rename(tmp_dir, round_dir)  # atomic publish → resumable output
-        if dead_tmp is not None and os.path.isdir(dead_tmp):
-            shutil.rmtree(dead_dir, ignore_errors=True)
-            os.rename(dead_tmp, dead_dir)  # atomic dead-letter publish
+
+        def publish(routed):
+            routed.write_parquet(tmp_dir)
+            shutil.rmtree(round_dir, ignore_errors=True)
+            os.rename(tmp_dir, round_dir)  # atomic publish → resumable output
+            if dead_tmp is not None and os.path.isdir(dead_tmp):
+                shutil.rmtree(dead_dir, ignore_errors=True)
+                os.rename(dead_tmp, dead_dir)  # atomic dead-letter publish
+
+        if cfg.checkpoint:
+            # resumability contract: round r's pages must be published
+            # before round r's checkpoint says it's done → synchronous
+            publish(out)
+        else:
+            # throughput mode: the round BARRIER only needs the router
+            # offers acknowledged (they happen during execution), not the
+            # parquet write — materialize the routed blocks, then write +
+            # publish on a background thread overlapped with the next
+            # round's select/fetch (round order preserved by joining the
+            # previous writer first)
+            import threading
+
+            routed = out.materialize()
+            self._join_writer()
+            self._writer = threading.Thread(target=publish, args=(routed,), daemon=True)
+            self._writer.start()
         phases["pipeline"] = time.perf_counter() - t0 - sum(phases.values())
 
         stats = ray.get([s.finalize_round.remote() for s in self.shards])
@@ -466,6 +492,7 @@ class Crawler:
             if self._stop_requested():
                 stopped = True  # round published + checkpointed; clean exit
                 break
+        self._join_writer()  # all rounds durably published before returning
         return {
             "rounds": rounds_run,
             "total_fetched": self.total_fetched,

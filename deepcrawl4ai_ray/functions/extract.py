@@ -62,7 +62,8 @@ _WS_RE = re.compile(r"\s+")
 
 def _clean_inline(fragment: str) -> str:
     txt = _TAG_RE.sub(" ", fragment)
-    txt = _htmllib.unescape(txt)
+    if "&" in txt:  # unescape only when an entity can exist (hot-path cost)
+        txt = _htmllib.unescape(txt)
     return _WS_RE.sub(" ", txt).strip()
 
 
@@ -73,8 +74,9 @@ def _blocks(html: bytes | str, prune: bool) -> List[str]:
     if "\x02" in s or "\x03" in s or "\x04" in s:
         s = s.replace("\x02", "").replace("\x03", "").replace("\x04", "")
     s = _DROP_RE.sub(" ", s)
-    s = _HEADING_RE.sub(lambda m: f"\x04\x02{m.group(1)} {m.group(2)}\x04", s)
-    s = _LI_RE.sub(lambda m: f"\x04\x03{m.group(1)}\x04", s)
+    # backreference replacement strings: one C call, no per-match python
+    s = _HEADING_RE.sub("\x04\x02\\1 \\2\x04", s)
+    s = _LI_RE.sub("\x04\x03\\1\x04", s)
     out: List[str] = []
     for block in _BLOCK_RE.split(s):
         if not block or block.isspace():
@@ -90,7 +92,8 @@ def _blocks(html: bytes | str, prune: bool) -> List[str]:
                 out.append("- " + txt)
         else:
             txt = _clean_inline(block)
-            if txt and (not prune or len(txt.split(" ")) >= MIN_WORDS):
+            # txt is single-space-collapsed: count(' ')+1 == word count
+            if txt and (not prune or txt.count(" ") >= MIN_WORDS - 1):
                 out.append(txt)
     return out
 

@@ -59,6 +59,10 @@ TIERS = {
     "small": CorpusSpec("small", num_hosts=100, pages_per_host_base=80, hot_host_pages=400, num_seeds=25),
     # skew/scaling bench (~200k pages / 2000 hosts, hot host ~20%)
     "bench": CorpusSpec("bench", num_hosts=2000, pages_per_host_base=1800, hot_host_pages=40000, num_seeds=2000),
+    # scaling-run corpus (~590k pages): 3× the per-round work so the
+    # per-round fixed pipeline-launch cost is amortized the way a real
+    # cluster's multi-minute rounds amortize it (BASELINE.md protocol)
+    "benchx3": CorpusSpec("benchx3", num_hosts=2000, pages_per_host_base=5400, hot_host_pages=120000, num_seeds=2000),
 }
 
 NUM_HOST_BUCKETS = 64  # corpus partition count (hash(host) % 64)

@@ -139,3 +139,65 @@ def ivf_topk(
     parts["cos_sim"] = parts["cos_sim"].round(4)
     parts = parts.sort_values(["cos_sim", id_col], ascending=[False, True], kind="mergesort")
     return parts.head(k).reset_index(drop=True)
+
+
+def build_ivf_index(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    out_dir: str,
+) -> str:
+    """Persist the inverted file: assign each vector to its nearest
+    centroid inside map_batches and write Parquet PARTITIONED BY
+    ``ivf_list`` — queries then read ONLY the probed partitions (hive
+    partition pruning at the parquet read) instead of re-assigning every
+    vector per query.  This is the ANN build/query split a 100 TB
+    embedding store needs: build once (one pass), query touches
+    ~nprobe/nlist of the data."""
+    c_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        V = _to_matrix(batch[vec_col])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        lists = np.argmax(V @ C.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(out_dir, partition_cols=["ivf_list"])
+    return out_dir
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    query: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+) -> pd.DataFrame:
+    """Approximate top-k over a persisted IVF index: the parquet read is
+    pruned to the ``nprobe`` probed list partitions; scoring reuses the
+    brute-force partial-top-k plan over that small slice."""
+    import os
+
+    import ray.data as rd
+
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = [int(x) for x in np.argsort(-(centroids @ q))[:nprobe]]
+    # explicit partition pruning: only the probed hive directories are
+    # ever listed/read — ~nprobe/nlist of the index leaves storage
+    import glob
+
+    paths = [
+        f
+        for l in probe
+        for f in sorted(glob.glob(os.path.join(index_dir, f"ivf_list={l}", "*.parquet")))
+    ]
+    if not paths:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"), "cos_sim": pd.Series(dtype="float64")})
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return brute_force_topk(ds, id_col, vec_col, q, k=k, exclude_id=exclude_id)

@@ -217,6 +217,28 @@ class TestKnn:
         want = np.argsort(-sims, kind="stable")[:5]
         assert out["vec_id"].tolist() == want.tolist()
 
+    def test_ivf_indexed_equals_unindexed(self, tmp_path):
+        """The persisted-index query path (partition-pruned read) must
+        return exactly what the per-query-assignment path returns."""
+        from deepcrawl4ai_ray.stages.knn import (
+            build_ivf_index,
+            ivf_topk,
+            ivf_topk_indexed,
+            train_ivf_centroids,
+        )
+
+        rng = np.random.RandomState(3)
+        centers = rng.randn(6, 12) * 3
+        V = np.vstack([c + rng.randn(60, 12) * 0.3 for c in centers])
+        df = pd.DataFrame({"vec_id": np.arange(len(V), dtype=np.int64), "embedding": list(V)})
+        cents = train_ivf_centroids(V, nlist=6, iters=5)
+        q = V[11]
+        direct = ivf_topk(_ds(df), "vec_id", "embedding", q, cents, k=10, nprobe=2)
+        idx_dir = str(tmp_path / "ivf")
+        build_ivf_index(_ds(df), "vec_id", "embedding", cents, idx_dir)
+        indexed = ivf_topk_indexed(idx_dir, "vec_id", "embedding", q, cents, k=10, nprobe=2)
+        pd.testing.assert_frame_equal(direct, indexed)
+
     def test_ivf_recall(self):
         from deepcrawl4ai_ray.stages.knn import brute_force_topk, ivf_topk, train_ivf_centroids
 
