@@ -32,10 +32,11 @@ implementation file → queries() key → check type).  Summary:
   jaccard_adjacent_docs (n-gram/char Jaccard),
   embedding_near_dup_pairs (cosine)
 - similarity search ...................... knn_cosine_top10 (brute
-  force), knn_ivf_top10 (IVF scale path)
+  force), knn_ivf_top10 (IVF scale path), knn_ivf_indexed_top10
+  (persisted partition-pruned inverted file)
 - text analysis .......................... token_stats_by_lang,
-  quality_by_lang, doc_fingerprints, simhash; lang-ID in
-  functions.textstats (pytest-covered)
+  bpe_token_stats (RE2 sub-word counts), quality_by_lang,
+  doc_fingerprints, simhash, lang_id_counts (bigram language ID)
 - multimodal binary columns .............. image_decode_meta,
   frame_samples (stubbed decode, real actor-pool plumbing)
 - as-of join / rolling windows ........... asof_last_click,
