@@ -195,7 +195,7 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    pairs: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+    pairs, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
 ) -> pd.DataFrame:
     """Duplicate-pair graph → cluster labels via distributed min-label
     propagation (ray_guide 'Near-dup' pattern): each round, every node
@@ -203,38 +203,60 @@ def connected_components(
     round); converges in O(diameter) rounds.  Dup clusters from LSH
     pairs have tiny diameters, so this terminates in a few rounds.
 
-    Returns DataFrame(node, component) where component = min node id of
-    the cluster.  Uses Ray Data groupbys so the edge list can exceed
-    driver memory (here pairs are small; the pipeline shape is the
-    point).
+    ``pairs`` may be a pandas DataFrame (small edge lists) OR a
+    ray.data.Dataset with the same two columns — at corpus scale the
+    pair set never touches the driver.  Returns DataFrame(node,
+    component) where component = min node id of the cluster.
     """
     import ray.data as rd
     from ray.data.aggregate import Min
 
     from .join import hash_join
 
-    if pairs.empty:
-        return pd.DataFrame({"node": pd.Series(dtype="int64"), "component": pd.Series(dtype="int64")})
-    edges = pd.DataFrame(
-        {
-            "src": pd.concat([pairs[id_a], pairs[id_b]], ignore_index=True).astype("int64"),
-            "dst": pd.concat([pairs[id_b], pairs[id_a]], ignore_index=True).astype("int64"),
-        }
-    )
+    empty = pd.DataFrame({"node": pd.Series(dtype="int64"), "component": pd.Series(dtype="int64")})
+    if isinstance(pairs, pd.DataFrame):
+        if pairs.empty:
+            return empty
+        edges = pd.DataFrame(
+            {
+                "src": pd.concat([pairs[id_a], pairs[id_b]], ignore_index=True).astype("int64"),
+                "dst": pd.concat([pairs[id_b], pairs[id_a]], ignore_index=True).astype("int64"),
+            }
+        )
+        edges_ds = rd.from_pandas(edges).materialize()
+    else:  # Dataset of (id_a, id_b): symmetrize distributed
+        def sym(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": pa.concat_arrays(
+                        [pc.cast(t[id_a], pa.int64()).combine_chunks(), pc.cast(t[id_b], pa.int64()).combine_chunks()]
+                    ),
+                    "dst": pa.concat_arrays(
+                        [pc.cast(t[id_b], pa.int64()).combine_chunks(), pc.cast(t[id_a], pa.int64()).combine_chunks()]
+                    ),
+                }
+            )
+
+        edges_ds = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+        if edges_ds.count() == 0:
+            return empty
     # Labels live as a DATASET for the whole loop — each round is two
     # bucketed hash_joins + a groupby; the driver never materializes a
     # node→label map (r1 review finding #4).  materialize() per round
     # keeps blocks in the object store and cuts the lazy lineage so
     # iteration k doesn't re-execute rounds 1..k-1.
-    edges_ds = rd.from_pandas(edges).materialize()
-    labels = rd.from_pandas(
-        pd.DataFrame(
-            {
-                "node": edges["src"].drop_duplicates().to_numpy(),
-                "component": edges["src"].drop_duplicates().to_numpy(),
-            }
+    labels = (
+        edges_ds.map_batches(
+            lambda t: pa.table({"node": pc.unique(t["src"])}), batch_format="pyarrow"
         )
-    ).materialize()
+        .groupby("node")
+        .aggregate(Count(alias_name="__c"))
+        .map_batches(
+            lambda t: pa.table({"node": t["node"], "component": t["node"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
     for _ in range(max_iters):
         cand = (
             hash_join(edges_ds, labels, on="src", right_on="node", num_buckets=8)

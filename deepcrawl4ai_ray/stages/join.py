@@ -5,8 +5,9 @@ are the distributed generalizations:
 
 - broadcast_filter: small-side key set shipped once via ``ray.put``,
   membership test vectorized inside map_batches — the semi/anti join
-  (J4's seen-set anti-join shape).  At 10^9+ keys the set becomes a
-  Bloom filter (state/bloom.py) with an exact shard-side check.
+  (J4's seen-set anti-join shape).  At 10^9+ keys use
+  ``bloom_semi_anti`` below: a distributed-built Bloom filter prescreen
+  plus an exact hash-join verify of the positive minority.
 - hash_join: both sides large → add ``bucket = hash(key) % B`` to each
   side, tag side, union (schemas null-aligned), and a single
   ``groupby(bucket)`` shuffle co-locates matching keys of BOTH sides;

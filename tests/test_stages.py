@@ -315,3 +315,15 @@ class TestConnectedComponents:
         from deepcrawl4ai_ray.stages.dedup import connected_components
 
         assert connected_components(pd.DataFrame({"id_a": [], "id_b": []})).empty
+
+    def test_dataset_edges_match_pandas(self, ray_session):
+        """Dataset-input edges (the corpus-scale path: pairs never touch
+        the driver) must produce the same labels as the pandas path."""
+        from deepcrawl4ai_ray.stages.dedup import connected_components
+
+        pairs = pd.DataFrame(
+            {"id_a": [1, 2, 10, 20, 21], "id_b": [2, 3, 11, 21, 22]}
+        ).astype("int64")
+        a = connected_components(pairs)
+        b = connected_components(_ds(pairs))
+        pd.testing.assert_frame_equal(a, b)
