@@ -171,6 +171,75 @@ def _llm_extract(ds, schema: dict, instruction: str = "", text_col: str = "text"
     )
 
 
+@register("bpe_token_count")
+def _bpe_token_count(ds, text_col: str = "text", out_col: str = "n_bpe"):
+    """Sub-word-ish token count (words + punctuation) via the vectorized
+    RE2 kernel — the regex BPE stand-in of the training-data brief."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[text_col], r"\w+|[^\w\s]")
+        return t.append_column(out_col, pc.cast(n, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register("simhash")
+def _simhash(ds, text_col: str = "text", out_col: str = "simhash"):
+    def fn(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions import hashing as H
+
+        sigs = np.array([H.simhash64(x) for x in t[text_col].to_pylist()], dtype=np.uint64)
+        return t.append_column(out_col, pa.array(sigs))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register("fingerprint")
+def _fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
+    """Winnowing-style rolling-hash document fingerprint."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import rolling_fingerprint
+
+        fps = [rolling_fingerprint(x) for x in t[text_col].to_pylist()]
+        return t.append_column(out_col, pa.array(fps, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register("dedup_exact")
+def _dedup_exact(ds, id_col: str, text_col: str = "text", num_buckets: int = 16):
+    """Keep only the min-id row per distinct content (the J5 first-wins
+    dedup as a pipeline step): md5 winners via groupby, applied back by
+    a bucketed hash semi-join — fully distributed, no driver key list."""
+    from ..stages.dedup import add_md5_column, exact_dedup_stats
+    from ..stages.join import hash_join
+
+    keep = exact_dedup_stats(ds, id_col, text_col).map_batches(
+        lambda t: pa.table({"__keep_id": t[f"keep_{id_col}"]}), batch_format="pyarrow"
+    )
+    return hash_join(ds, keep, on=id_col, right_on="__keep_id", num_buckets=num_buckets).map_batches(
+        lambda t: t.drop_columns(["__keep_id"]), batch_format="pyarrow"
+    )
+
+
+@register("image_decode")
+def _image_decode(ds, payload_col: str = "payload", id_col: str = "doc_id", batch_size: int = 256):
+    """Actor-pool binary-image decode stage (stubbed kernel, real
+    plumbing; small batches — binary payload discipline)."""
+    from ..stages.multimodal import ImageDecodeStage
+
+    return ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_args=(payload_col, id_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
 @register("write_parquet")
 def _write_parquet(ds, path: str, **kwargs):
     """Terminal parquet sink (K2/K3 analog; zstd columnar replaces the

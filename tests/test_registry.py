@@ -56,3 +56,35 @@ def test_custom_registered_step(ray_session):
     ).to_pandas()
     assert sorted(out["x"]) == [2, 4]
     assert "double_x_test" in available_steps()
+
+
+def test_round2_steps(ray_session):
+    """bpe_token_count / simhash / fingerprint / dedup_exact compose."""
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["hello, world!", "hello, world!", "other text here now", "short"],
+        }
+    )
+    spec = [
+        {"step": "dedup_exact", "params": {"id_col": "doc_id"}},
+        {"step": "bpe_token_count", "params": {}},
+        {"step": "simhash", "params": {}},
+        {"step": "fingerprint", "params": {}},
+    ]
+    out = build_pipeline(_ds(df), spec).to_pandas().sort_values("doc_id")
+    # dedup kept min doc_id of the duplicate pair
+    assert out["doc_id"].tolist() == [1, 3, 4]
+    # "hello, world!" → hello , world ! = 4 sub-word tokens
+    assert out.set_index("doc_id").loc[1, "n_bpe"] == 4
+    assert out["simhash"].dtype == "uint64"
+    assert out["fingerprint"].str.len().gt(0).all()
+
+
+def test_image_decode_step(ray_session):
+    import pyarrow as pa
+
+    df = pd.DataFrame({"doc_id": [1, 2], "payload": [b"abc", b"defghij"]})
+    out = build_pipeline(_ds(df), [{"step": "image_decode", "params": {}}]).to_pandas()
+    assert set(out.columns) == {"doc_id", "width", "height", "n_bytes"}
+    assert out.sort_values("doc_id")["n_bytes"].tolist() == [3, 7]
