@@ -41,6 +41,23 @@ def _p(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 
 
+def _read(sf_dir: str, table: str, columns=None, **kw) -> "rd.Dataset":
+    """read_parquet with block count scaled to FILE SIZE (~4 MiB of
+    parquet per block, min 4 blocks) instead of Ray's CPU-count default:
+    small-sf tables otherwise shatter into 60+ sub-100-row blocks whose
+    per-task overhead dominates the pipeline (observed via ds.stats():
+    1.8k rows/s actual vs 110k rows/s estimated single-node).  Scales
+    naturally — a 100 GB table still gets ~25k blocks."""
+    import os as _os
+
+    path = _p(sf_dir, table)
+    try:
+        kw.setdefault("override_num_blocks", int(max(4, _os.path.getsize(path) // (4 << 20) + 1)))
+    except OSError:
+        pass
+    return rd.read_parquet(path, columns=columns, **kw)
+
+
 # =========================================================================
 # A. Aggregations (A1-A5) — TPC-H Q1 shape with partial aggregation
 # =========================================================================
@@ -140,7 +157,7 @@ def region_customer_rollup(sf_dir: str) -> pd.DataFrame:
             names = pc.take(self.vals, idx)
             return batch.append_column("r_name", names)
 
-    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
     ds = ds.map_batches(AddRegion, batch_format="pyarrow", concurrency=(1, 4))
     out = partial_grouped_sum(ds, ["r_name"], sums=["c_acctbal"], count_alias="n_customers").to_pandas()
     df = pd.DataFrame(
@@ -179,7 +196,7 @@ def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
         v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         return pa.array((v % num_buckets).astype(np.int32))
 
-    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
     orders = broadcast_filter(orders, "o_custkey", keys_ref, keep_in=True)
 
     def tag_orders(batch: pa.Table) -> pa.Table:
@@ -192,7 +209,7 @@ def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
         r = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
@@ -298,8 +315,8 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
 
     li_p = li.map_batches(li_partial, batch_format="pyarrow")
 
-    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_buckets=16)
     oc_slim = oc.map_batches(
         lambda t: pa.table({"o_orderkey": t["o_orderkey"], "c_nat": pc.cast(t["c_nationkey"], pa.int64())}),
@@ -346,7 +363,7 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     non-empty, hash-checked result instead of passing on 0 rows."""
     from ..stages.join import bloom_semi_anti
 
-    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
     def plant(batch: pa.Table) -> pa.Table:
         ids = batch["c_custkey"].to_numpy(zero_copy_only=False)
@@ -357,7 +374,7 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
         )
 
     aug = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
-    okeys = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+    okeys = _read(sf_dir, "orders", columns=["o_custkey"])
     out = bloom_semi_anti(aug, "c_custkey", okeys, "o_custkey", keep_in=False).to_pandas()
     if out.empty:  # schema-stable empty result
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")})
@@ -381,8 +398,8 @@ ORDER BY c_custkey
 def jaccard_adjacent_docs(sf_dir: str) -> pd.DataFrame:
     """Self hash-join documents on doc_id+1; char-set Jaccard per pair
     (matches DuckDB's jaccard()).  Exercises the bucketed join path."""
-    a = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    b = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    a = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    b = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def shift(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -419,7 +436,7 @@ ORDER BY a.doc_id
 # =========================================================================
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
     out = tumbling_window_agg(ds, "event_type", "ts", "value", window="hour").to_pandas()
     df = pd.DataFrame(
         {
@@ -440,7 +457,7 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def user_sessions(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     out = session_counts(ds, "user_id", "ts", pd.Timedelta(minutes=30)).to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
     out["n_sessions"] = out["n_sessions"].astype("int64")
@@ -484,7 +501,7 @@ ORDER BY ts, event_id LIMIT 100
 
 def first_event_per_key(sf_dir: str) -> pd.DataFrame:
     """Exact keyed dedup, first-wins (J5: seen_messages skip)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"])
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
     out = (
         ds.groupby(["user_id", "event_type"])
         .aggregate(Min("ts", alias_name="first_ts"), Count(alias_name="n"))
@@ -503,7 +520,7 @@ FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
 
 def top_users_by_events(sf_dir: str) -> pd.DataFrame:
     """Grouped count + top-k (no global sort: aggregate then head)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    ds = _read(sf_dir, "events", columns=["user_id"])
     out = partial_grouped_sum(ds, ["user_id"], count_alias="n").to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
     out["n"] = out["n"].astype("int64")
@@ -526,7 +543,7 @@ def token_stats_by_lang(sf_dir: str) -> pd.DataFrame:
 
     Token spec (oracle-exact): n = count(' ') + 1 over the raw text.
     """
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
 
     def toks(batch: pa.Table) -> pa.Table:
         n = pc.add(pc.count_substring(batch["text"], " "), 1)
@@ -559,7 +576,7 @@ FROM documents GROUP BY lang ORDER BY lang
 def quality_by_lang(sf_dir: str) -> pd.DataFrame:
     """Quality scoring: mean token length per lang (oracle-exact formula:
     (chars - spaces) / (spaces + 1), averaged)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
 
     def metrics(batch: pa.Table) -> pa.Table:
         chars = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
@@ -594,7 +611,7 @@ def bpe_token_stats(sf_dir: str) -> pd.DataFrame:
     marks, counted with the vectorized RE2 kernel
     ``pc.count_substring_regex`` — the exact regex engine DuckDB's
     ``regexp_extract_all`` uses, so the oracle matches by construction."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
 
     def toks(batch: pa.Table) -> pa.Table:
         n = pc.count_substring_regex(batch["text"], r"\w+|[^\w\s]")
@@ -630,7 +647,7 @@ def lang_id_counts(sf_dir: str) -> pd.DataFrame:
     SQL-expressible; determinism + tie-break are unit-tested."""
     from ..functions.textstats import lang_id
 
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
 
     def predict(batch: pa.Table) -> pa.Table:
         preds = [lang_id(t) for t in batch["text"].to_pylist()]
@@ -647,7 +664,7 @@ def lang_id_counts(sf_dir: str) -> pd.DataFrame:
 
 
 def source_stats(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "n_chars"])
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
     out = partial_grouped_sum(ds, ["source"], sums=["n_chars"], count_alias="n_docs").to_pandas()
     df = pd.DataFrame(
         {
@@ -669,7 +686,7 @@ FROM documents GROUP BY source ORDER BY source
 
 def normalized_sources(sf_dir: str) -> pd.DataFrame:
     """URL scheme-normalize + slug (M2/M3; tasks.py:343, utils.py:176-180)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source"])
+    ds = _read(sf_dir, "documents", columns=["source"])
     distinct = ds.unique("source")
 
     def norm(batch: pa.Table) -> pa.Table:
@@ -703,7 +720,7 @@ FROM documents ORDER BY source
 
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Exact content fingerprint per doc (md5; matches DuckDB md5())."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -724,7 +741,7 @@ SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
 
 
 def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = exact_dedup_stats(ds, "doc_id", "text").to_pandas()
     out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
     out["n_copies"] = out["n_copies"].astype("int64")
@@ -753,7 +770,7 @@ def knn_cosine_top10(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-k vs the vec_id=0 query (broadcast query,
     per-batch matmul, partial top-k)."""
     q = _load_query_vec(sf_dir)
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = brute_force_topk(ds, "vec_id", "embedding", q, k=10, exclude_id=0)
     return out.rename(columns={"cos_sim": "cos_sim"})[["vec_id", "cos_sim"]]
 
@@ -778,7 +795,7 @@ def knn_ivf_top10(sf_dir: str) -> pd.DataFrame:
     sample = pq.read_table(_p(sf_dir, "embeddings"), columns=["embedding"])
     M = _to_matrix(sample["embedding"].slice(0, 2048))
     cents = train_ivf_centroids(M, nlist=16, iters=5)
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ivf_topk(ds, "vec_id", "embedding", q, cents, k=10, nprobe=4, exclude_id=0)
 
 
@@ -809,14 +826,14 @@ def knn_ivf_indexed_top10(sf_dir: str) -> pd.DataFrame:
 
     if not _os.path.exists(done):
         shutil.rmtree(idx_dir, ignore_errors=True)
-        ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         build_ivf_index(ds, "vec_id", "embedding", cents, idx_dir)
         open(done, "w").close()
     return ivf_topk_indexed(idx_dir, "vec_id", "embedding", q, cents, k=10, nprobe=4, exclude_id=0)
 
 
 def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["label", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def first_comp(batch: pa.Table) -> pa.Table:
         first = pc.list_element(batch["embedding"], 0)
@@ -850,7 +867,7 @@ def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     operator demonstrably returns rows; the same plant is expressed in
     the SQL oracle, making this fully hash-checked despite LSH (recall
     miss prob ≈ 1.5e-8 per pair at the threshold)."""
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def plant(batch: pa.Table) -> pa.Table:
         from ..stages.knn import _to_matrix
@@ -908,7 +925,7 @@ def _augmented_docs(sf_dir: str) -> "rd.Dataset":
     """documents ∪ perturbed copies: each doc with doc_id % 10 == 0 gets
     a copy (doc_id + 10_000_000) with its last word dropped — planting a
     near-dup population whose recovery is oracle-verifiable."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def perturb(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -1014,7 +1031,7 @@ def clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
     doc_id per md5), token-count filter (≥ 20 tokens), per-lang counts.
     The composition is SQL-expressible, so the whole multi-stage
     pipeline is oracle-checked."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     # dedup winners stay a DATASET; the keep-set is applied by a bucketed
     # hash semi-join, not a driver-materialized broadcast list (r1 review
     # finding #6) — at 10^9 docs the winner set never fits the driver
@@ -1046,7 +1063,7 @@ GROUP BY lang ORDER BY lang
 
 def simhash_signatures(sf_dir: str) -> pd.DataFrame:
     """SimHash64 per doc (rows-only; deterministic)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(simhash_stage("doc_id", "text"), batch_format="pyarrow").to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     out["simhash"] = out["simhash"].astype("uint64")
@@ -1062,7 +1079,7 @@ def image_decode_meta(sf_dir: str) -> pd.DataFrame:
 
     The 'image' payload is the utf-8 text bytes (deterministic stand-in;
     the decode stub derives dims from byte length → oracle-exact)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_payload(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1110,7 +1127,7 @@ ORDER BY doc_id, frame_idx
 def frame_samples(sf_dir: str) -> pd.DataFrame:
     """Frame-sampling stage over binary 'video' payloads.  The stub's
     frame arithmetic is pure → fully oracle-checked (r1: rows-only)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_payload(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1133,7 +1150,7 @@ def frame_samples(sf_dir: str) -> pd.DataFrame:
 
 def parts_by_brand(sf_dir: str) -> pd.DataFrame:
     """Grouped stats over part (brand rollup, partial-agg pattern)."""
-    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_brand", "p_retailprice", "p_size"])
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
     out = partial_grouped_sum(
         ds, ["p_brand"], sums=["p_retailprice"], count_alias="n_parts", maxs=["p_size"]
     ).to_pandas()
@@ -1168,7 +1185,7 @@ def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
         idx = pc.index_in(batch["s_nationkey"], value_set=keys)
         return pa.table({"n_name": pc.take(vals, idx), "s_acctbal": batch["s_acctbal"]})
 
-    ds = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+    ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
     out = partial_grouped_sum(
         ds.map_batches(add_nation, batch_format="pyarrow"), ["n_name"], sums=["s_acctbal"], count_alias="n_suppliers"
     ).to_pandas()
@@ -1194,7 +1211,7 @@ def props_k_stats(sf_dir: str) -> pd.DataFrame:
     handling made columnar): per event_type stats of props.k."""
     import json as _json
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
 
     def extract_k(batch: pa.Table) -> pa.Table:
         ks = np.fromiter(
@@ -1233,7 +1250,7 @@ def asof_last_click(sf_dir: str) -> pd.DataFrame:
     """
     from ..stages.asof import asof_join
 
-    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"])
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
     errors = ev.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "error")).drop_columns(["event_type"]),
         batch_format="pyarrow",
@@ -1274,7 +1291,7 @@ def events_rolling_sum(sf_dir: str) -> pd.DataFrame:
     """Running per-user cumulative sum over the ts-ordered event log
     (groupby(user) shuffle + per-group vectorized cumsum); oracle:
     SQL window function."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
@@ -1302,7 +1319,7 @@ def hash_sampled_events(sf_dir: str) -> pd.DataFrame:
     """Deterministic ~6% hash sample (md5 of the key; reproducible on
     any engine — unlike seeded RNG sampling, the SQL oracle reproduces
     it exactly)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id"])
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
 
     def sample(batch: pa.Table) -> pa.Table:
         ids = batch["event_id"].to_pylist()
@@ -1329,7 +1346,7 @@ def users_in_both_types(sf_dir: str) -> pd.DataFrame:
     No distinct-set ever lands on the driver (r1 review finding #3)."""
     from ray.data.aggregate import Max
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def flags(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -1373,7 +1390,7 @@ def llm_extract_stub(sf_dir: str) -> pd.DataFrame:
     from ..stages.llm import LLMExtractStage
 
     schema = {"properties": {"summary": {"type": "string"}, "n_words": {"type": "integer"}}}
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(
         LLMExtractStage,
         fn_constructor_args=(schema, "summarize", "text", "doc_id"),
