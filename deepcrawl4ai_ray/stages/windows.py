@@ -48,20 +48,36 @@ def session_counts(
     key_col: str,
     ts_col: str,
     gap: pd.Timedelta,
+    num_buckets: int = 16,
 ):
     """Sessions per key: a new session starts when the gap to the
     previous event (per key, ts-ordered) exceeds ``gap``.
 
-    One groupby(key) shuffle; per-group state fits easily (a user's
-    events).  Returns Dataset(key, n_sessions).
+    Bucketed: ONE groupby over hash(key) % num_buckets (a few large
+    groups, not one python call per key), then fully-vectorized
+    sessionization inside each bucket — sort by (key, ts), a session
+    start is a key change OR a gap breach, per-key session count is a
+    grouped sum of starts.  Returns Dataset(key, n_sessions).
     """
+    import numpy as np
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g[ts_col].sort_values()
-        new_sessions = (ts.diff() > gap).sum()
-        return pd.DataFrame({key_col: [g[key_col].iloc[0]], "n_sessions": [int(new_sessions) + 1]})
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column("__b", pa.array((v % num_buckets).astype(np.int32)))
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        new_key = g[key_col].ne(g[key_col].shift())
+        gap_breach = (g[ts_col] - g[ts_col].shift()) > gap
+        starts = new_key | gap_breach
+        ns = starts.groupby(g[key_col].to_numpy()).sum()
+        return pd.DataFrame({key_col: ns.index, "n_sessions": ns.to_numpy().astype("int64")})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def ready_queue(
