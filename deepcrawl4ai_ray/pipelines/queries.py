@@ -353,6 +353,179 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: revenue between (supplier nation, customer
+    nation) pairs in {(NATION_6, NATION_7), (NATION_7, NATION_6)} by
+    ship year.  Same plan family as q5: fact⋈fact via bucketed
+    hash_join (orders⋈customer, then lineitem-partials⋈that), supplier
+    and nation broadcast with vectorized index_in lookups, lineitem
+    revenue PRE-FILTERED to the two supplier nations and pre-aggregated
+    per (orderkey, supp_nation, year) before its shuffle."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_p(sf_dir, "nation"))
+    n2name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    want = {"NATION_6", "NATION_7"}
+    want_keys = pa.array(sorted(k for k, v in n2name.items() if v in want), pa.int64())
+    nk_arr = pc.cast(nation["n_nationkey"].combine_chunks(), pa.int64())
+    nname_arr = nation["n_name"].combine_chunks()
+    supp = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    supp_ref = ray.put(supp)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        s = ray.get(supp_ref)
+        idx = pc.index_in(batch["l_suppkey"], value_set=s["s_suppkey"].combine_chunks())
+        s_nat = pc.cast(pc.take(s["s_nationkey"].combine_chunks(), idx), pa.int64())
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        yr = pc.cast(pc.year(batch["l_shipdate"]), pa.int32())
+        t = pa.table(
+            {"l_orderkey": batch["l_orderkey"], "s_nat": s_nat, "l_year": yr, "rev": rev}
+        ).filter(pc.is_in(s_nat, value_set=want_keys))
+        return (
+            t.group_by(["l_orderkey", "s_nat", "l_year"])
+            .aggregate([("rev", "sum")])
+            .rename_columns(["l_orderkey", "s_nat", "l_year", "rev"])
+        )
+
+    li_p = li.map_batches(li_partial, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_buckets=16)
+    oc_slim = oc.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "c_nat": pc.cast(t["c_nationkey"], pa.int64())}
+        ).filter(pc.is_in(pc.cast(t["c_nationkey"], pa.int64()), value_set=want_keys)),
+        batch_format="pyarrow",
+    )
+    j = hash_join(li_p, oc_slim, on="l_orderkey", right_on="o_orderkey", num_buckets=16)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = batch.filter(pc.not_equal(batch["s_nat"], batch["c_nat"]))  # cross-nation pairs only
+        sn = pc.take(nname_arr, pc.index_in(m["s_nat"], value_set=nk_arr))
+        cn = pc.take(nname_arr, pc.index_in(m["c_nat"], value_set=nk_arr))
+        return pa.table({"supp_nation": sn, "cust_nation": cn, "l_year": m["l_year"], "rev": m["rev"]})
+
+    out = partial_grouped_sum(
+        j.map_batches(finish, batch_format="pyarrow"), ["supp_nation", "cust_nation", "l_year"], sums=["rev"]
+    ).to_pandas()
+    if out.empty or "supp_nation" not in out.columns:  # schema-stable empty
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series(dtype="object"),
+                "cust_nation": pd.Series(dtype="object"),
+                "l_year": pd.Series(dtype="int32"),
+                "revenue": pd.Series(dtype="float64"),
+            }
+        )
+    df = pd.DataFrame(
+        {
+            "supp_nation": out["supp_nation"],
+            "cust_nation": out["cust_nation"],
+            "l_year": out["l_year"].astype("int32"),
+            "revenue": out["sum_rev"].round(2),
+        }
+    )
+    return df.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_6')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def top3_events_per_user(sf_dir: str) -> pd.DataFrame:
+    """Windowed rank (§2.6 beyond-reference): top-3 events by (value
+    desc, event_id asc) per user — one hash-bucket shuffle, vectorized
+    per-bucket rank via sorted cumcount (no per-user python)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    num_buckets = 16
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column("__b", pa.array((v % num_buckets).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(value_r=g["value"].round(4)).sort_values(
+            ["user_id", "value_r", "event_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        g["rn"] = g.groupby("user_id").cumcount() + 1
+        out = g[g["rn"] <= 3]
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "event_id": out["event_id"].astype("int64"),
+                "value_r": out["value_r"],
+                "rn": out["rn"].astype("int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "rn"]).reset_index(drop=True)
+
+
+_TOP3_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, ROUND(value, 4) AS value_r,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ROUND(value, 4) DESC, event_id) AS rn
+  FROM events)
+SELECT user_id, event_id, value_r, rn FROM r WHERE rn <= 3
+ORDER BY user_id, rn
+"""
+
+
+def value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped exact quantiles (median / p90 of value per event_type):
+    groupby(type).map_groups with numpy linear interpolation — the same
+    interpolation as DuckDB's quantile_cont, so hash-exact.  At corpus
+    scale swap the exact per-group sort for a t-digest partial merge;
+    the group count here is tiny so exact is the right plan."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [np.int64(len(v))],
+                "p50": [round(float(np.quantile(v, 0.5)), 4)],
+                "p90": [round(float(np.quantile(v, 0.9)), 4)],
+            }
+        )
+
+    out = ds.groupby("event_type").map_groups(per_type, batch_format="pandas").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_QUANTILES_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     """Anti join (J4 seen-set shape) on the 10^9-key plan: Bloom
     prescreen (built distributed over the orders keys, driver holds only
@@ -1500,6 +1673,9 @@ QUERIES = {
     "region_customer_rollup": region_customer_rollup,
     "q3_top_revenue": q3_top_revenue,
     "q5_region_revenue": q5_region_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "top3_events_per_user": top3_events_per_user,
+    "value_quantiles_by_type": value_quantiles_by_type,
     "customers_without_orders": customers_without_orders,
     "jaccard_adjacent_docs": jaccard_adjacent_docs,
     "events_hourly": events_hourly,
@@ -1545,6 +1721,9 @@ ORACLES = {
     "region_customer_rollup": _REGION_CUSTOMER_SQL,
     "q3_top_revenue": _Q3_SQL,
     "q5_region_revenue": _Q5_SQL,
+    "q7_volume_shipping": _Q7_SQL,
+    "top3_events_per_user": _TOP3_SQL,
+    "value_quantiles_by_type": _QUANTILES_SQL,
     "customers_without_orders": _ANTI_SQL,
     "jaccard_adjacent_docs": _JACCARD_ADJ_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
