@@ -526,6 +526,35 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped distinct count — two-level: per-batch unique
+    (type, user) pairs via Arrow group_by, one groupby shuffle of the
+    deduped PAIRS (never raw events), then a grouped count.  The
+    approximate path for 100 TB cardinalities is the HyperLogLog sketch
+    (state/hll.hll_grouped_distinct — partials merge register-wise, only
+    2^p bytes per group move; accuracy test in tests/test_state.py)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def uniq_pairs(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["event_type", "user_id"])
+            .aggregate([([], "count_all")])
+            .select(["event_type", "user_id"])
+        )
+
+    pairs = ds.map_batches(uniq_pairs, batch_format="pyarrow")
+    deduped = pairs.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="__c"))
+    out = partial_grouped_sum(deduped, ["event_type"], count_alias="n_distinct_users").to_pandas()
+    out["n_distinct_users"] = out["n_distinct_users"].astype("int64")
+    return out[["event_type", "n_distinct_users"]].sort_values("event_type").reset_index(drop=True)
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     """Anti join (J4 seen-set shape) on the 10^9-key plan: Bloom
     prescreen (built distributed over the orders keys, driver holds only
@@ -1674,6 +1703,7 @@ QUERIES = {
     "q3_top_revenue": q3_top_revenue,
     "q5_region_revenue": q5_region_revenue,
     "q7_volume_shipping": q7_volume_shipping,
+    "distinct_users_by_type": distinct_users_by_type,
     "top3_events_per_user": top3_events_per_user,
     "value_quantiles_by_type": value_quantiles_by_type,
     "customers_without_orders": customers_without_orders,
@@ -1722,6 +1752,7 @@ ORACLES = {
     "q3_top_revenue": _Q3_SQL,
     "q5_region_revenue": _Q5_SQL,
     "q7_volume_shipping": _Q7_SQL,
+    "distinct_users_by_type": _DISTINCT_USERS_SQL,
     "top3_events_per_user": _TOP3_SQL,
     "value_quantiles_by_type": _QUANTILES_SQL,
     "customers_without_orders": _ANTI_SQL,

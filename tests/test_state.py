@@ -162,3 +162,61 @@ class TestFrontierShard:
         stats = sh.finalize_round()
         assert stats["overflow_dropped"] == 15
         assert sh.frontier_size() == 5
+
+
+class TestHyperLogLog:
+    def test_accuracy_and_merge(self):
+        import numpy as np
+
+        from deepcrawl4ai_ray.state.hll import HyperLogLog
+
+        import pandas as pd
+
+        rng = np.random.default_rng(5)
+        raw = rng.integers(0, 2**63, size=1_000_000, dtype=np.int64)
+        keys = pd.util.hash_array(raw)  # the contract: pre-hashed uint64
+        true = len(np.unique(keys))
+        whole = HyperLogLog(12)
+        whole.add_many(keys)
+        est = whole.estimate()
+        assert abs(est - true) / true < 0.05  # ~3σ at p=12
+
+        # partial merge must equal the single-pass sketch exactly
+        parts = [HyperLogLog(12) for _ in range(8)]
+        for i, hp in enumerate(parts):
+            hp.add_many(keys[i::8])
+        acc = parts[0]
+        for hp in parts[1:]:
+            acc.merge(hp)
+        assert (acc.registers == whole.registers).all()
+
+    def test_small_range_linear_counting(self):
+        import numpy as np
+
+        from deepcrawl4ai_ray.state.hll import HyperLogLog
+
+        import pandas as pd
+
+        h = HyperLogLog(12)
+        h.add_many(pd.util.hash_array(np.arange(100, dtype=np.int64)))
+        assert abs(h.estimate() - 100) < 5
+
+    def test_grouped_distinct_vs_exact(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.state.hll import hll_grouped_distinct
+
+        rng = np.random.default_rng(6)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, size=50_000),
+                "v": rng.integers(0, 5_000, size=50_000),
+            }
+        )
+        approx = hll_grouped_distinct(rd.from_pandas(df), "k", "v", p=12)
+        exact = df.groupby("k")["v"].nunique()
+        for _, row in approx.iterrows():
+            t = exact[row["k"]]
+            assert abs(row["approx_distinct"] - t) / t < 0.05
