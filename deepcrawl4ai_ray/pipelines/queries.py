@@ -889,7 +889,16 @@ FROM documents GROUP BY source ORDER BY source
 def normalized_sources(sf_dir: str) -> pd.DataFrame:
     """URL scheme-normalize + slug (M2/M3; tasks.py:343, utils.py:176-180)."""
     ds = _read(sf_dir, "documents", columns=["source"])
-    distinct = ds.unique("source")
+    # distributed distinct: per-batch unique -> groupby(source) — the
+    # source/host cardinality can be millions at corpus scale, so no
+    # driver-side unique() list (scale-shape fix, r2)
+    distinct = (
+        ds.map_batches(
+            lambda t: pa.table({"source": pc.unique(t["source"])}), batch_format="pyarrow"
+        )
+        .groupby("source")
+        .aggregate(Count(alias_name="__c"))
+    )
 
     def norm(batch: pa.Table) -> pa.Table:
         src = batch["source"].to_pylist()
@@ -903,12 +912,7 @@ def normalized_sources(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    # unique() returns a list of values in recent Ray; normalize via from_items
-    if isinstance(distinct, list):
-        tbl = pa.table({"source": pa.array(sorted(distinct), pa.string())})
-        out = norm(tbl).to_pandas()
-    else:
-        out = distinct.map_batches(norm, batch_format="pyarrow").to_pandas()
+    out = distinct.map_batches(norm, batch_format="pyarrow").to_pandas()
     return out.sort_values("source").reset_index(drop=True)
 
 
@@ -1490,22 +1494,35 @@ ORDER BY e.event_id
 
 
 def events_rolling_sum(sf_dir: str) -> pd.DataFrame:
-    """Running per-user cumulative sum over the ts-ordered event log
-    (groupby(user) shuffle + per-group vectorized cumsum); oracle:
-    SQL window function."""
+    """Running per-user cumulative sum over the ts-ordered event log:
+    ONE hash-bucket shuffle, then fully-vectorized per-bucket cumsum
+    (sort by (user, ts, id), pandas grouped cumsum — no per-user python
+    calls; same bucketing discipline as session_counts).  Oracle: SQL
+    window function."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    num_buckets = 16
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column("__b", pa.array((v % num_buckets).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        running = g.groupby("user_id", sort=False)["value"].cumsum().round(2)
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].astype("int64"),
                 "user_id": g["user_id"].astype("int64"),
-                "running_value": g["value"].cumsum().round(2),
+                "running_value": running,
             }
         )
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values("event_id").reset_index(drop=True)
 
 
