@@ -180,7 +180,10 @@ GROUP BY r_name ORDER BY r_name
 
 def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q3 shape in ONE shuffle: semi-filter orders by BUILDING
-    customers (broadcast key set), per-batch partial lineitem revenue,
+    customers (broadcast key set — at cardinalities where the segment's
+    customer keys no longer broadcast, swap in stages/join.bloom_semi_anti
+    with keep_in=True: same semantics, bloom prescreen + exact verify),
+    per-batch partial lineitem revenue,
     then bucket BOTH sides by hash(orderkey) and union — a single
     groupby(bucket) co-locates each key's order row and revenue
     partials; map_groups finishes the aggregation and the join together.

@@ -192,6 +192,20 @@ class TestRetryDeadLetter:
         assert resumed.column("fetch_seq").to_pylist() == full.column("fetch_seq").to_pylist()
 
 
+class TestDiskModeEquivalence:
+    def test_disk_mode_matches_object_store_mode(self, ray_session, tiny_corpus):
+        """corpus_in_object_store=False (column-pruned parquet reads +
+        per-process LRU instead of pinned plasma refs) must produce the
+        identical crawl — the fallback when the corpus exceeds plasma."""
+        _, plasma = _run(tiny_corpus, "/tmp/dc4r_test/mode_plasma", max_rounds=4)
+        _, disk = _run(
+            tiny_corpus, "/tmp/dc4r_test/mode_disk", max_rounds=4, corpus_in_object_store=False
+        )
+        assert plasma.column("url").to_pylist() == disk.column("url").to_pylist()
+        assert plasma.column("text").to_pylist() == disk.column("text").to_pylist()
+        assert plasma.column("status").to_pylist() == disk.column("status").to_pylist()
+
+
 class TestPageStoreSeam:
     def test_custom_page_store_is_a_drop_in(self, ray_session, tiny_corpus):
         """The transport seam: a PageStore serving from a python dict
