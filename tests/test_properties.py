@@ -133,3 +133,81 @@ class TestFrontierInvariants:
             yielded.extend(sel["url"])
         assert len(yielded) == len(set(yielded))  # never double-yielded
         assert len(yielded) + sh.frontier_size() == total_inserts
+
+
+class TestCuckooSemanticsOracle:
+    @given(st.integers(0, 2**31), st.integers(2, 6))
+    @settings(max_examples=15, deadline=None)
+    def test_bulk_insert_matches_sequential_semantics(self, seed, dup_stride):
+        """The vectorized add_if_absent_many must report exactly the
+        first-occurrence-wins outcome of the canonical (bucket-set, fp)
+        membership model — including intra-batch duplicates and
+        past-saturation overflow stash behavior."""
+        rng = np.random.default_rng(seed)
+        cf = CuckooFilter(2_000)
+        seen = set()
+        for _ in range(6):
+            h = rng.integers(1, 2**63, size=997, dtype=np.int64).astype(np.uint64)
+            h[::dup_stride] = h[0]  # heavy intra-batch duplication
+            got = cf.add_if_absent_many(h)
+            fp = (h >> np.uint64(48)).astype(np.uint16)
+            fp[fp == 0] = 1
+            i1 = (h & np.uint64(cf.num_buckets - 1)).astype(np.uint64)
+            i2 = (i1 ^ (fp.astype(np.uint64) * np.uint64(0x5BD1E995))) & np.uint64(cf.num_buckets - 1)
+            canon = (np.minimum(i1, i2) << np.uint64(16)) | fp.astype(np.uint64)
+            for j in range(len(h)):
+                c = int(canon[j])
+                assert bool(got[j]) == (c not in seen)
+                seen.add(c)
+
+
+class TestHashJoinRandomized:
+    @given(st.integers(0, 2**31), st.sampled_from(["inner", "left"]))
+    @settings(max_examples=10, deadline=None)
+    def test_matches_pandas_merge(self, seed, how):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.join import hash_join
+
+        rng = np.random.default_rng(seed)
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 40, size=rng.integers(1, 120)).astype(np.int64),
+            }
+        )
+        left["a"] = np.arange(len(left), dtype=np.int64)
+        right = pd.DataFrame(
+            {"k2": rng.integers(0, 40, size=rng.integers(1, 120)).astype(np.int64)}
+        )
+        right["b"] = np.arange(len(right), dtype=np.int64)
+        got = (
+            hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="k2", how=how, num_buckets=8)
+            .to_pandas()
+        )
+        want = left.merge(right, left_on="k", right_on="k2", how=how)
+        key = ["k", "a", "b"]
+        got_s = got[key].fillna(-1).sort_values(key).reset_index(drop=True).astype("int64")
+        want_s = want[key].fillna(-1).sort_values(key).reset_index(drop=True).astype("int64")
+        pd.testing.assert_frame_equal(got_s, want_s)
+
+    @given(st.integers(0, 2**31))
+    @settings(max_examples=5, deadline=None)
+    def test_chained_joins_random(self, seed):
+        """join → project → join keeps every key (the r2 float-promotion
+        regression class)."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.join import hash_join
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(20, 200))
+        a = pd.DataFrame({"k": np.arange(n, dtype=np.int64), "x": rng.integers(0, 9, n).astype(np.int64)})
+        b = pd.DataFrame({"k2": np.arange(n, dtype=np.int64), "y": rng.integers(0, 9, n).astype(np.int64)})
+        j1 = hash_join(rd.from_pandas(a), rd.from_pandas(b), on="k", right_on="k2", num_buckets=8)
+        slim = j1.map_batches(lambda t: pa.table({"k2": t["k2"], "z": t["y"]}), batch_format="pyarrow")
+        c = pd.DataFrame({"k": np.arange(n, dtype=np.int64), "w": np.zeros(n, dtype=np.int64)})
+        j2 = hash_join(rd.from_pandas(c), slim, on="k", right_on="k2", num_buckets=8)
+        assert j2.count() == n
