@@ -418,10 +418,14 @@ class Crawler:
     def _write_checkpoint(self, r: int) -> None:
         ck_dir = os.path.join(self.out_dir, "checkpoint", f"round={r:05d}.tmp")
         os.makedirs(ck_dir, exist_ok=True)
-        blobs = ray.get([s.serialize.remote() for s in self.shards])
-        for s, blob in enumerate(blobs):
-            with open(os.path.join(ck_dir, f"shard={s:03d}.bin"), "wb") as f:
-                f.write(blob)
+        # shards write their own files in parallel — no blob transfer
+        # through the object store, no serial driver-side write loop
+        ray.get(
+            [
+                s.save_to.remote(os.path.join(ck_dir, f"shard={i:03d}.bin"))
+                for i, s in enumerate(self.shards)
+            ]
+        )
         meta = {
             "round": r,
             "fetch_seq": self.fetch_seq,
@@ -458,11 +462,12 @@ class Crawler:
         cfg.num_shards = meta["num_shards"]
         cfg.hot_hosts = meta.get("hot_hosts", {})
         obj = cls(corpus_dir, out_dir, cfg)
-        refs = []
-        for s in range(cfg.num_shards):
-            with open(os.path.join(ck, f"shard={s:03d}.bin"), "rb") as f:
-                refs.append(obj.shards[s].load_checkpoint.remote(f.read()))
-        ray.get(refs)
+        ray.get(
+            [
+                obj.shards[s].load_from.remote(os.path.join(ck, f"shard={s:03d}.bin"))
+                for s in range(cfg.num_shards)
+            ]
+        )
         obj.next_round = meta["round"] + 1
         obj.fetch_seq = meta["fetch_seq"]
         obj.total_fetched = meta["total_fetched"]

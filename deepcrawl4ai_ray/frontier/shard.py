@@ -306,3 +306,16 @@ class FrontierShard:
         other = FrontierShard.restore(data)
         self.__dict__.update(other.__dict__)
         return self.shard_id
+
+    # shard-side checkpoint IO: the blob never crosses the object store —
+    # each shard writes/reads its own file on the shared output FS (the
+    # same shared-FS assumption the parquet sinks already make)
+    def save_to(self, path: str) -> int:
+        blob = self.serialize()
+        with open(path, "wb") as f:
+            f.write(blob)
+        return len(blob)
+
+    def load_from(self, path: str) -> int:
+        with open(path, "rb") as f:
+            return self.load_checkpoint(f.read())
