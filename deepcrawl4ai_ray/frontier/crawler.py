@@ -136,7 +136,10 @@ class _Router:
         cand_prio: List[int] = []
         for links, p in zip(links_col, prios):
             for u in links:
-                urls.append(normalize_url(u))
+                # links arrive ALREADY normalized by extract_links (and
+                # normalize_url is idempotent — property-tested), so no
+                # second normalization pass here
+                urls.append(u)
                 cand_prio.append(p + 1)  # discovered depth = parent + 1
         if urls:
             arr = np.asarray(urls, dtype=object)
