@@ -36,7 +36,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("gen-corpus", help="generate a synthetic web corpus tier", parents=[common])
-    g.add_argument("--tier", choices=["tiny", "small", "bench"], default="tiny")
+    g.add_argument("--tier", choices=["tiny", "small", "bench", "benchx3"], default="tiny")
     g.add_argument("--out", default=None)
     g.add_argument("--force", action="store_true")
 
@@ -50,6 +50,13 @@ def main(argv=None):
     c.add_argument("--round-ms", type=int, default=10_000)
     c.add_argument("--bloom-prescreen", action="store_true")
     c.add_argument("--no-checkpoint", action="store_true")
+    c.add_argument("--max-retries", type=int, default=0)
+    c.add_argument("--stop-file", default=None, help="touch this file to stop after the current round")
+
+    t = sub.add_parser("tail", help="stream crawl progress as NDJSON (manifest tail)")
+    t.add_argument("--out", required=True)
+    t.add_argument("--poll-s", type=float, default=0.5)
+    t.add_argument("--idle-limit", type=int, default=None, help="stop after N empty polls (default: forever)")
 
     q = sub.add_parser("query", help="run a registered pipeline", parents=[common])
     q.add_argument("name")
@@ -76,6 +83,8 @@ def main(argv=None):
             round_ms=args.round_ms,
             bloom_prescreen=args.bloom_prescreen,
             checkpoint=not args.no_checkpoint,
+            max_retries=args.max_retries,
+            stop_file=args.stop_file,
         )
         if args.resume:
             crawler = Crawler.resume(args.corpus, args.out, cfg)
@@ -84,6 +93,14 @@ def main(argv=None):
         res = crawler.run()
         crawler.kill_shards()
         print(json.dumps(res))
+        return 0
+
+    if args.cmd == "tail":
+        # no Ray needed: reads published manifest files only (K5/SSE analog)
+        from .frontier.crawler import iter_progress
+
+        for row in iter_progress(args.out, poll_s=args.poll_s, stop_after_idle=args.idle_limit):
+            print(json.dumps(row), flush=True)
         return 0
 
     if args.cmd == "query":

@@ -525,6 +525,35 @@ def read_crawl_output(out_dir: str) -> pa.Table:
     return tbl.sort_by("fetch_seq")
 
 
+def iter_progress(out_dir: str, poll_s: float = 0.5, stop_after_idle: Optional[int] = None):
+    """Live progress tail — the reference's SSE/NDJSON job-progress
+    stream (utils.py:272-300, job.py:396-516) re-expressed over the
+    manifest partition: yields one dict per (round, shard) manifest row
+    as round files are atomically published (rounds arrive in order
+    because publishes are ordered).  Polls until ``stop_after_idle``
+    consecutive empty polls (None = tail forever).  Safe to run in a
+    separate process from the crawl — it only reads published files."""
+    import glob as _glob
+    import time as _time
+
+    seen: set = set()
+    idle = 0
+    while True:
+        files = sorted(_glob.glob(os.path.join(out_dir, "manifest", "round=*.parquet")))
+        new = [f for f in files if f not in seen]
+        if new:
+            idle = 0
+            for f in new:
+                seen.add(f)
+                for row in pq.read_table(f).to_pylist():
+                    yield row
+        else:
+            idle += 1
+            if stop_after_idle is not None and idle >= stop_after_idle:
+                return
+            _time.sleep(poll_s)
+
+
 def read_dead_letters(out_dir: str) -> pa.Table:
     """All retry-exhausted urls across rounds (url, retries, lineage)."""
     import glob

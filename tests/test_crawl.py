@@ -192,6 +192,39 @@ class TestRetryDeadLetter:
         assert resumed.column("fetch_seq").to_pylist() == full.column("fetch_seq").to_pylist()
 
 
+class TestProgressTail:
+    def test_tail_sees_all_rows_live(self, ray_session, tiny_corpus):
+        """iter_progress (the SSE/NDJSON progress analog) must observe
+        every (round, shard) manifest row, in round order, while the
+        crawl is STILL RUNNING (live tail, not post-hoc read)."""
+        import threading
+
+        from deepcrawl4ai_ray.frontier.crawler import iter_progress
+
+        out_dir = "/tmp/dc4r_test/tail"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        rows = []
+        collector_done = threading.Event()
+
+        def collect():
+            # generous idle budget: the tail must outlive inter-round gaps
+            for row in iter_progress(out_dir, poll_s=0.05, stop_after_idle=200):
+                rows.append(row)
+            collector_done.set()
+
+        th = threading.Thread(target=collect, daemon=True)
+        th.start()
+        cfg = CrawlConfig(**{**CFG, "max_rounds": 4})
+        c = Crawler(tiny_corpus, out_dir, cfg)
+        res = c.run()
+        c.kill_shards()
+        assert collector_done.wait(timeout=30)
+        assert len(rows) == res["rounds"] * CFG["num_shards"]
+        rounds_seen = [r["round"] for r in rows]
+        assert rounds_seen == sorted(rounds_seen)  # atomic publish order
+        assert sum(r["fetched"] for r in rows) == res["total_fetched"]
+
+
 class TestDiskModeEquivalence:
     def test_disk_mode_matches_object_store_mode(self, ray_session, tiny_corpus):
         """corpus_in_object_store=False (column-pruned parquet reads +
