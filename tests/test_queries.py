@@ -86,3 +86,24 @@ def test_extract_corpus_text_matches_oracle_column(ray_session, tiny_corpus):
     )
     for u, t in zip(pages["url"].to_pylist(), pages["text"].to_pylist()):
         assert got[u] == md5_hex(t)
+
+
+def test_lang_id_counts_matches_local_computation(ray_session):
+    """Rows-only query cross-checked against a driver-side pandas
+    computation of the same confusion counts."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from deepcrawl4ai_ray.functions.textstats import lang_id
+    from deepcrawl4ai_ray.pipelines.queries import lang_id_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = lang_id_counts(sf)
+    df = pq.read_table(f"{sf}/documents.parquet", columns=["lang", "text"]).to_pandas()
+    df["pred"] = df["text"].map(lang_id)
+    want = (
+        df.groupby(["lang", "pred"]).size().reset_index(name="n")
+        .sort_values(["lang", "pred"]).reset_index(drop=True)
+    )
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
