@@ -97,6 +97,15 @@ def _route_shards(urls: np.ndarray, hosts: np.ndarray, num_shards: int, hot_host
     CONSECUTIVE from the host's base shard, guaranteeing exactly
     min(s, num_shards) distinct shards (a salted-name rehash would
     birthday-collide, e.g. s=2 can land both salts on one shard).
+
+    Salting is FIXED for the life of a crawl (checkpoint-persisted in
+    meta.json) by design: changing a host's salt factor mid-crawl would
+    re-route urls whose seen-set entries live on the pre-change shard,
+    silently breaking exact dedup (duplicate fetches).  An adaptive
+    variant would need membership authority decoupled from queue
+    placement — base-shard dedup with deterministic forwarding of new
+    urls to salted queue shards — which is the documented extension
+    point, not the default.
     """
     sid = (hash64(hosts) % np.uint64(num_shards)).astype(np.int64)
     if hot_hosts:
