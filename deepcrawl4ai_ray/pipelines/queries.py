@@ -1164,7 +1164,10 @@ def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
 # word-3-shingle jaccard over documents ∪ perturbed copies.  Tokens =
 # regexp \w+ on lower(text) (identical to functions.hashing.tokens for
 # this ASCII corpus; RE2 \w is ASCII — python \w is unicode, so non-ascii
-# corpora would need [a-z0-9_] pinned on both sides).
+# corpora would need [a-z0-9_] pinned on both sides).  NOTE: this oracle
+# (like the embedding all-pairs one) is O(N²) SQL by design — it is the
+# exactness reference at the sf0.01 driver-gate scale; the ENGINE side
+# stays O(LSH candidates) and runs sf0.1 in ~7 s.
 _MINHASH_PAIRS_SQL = """
 WITH aug AS (
   SELECT doc_id, text FROM documents
