@@ -141,11 +141,12 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
     # ---- generic operator queries over $GRAFT_SF_DIR --------------------
     if os.environ.get("DCR_BENCH_SKIP_QUERIES"):  # scaling legs: headline only
-        total = round(sum(results["queries"].values()), 3)
         results.update(
             {
-                "metric": "pipeline_suite_sec",
-                "value": total,
+                # no operator queries ran on this leg — report the scaling
+                # headline as THE metric (not a misleading 0-query suite sum)
+                "metric": "scaling_headline_sec",
+                "value": round(t_extract + t_crawl, 3),
                 "unit": "sec",
                 "sf": sf_dir,
                 "num_cpus": num_cpus,
@@ -264,7 +265,7 @@ def main():
                 DCR_BENCH_SKIP_QUERIES="1",
             )
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
+                [sys.executable, os.path.abspath(__file__), "--once"],
                 env=env,
                 capture_output=True,
                 text=True,
@@ -314,7 +315,40 @@ def main():
         )
         return
 
-    print(json.dumps(run_bench(num_cpus, sf_dir)))
+    # Default (official) mode: median-of-N fresh-process runs — this
+    # shared box shows ±40% run-to-run noise (BASELINE.md), so a single
+    # run mis-states the engine (r2's official artifact was a bad-window
+    # sample).  Each run is a fresh process (cold Ray session, same
+    # discipline as --scaling); the emitted line is the median run's full
+    # detail plus min/max spread fields.  DCR_BENCH_RUNS=1 for quick
+    # iteration; "--once" = in-process single run (child mode).
+    if "--once" in sys.argv or os.environ.get("DCR_BENCH_ONCE"):
+        print(json.dumps(run_bench(num_cpus, sf_dir)))
+        return
+
+    import subprocess
+
+    n_runs = int(os.environ.get("DCR_BENCH_RUNS", "3"))
+    if n_runs <= 1:
+        print(json.dumps(run_bench(num_cpus, sf_dir)))
+        return
+    runs = []
+    for _ in range(n_runs):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--once"],
+            env=dict(os.environ),
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        runs.append(json.loads(out.strip().splitlines()[-1]))
+    runs.sort(key=lambda r: r["value"])
+    med = runs[len(runs) // 2]
+    med["value_runs"] = [r["value"] for r in sorted(runs, key=lambda r: r["value"])]
+    med["value_min"] = runs[0]["value"]
+    med["value_max"] = runs[-1]["value"]
+    med["runs"] = n_runs
+    print(json.dumps(med))
 
 
 if __name__ == "__main__":

@@ -255,11 +255,18 @@ class Crawler:
         self.fetch_seq = 0
         self._stop = False
         self._writer = None  # background round-publish thread (throughput mode)
+        self._writer_exc: Optional[BaseException] = None
 
     def _join_writer(self) -> None:
+        """Join the background publish thread and FAIL LOUDLY if it raised:
+        a publish error (disk full, rename failure) must not let run()
+        return success while the round's pages were silently lost."""
         if self._writer is not None:
             self._writer.join()
             self._writer = None
+            if self._writer_exc is not None:
+                exc, self._writer_exc = self._writer_exc, None
+                raise RuntimeError("background round publish failed") from exc
 
     def _host_delays(self) -> Dict[str, int]:
         path = os.path.join(self.corpus_dir, "robots.parquet")
@@ -394,7 +401,14 @@ class Crawler:
 
             routed = out.materialize()
             self._join_writer()
-            self._writer = threading.Thread(target=publish, args=(routed,), daemon=True)
+
+            def publish_capturing(r_):
+                try:
+                    publish(r_)
+                except BaseException as e:  # surfaced by _join_writer
+                    self._writer_exc = e
+
+            self._writer = threading.Thread(target=publish_capturing, args=(routed,), daemon=True)
             self._writer.start()
         phases["pipeline"] = time.perf_counter() - t0 - sum(phases.values())
 

@@ -1029,9 +1029,15 @@ def knn_ivf_indexed_top10(sf_dir: str) -> pd.DataFrame:
     M = _to_matrix(sample["embedding"].slice(0, 2048))
     cents = train_ivf_centroids(M, nlist=16, iters=5)
 
-    idx_dir = f"/tmp/dc4r_ivf_index/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
-    done = f"{idx_dir}/_DONE"
+    # cache key includes the embeddings file's mtime+size so a regenerated
+    # parquet at the same path invalidates the persisted index
     import os as _os
+
+    emb_path = _p(sf_dir, "embeddings")
+    st = _os.stat(emb_path)
+    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    idx_dir = f"/tmp/dc4r_ivf_index/{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    done = f"{idx_dir}/_DONE"
 
     if not _os.path.exists(done):
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -76,17 +76,32 @@ def asof_join(
         lg = g.filter(mask).select(l_cols).to_pandas().sort_values(ts, kind="mergesort")
         rg = g.filter(pc.invert(mask)).select(r_cols).to_pandas().sort_values(r_tie, kind="mergesort")
         out_cols = l_cols + [c + suffix if c in l_cols else c for c in r_only]
+
+        def _na_dtype(c):
+            # dtype merge_asof would emit for an unmatched right column:
+            # numeric → float64 (NaN-padded), timestamp → datetime64[ns],
+            # else object — so blocks from right-empty/left-empty groups
+            # unify with blocks from matched groups without type surprises
+            at = g.schema.field(c).type
+            if pa.types.is_integer(at) or pa.types.is_floating(at):
+                return np.float64
+            if pa.types.is_timestamp(at):
+                return "datetime64[ns]"
+            return object
+
         if lg.empty:
             # full merged column set even when empty: Ray's block concat
             # must never see a column-less frame (schema stability)
             out = lg.copy()
             for c in r_only:
-                out[c + suffix if c in l_cols else c] = pd.Series(dtype="object")
+                out[c + suffix if c in l_cols else c] = pd.Series(dtype=_na_dtype(c))
             return out[out_cols]
         if rg.empty:
             out = lg.copy()
             for c in r_only:
-                out[c + suffix if c in l_cols else c] = pd.NA
+                out[c + suffix if c in l_cols else c] = pd.Series(
+                    [np.nan] * len(lg), index=lg.index, dtype=_na_dtype(c)
+                )
             return out[out_cols]
         out = pd.merge_asof(
             lg, rg, on=ts, by=key, direction=direction, suffixes=("", suffix)

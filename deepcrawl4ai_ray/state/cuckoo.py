@@ -149,10 +149,13 @@ class CuckooFilter:
         an involution), so 'seen earlier in this batch' reduces to
         first-occurrence-wins on the canonical key (min(i1,i2), fp); bulk
         placement fills empty slots per bucket by rank.  Only keys whose
-        both buckets are full fall back to the python eviction walk —
-        outputs are exactly those of the sequential loop because
-        membership depends only on WHICH (fp, bucket-set) pairs are
-        stored, never on slot placement.
+        both buckets are full fall back to the python eviction walk.
+        Outputs are equivalent to the canonical (bucket-set, fingerprint)
+        membership model (property-tested vs a python set of canonical
+        keys) — NOT bit-for-bit to a sequential insert loop: when two
+        distinct keys share a fingerprint and one bucket, ordering of
+        spills can differ, but membership (which (fp, bucket-set) pairs
+        are stored) is identical, which is the filter's contract.
         """
         h64 = h64.astype(np.uint64)
         n = h64.size
