@@ -171,7 +171,13 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     ]
     for name in bench_queries:
         t0 = time.time()
-        QUERIES[name](sf_dir)
+        res = QUERIES[name](sf_dir)
+        if isinstance(res, rd.Dataset):
+            # Dataset-returning operators (dedup pair sets) are lazy —
+            # consume by writing parquet, the at-scale sink
+            sink = f"/tmp/dc4r_bench/q_{name}"
+            shutil.rmtree(sink, ignore_errors=True)
+            res.write_parquet(sink)
         results["queries"][name] = round(time.time() - t0, 3)
 
     total = round(sum(results["queries"].values()), 3)

@@ -1073,7 +1073,7 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
-def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+def embedding_near_dup_pairs(sf_dir: str) -> "rd.Dataset":
     """Embedding-cosine near-dup pairs at threshold 0.95 via SRP-LSH
     banding (stages/dedup.srp_near_dup_pairs — bucketed, no driver-side
     matrix).  Planted near-dups: every vec_id % 50 == 0 gains a copy
@@ -1156,7 +1156,7 @@ def _augmented_docs(sf_dir: str) -> "rd.Dataset":
     return ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
 
 
-def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
+def minhash_near_dups(sf_dir: str) -> "rd.Dataset":
     """MinHash+LSH near-dup pairs over documents ∪ perturbed copies,
     with candidates verified by EXACT shingle-set Jaccard inside the
     bucket — so the result equals the exact all-pairs answer (LSH miss
@@ -1200,7 +1200,7 @@ ORDER BY id_a, id_b
 """
 
 
-def minhash_dup_clusters(sf_dir: str) -> pd.DataFrame:
+def minhash_dup_clusters(sf_dir: str) -> "rd.Dataset":
     """Near-dup pairs → duplicate clusters via distributed min-label
     propagation (labels live as a Dataset, hash-joined per round).
     Oracle: recursive-CTE transitive closure over the same exact-Jaccard

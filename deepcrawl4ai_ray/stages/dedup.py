@@ -3,19 +3,24 @@
 First-class training-data-pipeline operators (beyond the reference,
 whose only dedups are exact stream-message keys, job.py:471-484 J5, and
 config-identity, crawler_pool.py:21-32 J6).  All are expressed as Ray
-Data pipelines:
+Data pipelines and RETURN Datasets — the pair/label sets never touch
+the driver (write them to parquet or aggregate downstream; convert to
+pandas only in oracle harnesses):
 
 - exact:   vectorized content-hash per batch → hash-partitioned
            groupby(hash) → per-group first (min doc_id) — one shuffle
            of (hash, id) pairs only, never the payloads.
 - minhash: shingle → minhash signature per batch → explode to
            (band_key, doc_id) rows → groupby(band_key) buckets →
-           candidate pairs → exact-Jaccard verify.
+           candidate pairs ID-ONLY → keyed join of shingle sets back
+           onto the deduped candidates → exact-Jaccard verify.
 - simhash: 64-bit signature per batch; near-dup = small Hamming
            distance within band buckets.
-- embedding: SRP-LSH (random-hyperplane sign bands) → bucket groupby →
-           exact cosine verify within buckets — candidates bounded by
-           band agreement, no driver-side matrix, no O(n²) sweep.
+- embedding: SRP-LSH (random-hyperplane sign bands) → bucket groupby
+           over fp16-quantized vectors (4× the shuffle density of
+           float64) → margin-widened candidate screen → exact float64
+           re-check of survivors via keyed joins — candidates bounded
+           by band agreement, no driver-side matrix, no O(n²) sweep.
 """
 
 from __future__ import annotations
@@ -56,6 +61,114 @@ def exact_dedup_stats(ds: "ray.data.Dataset", id_col: str, text_col: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Shared pair-plumbing: cross-band dedup + payload join-back.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_pairs(pairs: "ray.data.Dataset", schema: pa.Schema, val_col: str | None):
+    """Distributed cross-band pair dedup: one groupby(id_a, id_b) — the
+    driver never materializes the pair set.  ``schema`` seeds an empty
+    typed block so downstream stages always see a schema even when no
+    candidate survived.  With ``val_col`` the (identical-across-bands)
+    value is carried through via Min."""
+    import ray.data as rd
+
+    seeded = pairs.union(rd.from_arrow(schema.empty_table()))
+    g = seeded.groupby(["id_a", "id_b"])
+    if val_col is None:
+        return g.aggregate(Count(alias_name="__nb")).drop_columns(["__nb"])
+    return g.aggregate(Min(val_col, alias_name=val_col))
+
+
+def _join_payload(
+    pairs: "ray.data.Dataset",
+    payload: "ray.data.Dataset",
+    id_col: str,
+    pay_col: str,
+    num_buckets: int,
+    prune: bool = False,
+):
+    """Attach a per-doc payload to BOTH pair endpoints via two bucketed
+    hash joins: (id_a, id_b) ⋈ (id_a, <pay>_a) ⋈ (id_b, <pay>_b).
+    Payload bytes are shipped once per doc — not once per (doc, band) as
+    an inline-verify would.
+
+    ``prune=True`` (the corpus-scale path): a Bloom filter over the
+    candidate endpoint ids (built distributed, tree-reduce-merged, never
+    O(ids) on the driver) pre-filters the payload table BEFORE the join
+    shuffle, so payload bytes move only for ~candidates×(1+FPR) docs
+    instead of every doc.  Bloom false positives merely ship a few extra
+    payload rows — the inner joins against the exact pair set drop them,
+    so the output is byte-identical (tested).  Costs two extra pipeline
+    executions (pairs materialize + bloom build); enable when payload
+    bytes ≫ candidate set, i.e. at real corpus scale."""
+    from ..state.bloom import BloomFilter
+    from .join import _BCAST_CACHE, _hash_col, build_bloom_bytes, hash_join
+
+    if prune:
+        pairs = pairs.materialize()
+        ends = pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: pa.concat_arrays(
+                        [
+                            pc.cast(t["id_a"], pa.int64()).combine_chunks(),
+                            pc.cast(t["id_b"], pa.int64()).combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        cap = max(16, 2 * pairs.count())
+        bloom_ref = ray.put(build_bloom_bytes(ends, id_col, capacity=cap, fp_rate=0.001))
+
+        def bloom_keep(batch: pa.Table) -> pa.Table:
+            bf = _BCAST_CACHE.get(("bloom", bloom_ref.hex()))
+            if bf is None:
+                bf = BloomFilter.from_bytes(ray.get(bloom_ref))
+                _BCAST_CACHE[("bloom", bloom_ref.hex())] = bf
+            return batch.filter(pa.array(bf.contains_many(_hash_col(batch[id_col]))))
+
+        payload = payload.map_batches(bloom_keep, batch_format="pyarrow")
+
+    a = payload.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t[id_col], pa.int64()), f"{pay_col}_a": t[pay_col]}),
+        batch_format="pyarrow",
+    )
+    b = payload.map_batches(
+        lambda t: pa.table({"id_b": pc.cast(t[id_col], pa.int64()), f"{pay_col}_b": t[pay_col]}),
+        batch_format="pyarrow",
+    )
+    j = hash_join(pairs, a, on="id_a", num_buckets=num_buckets)
+    return hash_join(j, b, on="id_b", num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets_stage(id_col: str, text_col: str, k: int = 3):
+    """map_batches fn: doc → (id, shingle-hash set bytes).  Zero-token
+    docs emit nothing (empty sets have no meaningful similarity)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        out_i: List[int] = []
+        out_s: List[bytes] = []
+        for i, t in zip(ids, batch[text_col].to_pylist()):
+            sh = H.shingles(t, k)
+            if sh.size == 0:
+                continue
+            out_i.append(i)
+            out_s.append(sh.tobytes())
+        return pa.table({id_col: pa.array(out_i, pa.int64()), "sh": pa.array(out_s, pa.binary())})
+
+    return fn
+
+
 def make_minhash_explode_fn(
     text_col: str,
     id_col: str,
@@ -63,7 +176,7 @@ def make_minhash_explode_fn(
     bands: int = 16,
     k: int = 3,
     num_buckets: int = 32,
-    ship_shingles: bool = False,
+    payload: str = "sig",
 ):
     """Stateless map_batches fn: text → one row per (band, doc) with a
     ``band_bucket`` shuffle key.  Hash coefficients live in the hashing
@@ -72,13 +185,17 @@ def make_minhash_explode_fn(
     the downstream map_groups sees a few large groups, not thousands of
     two-row ones.
 
-    ``ship_shingles``: carry the doc's full shingle-hash set to the
-    bucket so candidates can be verified by EXACT Jaccard there (heavier
-    shuffle: ~8 B × shingles × bands per doc; at corpus scale emit
-    candidates id-only instead and join the sets back per bucket —
-    same plan shape).  Zero-token docs emit nothing in this mode
-    (empty sets have no meaningful similarity; mirrors the oracle).
+    ``payload``: what each band row carries to the bucket —
+      "sig":  the 8B×num_perm signature (signature-Jaccard estimate in
+              the bucket; the cheap classic).
+      "none": id only (~17 B/row) — the bucket emits CANDIDATE pairs and
+              exact verification happens after a keyed join of shingle
+              sets back onto the deduped candidates.  This is the scale
+              path: shuffle bytes are O(docs × bands × 17 B), not
+              O(docs × bands × |shingles| × 8 B).  Zero-token docs emit
+              nothing (mirrors the exact-Jaccard oracle).
     """
+    ship_sig = payload == "sig"
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -86,19 +203,16 @@ def make_minhash_explode_fn(
         out_ids: List[int] = []
         out_keys: List[bytes] = []
         out_sigs: List[bytes] = []
-        out_sh: List[bytes] = []
         for i, t in zip(ids, texts):
             sh = H.shingles(t, k)
-            if ship_shingles and sh.size == 0:
+            if not ship_sig and sh.size == 0:
                 continue
             sig = H.minhash_signature_fast(sh, num_perm)
-            sb = sig.tobytes()
-            shb = sh.tobytes() if ship_shingles else b""
+            sb = sig.tobytes() if ship_sig else b""
             for key in H.lsh_band_keys(sig, bands):
                 out_ids.append(i)
                 out_keys.append(key)
                 out_sigs.append(sb)
-                out_sh.append(shb)
         # bucket from the band hash bytes themselves — deterministic across
         # processes (python's hash() is salted per process; never use it
         # for shuffle keys)
@@ -111,10 +225,9 @@ def make_minhash_explode_fn(
             "band_bucket": pa.array(buckets),
             "band_key": pa.array(out_keys, pa.binary()),
             id_col: pa.array(out_ids, pa.int64()),
-            "sig": pa.array(out_sigs, pa.binary()),
         }
-        if ship_shingles:
-            cols["sh"] = pa.array(out_sh, pa.binary())
+        if ship_sig:
+            cols["sig"] = pa.array(out_sigs, pa.binary())
         return pa.table(cols)
 
     return fn
@@ -129,31 +242,88 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 3,
     verify: str = "sig",
-) -> pd.DataFrame:
-    """Near-dup pairs from LSH band candidates.
+    num_buckets: int = 32,
+    prune_payload: bool = False,
+) -> "ray.data.Dataset":
+    """Near-dup pairs from LSH band candidates → Dataset(id_a, id_b, val)
+    with id_a < id_b, deduped across bands distributively (the pair set
+    never touches the driver; `.to_pandas()` it only at oracle scale).
 
     verify="sig":   filter candidates on the signature-Jaccard estimate
-                    → (id_a, id_b, est_jaccard) — the cheap classic.
-    verify="exact": compute EXACT shingle-set Jaccard within the bucket
-                    (sets shipped with the band rows) → (id_a, id_b, jac)
+                    in-bucket → (id_a, id_b, est_jaccard).
+    verify="exact": buckets emit candidates ID-ONLY; shingle sets are
+                    joined back onto the deduped candidate pairs and
+                    EXACT Jaccard computed per pair → (id_a, id_b, jac)
                     — deterministic ground truth, SQL-oracle-comparable
-                    (LSH miss prob at threshold 0.9 ≈ 4e-8 per pair).
+                    (LSH miss prob at threshold 0.9 ≈ 4e-8 per pair),
+                    with shuffle payload ~17 B per (doc, band) instead
+                    of the full shingle set × bands.
 
-    Returns pandas (id_a < id_b), sorted, deduped across bands.  The
-    band-bucket groupby is the only shuffle; within a bucket the
-    candidate set is small by construction (docs agreeing on a full
-    band).
+    The band-bucket groupby and the pair-dedup groupby are the wide
+    steps; the payload join ships each candidate doc's shingle set once
+    per endpoint.
     """
-    exact = verify == "exact"
+    if verify == "exact":
+        exploded = ds.map_batches(
+            make_minhash_explode_fn(text_col, id_col, num_perm, bands, k, num_buckets, payload="none"),
+            batch_format="pyarrow",
+        )
+
+        def bucket_cand(g: pd.DataFrame) -> pd.DataFrame:
+            rows_a: List[int] = []
+            rows_b: List[int] = []
+            for _, band in g.groupby("band_key", sort=False):
+                ids = np.unique(band[id_col].to_numpy())
+                if len(ids) < 2:
+                    continue
+                ia, ib = np.triu_indices(len(ids), 1)
+                rows_a.extend(ids[ia])
+                rows_b.extend(ids[ib])
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(rows_a, dtype="int64"),
+                    "id_b": pd.Series(rows_b, dtype="int64"),
+                }
+            )
+
+        cand = exploded.groupby("band_bucket").map_groups(bucket_cand, batch_format="pandas")
+        uniq = _dedup_pairs(
+            cand, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]), val_col=None
+        )
+        sh = ds.map_batches(shingle_sets_stage(id_col, text_col, k), batch_format="pyarrow")
+        joined = _join_payload(uniq, sh, id_col, "sh", num_buckets=16, prune=prune_payload)
+
+        def verify_batch(t: pa.Table) -> pa.Table:
+            n = len(t)
+            sa = t["sh_a"].to_pylist()
+            sb = t["sh_b"].to_pylist()
+            jac = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                jac[i] = H.jaccard(
+                    np.frombuffer(sa[i], dtype=np.uint64), np.frombuffer(sb[i], dtype=np.uint64)
+                )
+            keep = jac >= threshold
+            tt = t.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "id_a": pc.cast(tt["id_a"], pa.int64()),
+                    "id_b": pc.cast(tt["id_b"], pa.int64()),
+                    "jac": pa.array(np.round(jac[keep], 4), pa.float64()),
+                }
+            )
+
+        return joined.map_batches(verify_batch, batch_format="pyarrow")
+
+    # verify == "sig": estimate lives in the bucket; no join-back needed
     exploded = ds.map_batches(
-        make_minhash_explode_fn(text_col, id_col, num_perm, bands, k, ship_shingles=exact),
+        make_minhash_explode_fn(text_col, id_col, num_perm, bands, k, num_buckets, payload="sig"),
         batch_format="pyarrow",
     )
-    val_col = "jac" if exact else "est_jaccard"
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One call per band_bucket: within-band pairing."""
-        rows_a, rows_b, vals = [], [], []
+        rows_a: List[int] = []
+        rows_b: List[int] = []
+        vals: List[float] = []
         for _, band in g.groupby("band_key", sort=False):
             if len(band) < 2:
                 continue
@@ -161,42 +331,30 @@ def minhash_lsh_pairs(
             if len(band) < 2:
                 continue
             ids = band[id_col].to_numpy()
-            if exact:
-                sets = [np.frombuffer(s, dtype=np.uint64) for s in band["sh"]]
-                for a in range(len(ids)):
-                    for b in range(a + 1, len(ids)):
-                        jac = H.jaccard(sets[a], sets[b])
-                        if jac >= threshold:
-                            rows_a.append(ids[a])
-                            rows_b.append(ids[b])
-                            vals.append(round(jac, 4))
-            else:
-                sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in band["sig"]])
-                for a in range(len(ids)):
-                    eq = (sigs[a + 1 :] == sigs[a]).mean(axis=1)
-                    hit = np.nonzero(eq >= threshold)[0]
-                    for h in hit:
-                        rows_a.append(ids[a])
-                        rows_b.append(ids[a + 1 + h])
-                        vals.append(float(eq[h]))
-        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, val_col: vals})
-
-    pairs = exploded.groupby("band_bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
-    if pairs.empty:
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in band["sig"]])
+            for a in range(len(ids)):
+                eq = (sigs[a + 1 :] == sigs[a]).mean(axis=1)
+                hit = np.nonzero(eq >= threshold)[0]
+                for h in hit:
+                    rows_a.append(ids[a])
+                    rows_b.append(ids[a + 1 + h])
+                    vals.append(float(eq[h]))
         return pd.DataFrame(
             {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                val_col: pd.Series(dtype="float64"),
+                "id_a": pd.Series(rows_a, dtype="int64"),
+                "id_b": pd.Series(rows_b, dtype="int64"),
+                "est_jaccard": pd.Series(vals, dtype="float64"),
             }
         )
-    pairs = pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
-    return pairs.reset_index(drop=True)
+
+    pairs = exploded.groupby("band_bucket").map_groups(bucket_pairs, batch_format="pandas")
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("est_jaccard", pa.float64())])
+    return _dedup_pairs(pairs, schema, val_col="est_jaccard")
 
 
 def connected_components(
     pairs, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """Duplicate-pair graph → cluster labels via distributed min-label
     propagation (ray_guide 'Near-dup' pattern): each round, every node
     adopts the minimum label in its neighborhood (one groupby per
@@ -205,15 +363,18 @@ def connected_components(
 
     ``pairs`` may be a pandas DataFrame (small edge lists) OR a
     ray.data.Dataset with the same two columns — at corpus scale the
-    pair set never touches the driver.  Returns DataFrame(node,
-    component) where component = min node id of the cluster.
+    pair set never touches the driver.  Returns Dataset(node, component)
+    where component = min node id of the cluster; labels stay in the
+    object store (write to parquet or join downstream — pandas only in
+    oracle harnesses).
     """
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     from .join import hash_join
 
-    empty = pd.DataFrame({"node": pd.Series(dtype="int64"), "component": pd.Series(dtype="int64")})
+    empty = rd.from_arrow(
+        pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+    )
     if isinstance(pairs, pd.DataFrame):
         if pairs.empty:
             return empty
@@ -288,10 +449,7 @@ def connected_components(
         labels = upd.drop_columns(["__chg"])
         if not n_changed:
             break
-    out = labels.to_pandas()
-    out["node"] = out["node"].astype("int64")
-    out["component"] = out["component"].astype("int64")
-    return out.sort_values("node").reset_index(drop=True)
+    return labels
 
 
 def simhash_stage(id_col: str, text_col: str):
@@ -314,17 +472,26 @@ def simhash_stage(id_col: str, text_col: str):
 # all-pairs.  Each worker derives the same hyperplane matrix from a seed
 # (pure function — nothing broadcast), vectors explode to one row per
 # LSH band (band_key = packed sign bits), a single groupby(bucket)
-# shuffle co-locates candidates, and exact cosine verifies within each
-# band group.  Recall: p_bit = 1 - acos(t)/π; with rbits=6, bands=24 a
-# cos≥0.95 pair is missed with prob (1-p_bit^6)^24 ≈ 1.5e-8.
+# shuffle co-locates candidates, and a margin-widened fp16 cosine screen
+# emits candidate pairs; survivors are re-checked EXACTLY in float64 via
+# keyed joins of the full-precision vectors.  Recall: p_bit =
+# 1 - acos(t)/π; with rbits=6, bands=24 a cos≥0.95 pair is missed with
+# prob (1-p_bit^6)^24 ≈ 1.5e-8, and the fp16 screen's error (≤ ~3e-3
+# for unit vectors) is far inside the 0.02 margin, so the exact re-check
+# sees every true pair.
 #
-# Shuffle volume = bands × (8B id + 8B·d vec) per vector.  At billions
-# of vectors ship a quantized (fp16/int8) vector for the in-bucket
-# verify and re-check survivors exactly via a keyed join — the band
-# explode/groupby plan is unchanged.
+# Shuffle volume = bands × (8B id + 2B·d fp16 vec) per vector — 4× less
+# than shipping float64 — plus one 8B·d float64 vector per candidate
+# ENDPOINT (not per band) for the re-check.
 # ---------------------------------------------------------------------------
 
 _SRP_PLANES: dict = {}
+
+#: fp16 screen margin: unit-vector fp16 rounding error on a dot product
+#: is ≤ ~3e-3 (2^-11 per component, Cauchy-Schwarz-bounded sum); 0.02
+#: leaves ~6× headroom so the screen can only ADD candidates, never drop
+#: a true pair before the exact re-check.
+_FP16_MARGIN = 0.02
 
 
 def _srp_planes(d: int, bands: int, rbits: int, seed: int) -> np.ndarray:
@@ -338,33 +505,42 @@ def _srp_planes(d: int, bands: int, rbits: int, seed: int) -> np.ndarray:
     return H
 
 
+def _normalize_f64(batch_col) -> np.ndarray:
+    from .knn import _to_matrix
+
+    V = _to_matrix(batch_col).astype(np.float64, copy=False)
+    if V.size == 0:
+        return V
+    return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+
 def make_srp_explode_fn(
     vec_col: str, id_col: str, bands: int = 24, rbits: int = 6, seed: int = 42, num_buckets: int = 32
 ):
     """map_batches fn: vector → one row per band with packed sign-bit
-    band_key, shuffle bucket, and the L2-normalized float64 vector bytes
-    (carried to the bucket for the exact cosine verify)."""
+    band_key, shuffle bucket, and the L2-normalized vector QUANTIZED to
+    fp16 (2 B/dim — the in-bucket screen payload; the exact float64
+    verify happens after the candidate join-back, so quantization here
+    only affects which pairs are screened in, never the output values)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        from .knn import _to_matrix
-
         n = len(batch)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        V = _to_matrix(batch[vec_col]).astype(np.float64, copy=False)
-        if n == 0 or V.size == 0:
+        Vn = _normalize_f64(batch[vec_col])
+        if n == 0 or Vn.size == 0:
             return pa.table(
                 {
                     "band_bucket": pa.array([], pa.int32()),
                     "band_key": pa.array([], pa.binary()),
                     id_col: pa.array([], pa.int64()),
-                    "vec": pa.array([], pa.binary()),
+                    "vec16": pa.array([], pa.binary()),
                 }
             )
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        H = _srp_planes(V.shape[1], bands, rbits, seed)
-        bits = (Vn @ H.T) > 0.0  # (n, bands*rbits)
+        Hp = _srp_planes(Vn.shape[1], bands, rbits, seed)
+        bits = (Vn @ Hp.T) > 0.0  # (n, bands*rbits)
         packed = np.packbits(bits.reshape(n, bands, rbits), axis=2)  # (n, bands, ⌈rbits/8⌉)
-        vec_bytes = [Vn[i].tobytes() for i in range(n)]
+        V16 = Vn.astype(np.float16)
+        vec_bytes = [V16[i].tobytes() for i in range(n)]
         out_ids = np.repeat(ids, bands)
         out_keys: List[bytes] = []
         out_vecs: List[bytes] = []
@@ -383,7 +559,7 @@ def make_srp_explode_fn(
                 "band_bucket": pa.array(buckets),
                 "band_key": pa.array(out_keys, pa.binary()),
                 id_col: pa.array(out_ids, pa.int64()),
-                "vec": pa.array(out_vecs, pa.binary()),
+                "vec16": pa.array(out_vecs, pa.binary()),
             }
         )
 
@@ -399,49 +575,81 @@ def srp_near_dup_pairs(
     rbits: int = 6,
     seed: int = 42,
     num_buckets: int = 32,
-) -> pd.DataFrame:
-    """Cosine near-dup pairs (id_a < id_b, round(cos,4) ≥ threshold).
+    prune_payload: bool = False,
+) -> "ray.data.Dataset":
+    """Cosine near-dup pairs → Dataset(id_a, id_b, cos_sim) with
+    id_a < id_b and round(cos,4) ≥ threshold; the exact comparator is
+    float64 on L2-normalized vectors, identical to the all-pairs oracle.
 
     LSH-bucketed: candidates are only pairs agreeing on a full sign-bit
-    band; the exact cosine (float64, rounded 4dp — the oracle's
-    comparator) is computed within bucket groups.  The band-bucket
-    groupby is the only shuffle; the driver never sees a vector."""
+    band; the bucket screen runs on fp16 vectors with a safety margin
+    (see _FP16_MARGIN), candidate pairs are deduped distributively, and
+    the full-precision vectors are joined back for the exact re-check.
+    The driver never sees a vector or the pair set."""
     exploded = ds.map_batches(
         make_srp_explode_fn(vec_col, id_col, bands, rbits, seed, num_buckets),
         batch_format="pyarrow",
     )
+    screen = threshold - _FP16_MARGIN
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b, sims = [], [], []
+    def bucket_cand(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a: List[int] = []
+        rows_b: List[int] = []
         for _, band in g.groupby("band_key", sort=False):
             band = band.drop_duplicates(subset=[id_col]).sort_values(id_col)
             m = len(band)
             if m < 2:
                 continue
             ids = band[id_col].to_numpy()
-            X = np.frombuffer(b"".join(band["vec"]), dtype=np.float64).reshape(m, -1)
-            S = np.round(X @ X.T, 4)
+            X = np.frombuffer(b"".join(band["vec16"]), dtype=np.float16).reshape(m, -1).astype(np.float32)
+            S = X @ X.T
             ia, ib = np.triu_indices(m, 1)
-            hit = S[ia, ib] >= threshold
+            hit = S[ia, ib] >= screen
             rows_a.extend(ids[ia[hit]])
             rows_b.extend(ids[ib[hit]])
-            sims.extend(S[ia[hit], ib[hit]])
         return pd.DataFrame(
             {
                 "id_a": pd.Series(rows_a, dtype="int64"),
                 "id_b": pd.Series(rows_b, dtype="int64"),
-                "cos_sim": pd.Series(sims, dtype="float64"),
             }
         )
 
-    pairs = exploded.groupby("band_bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
-    if pairs.empty:
-        return pd.DataFrame(
+    cand = exploded.groupby("band_bucket").map_groups(bucket_cand, batch_format="pandas")
+    uniq = _dedup_pairs(cand, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]), val_col=None)
+
+    def vec_table(t: pa.Table) -> pa.Table:
+        Vn = _normalize_f64(t[vec_col])
+        return pa.table(
             {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "cos_sim": pd.Series(dtype="float64"),
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "vecb": pa.array([Vn[i].tobytes() for i in range(len(t))], pa.binary()),
             }
         )
-    pairs = pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
-    return pairs.reset_index(drop=True)
+
+    vecs = ds.map_batches(vec_table, batch_format="pyarrow")
+    joined = _join_payload(uniq, vecs, id_col, "vecb", num_buckets=16, prune=prune_payload)
+
+    def verify_batch(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        A = np.frombuffer(b"".join(t["vecb_a"].to_pylist()), dtype=np.float64).reshape(n, -1)
+        B = np.frombuffer(b"".join(t["vecb_b"].to_pylist()), dtype=np.float64).reshape(n, -1)
+        cos = np.round(np.einsum("ij,ij->i", A, B), 4)
+        keep = cos >= threshold
+        tt = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "id_a": pc.cast(tt["id_a"], pa.int64()),
+                "id_b": pc.cast(tt["id_b"], pa.int64()),
+                "cos_sim": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify_batch, batch_format="pyarrow")

@@ -68,12 +68,38 @@ def _hash_col(col) -> np.ndarray:
     return pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object), categorize=False)
 
 
+@ray.remote
+def _bloom_leaf(block: pa.Table):
+    """OR-merge the partial blooms of one block → (bits bytes | None, n)."""
+    merged = None
+    total = 0
+    for blob, n in zip(block["bloom"].to_pylist(), block["n"].to_pylist()):
+        arr = np.frombuffer(blob, dtype=np.uint64)
+        merged = arr.copy() if merged is None else np.bitwise_or(merged, arr, out=merged)
+        total += int(n)
+    return (merged.tobytes() if merged is not None else None, total)
+
+
+@ray.remote
+def _bloom_or(x, y):
+    bx, nx = x
+    by, ny = y
+    if bx is None:
+        return (by, nx + ny)
+    if by is None:
+        return (bx, nx + ny)
+    a = np.bitwise_or(np.frombuffer(bx, dtype=np.uint64), np.frombuffer(by, dtype=np.uint64))
+    return (a.tobytes(), nx + ny)
+
+
 def build_bloom_bytes(keys_ds, column: str, capacity: int, fp_rate: float = 0.01, batch_size: int = 65536):
-    """Distributed Bloom build: each task builds a partial filter over
-    its batch; the driver OR-merges ONLY the bit arrays (memory = bloom
-    bits + one blob, never O(keys)).  At 10^9 keys raise batch_size /
-    pre-repartition so partial count × bloom size stays sane, or
-    tree-reduce the OR in Ray tasks — the shape is unchanged."""
+    """Distributed Bloom build with a TREE-REDUCED OR-merge: each task
+    builds a partial filter over its batch, then a binary tree of Ray
+    tasks OR-merges the bit arrays so the driver touches O(1) blobs and
+    the merge work spreads across the cluster (the r2 serial driver loop
+    would stream ~15k × 1.2 GB partials through one process at 10^9
+    keys).  OR is associative + commutative, so the bits are identical
+    to any merge order."""
     from ..state.bloom import BloomFilter
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -83,17 +109,21 @@ def build_bloom_bytes(keys_ds, column: str, capacity: int, fp_rate: float = 0.01
             {"bloom": pa.array([bf.bits.tobytes()], pa.large_binary()), "n": pa.array([len(batch)], pa.int64())}
         )
 
-    merged = None
-    total = 0
-    parts = keys_ds.map_batches(partial, batch_size=batch_size, batch_format="pyarrow")
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        for blob, n in zip(b["bloom"].to_pylist(), b["n"].to_pylist()):
-            arr = np.frombuffer(blob, dtype=np.uint64)
-            merged = arr.copy() if merged is None else np.bitwise_or(merged, arr, out=merged)
-            total += int(n)
+    parts = keys_ds.map_batches(partial, batch_size=batch_size, batch_format="pyarrow").materialize()
+    refs = []
+    for bundle in parts.iter_internal_ref_bundles():
+        refs.extend(_bloom_leaf.remote(br) for br in bundle.block_refs)
     bf = BloomFilter(capacity, fp_rate)
-    if merged is not None:
-        bf.bits = merged
+    if not refs:
+        return bf.to_bytes()
+    while len(refs) > 1:
+        nxt = [_bloom_or.remote(refs[i], refs[i + 1]) for i in range(0, len(refs) - 1, 2)]
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    bits, total = ray.get(refs[0])
+    if bits is not None:
+        bf.bits = np.frombuffer(bits, dtype=np.uint64).copy()
     bf.count = total
     return bf.to_bytes()
 

@@ -57,7 +57,7 @@ def test_query_matches_oracle(ray_session, con, name):
 
 
 def test_minhash_recovers_planted_dups(ray_session):
-    pairs = QUERIES["minhash_near_dups"](SF)
+    pairs = QUERIES["minhash_near_dups"](SF).to_pandas()
     planted = pairs[pairs["id_b"] == pairs["id_a"] + 10_000_000]
     # docs are perturbed by dropping one word of ~15-25 → high jaccard;
     # LSH with 16 bands of 4 rows should recover the large majority
