@@ -354,7 +354,12 @@ class Crawler:
         router = _Router(self.shards, cfg.num_shards, bloom_ref, cfg.hot_hosts)
         out = ds.map_batches(
             # stateless tasks + process-global cache: warm across rounds
-            make_fetch_fn(self.corpus_dir, self.bucket_refs, cfg.extra.get("flaky")),
+            make_fetch_fn(
+                self.corpus_dir,
+                self.bucket_refs,
+                cfg.extra.get("flaky"),
+                page_store=cfg.extra.get("page_store"),
+            ),
             batch_format="pyarrow",
             batch_size=None,
             num_cpus=1,

@@ -497,13 +497,24 @@ ORDER BY user_id, rn
 """
 
 
-def value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+def value_quantiles_by_type(sf_dir: str, sketch: bool = False) -> pd.DataFrame:
     """Grouped exact quantiles (median / p90 of value per event_type):
     groupby(type).map_groups with numpy linear interpolation — the same
-    interpolation as DuckDB's quantile_cont, so hash-exact.  At corpus
-    scale swap the exact per-group sort for a t-digest partial merge;
-    the group count here is tiny so exact is the right plan."""
+    interpolation as DuckDB's quantile_cont, so hash-exact.
+
+    ``sketch=True`` switches to the t-digest partial-merge plan
+    (stages/agg.grouped_quantiles_tdigest): per-batch digests, only
+    sketch bytes shuffle, skewed keys merge O(blocks) digests instead of
+    materializing every group row in one task — the 100-TB path, rank
+    error ≲ 1/200.  Exact stays the oracle-checked default at sf scale
+    (sketch-vs-exact error bound pinned in tests/test_extras.py)."""
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    if sketch:
+        from ..stages.agg import grouped_quantiles_tdigest
+
+        out = grouped_quantiles_tdigest(ds, "event_type", "value", qs=(0.5, 0.9)).to_pandas()
+        out["n"] = out["n"].astype("int64")
+        return out.sort_values("event_type").reset_index(drop=True)
 
     def per_type(g: pd.DataFrame) -> pd.DataFrame:
         v = g["value"].to_numpy(dtype=np.float64)

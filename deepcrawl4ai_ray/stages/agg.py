@@ -60,3 +60,58 @@ def grouped_to_pandas(ds, sort_by):
     """Materialize a (small) grouped result to pandas, sorted."""
     df = ds.to_pandas()
     return df.sort_values(sort_by, kind="mergesort").reset_index(drop=True)
+
+
+def grouped_quantiles_tdigest(
+    ds: "ray.data.Dataset",
+    key: str,
+    val: str,
+    qs: Sequence[float] = (0.5, 0.9),
+    compression: int = 200,
+) -> "ray.data.Dataset":
+    """Sketch path for grouped quantiles (the 100-TB variant of an exact
+    per-group sort): each map_batches task folds its batch into one
+    t-digest per key, so only ~16 B × 2δ digest bytes per (block, key)
+    enter the groupby shuffle — never raw values — and a skewed key
+    merges ≤ blocks digests instead of materializing every row in one
+    task.  Rank error ≲ 1/compression at mid quantiles (state/tdigest,
+    Dunning & Ertl 2019); the exact map_groups path stays the default
+    where groups fit a task.
+
+    → Dataset(key, n, p<q*100>...)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..state.tdigest import TDigest
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key, val]).to_pandas()
+        out_k, out_d, out_n = [], [], []
+        for kv, g in df.groupby(key, sort=False):
+            d = TDigest(compression)
+            d.add_many(g[val].to_numpy(dtype=np.float64))
+            out_k.append(kv)
+            out_d.append(d.to_bytes())
+            out_n.append(len(g))
+        return pa.table(
+            {
+                key: pa.array(out_k),
+                "digest": pa.array(out_d, pa.binary()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest(compression)
+        for b in g["digest"]:
+            d.merge(TDigest.from_bytes(b))
+        row = {key: [g[key].iloc[0]], "n": [np.int64(g["n"].sum())]}
+        for q in qs:
+            row[f"p{int(round(q * 100))}"] = [round(float(d.quantile(q)), 4)]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge_group, batch_format="pandas")
+    )

@@ -61,15 +61,88 @@ class PageStore:
 
 
 class HttpPageStore(PageStore):
-    """Contract stub for a real HTTP transport (no network in this
-    sandbox).  An implementation would hold a connection pool / browser
-    pool per actor (reference crawler_pool.py:14-74) in __init__ and
-    return (html, warc_ts=now, lang=None, found=status<400) per url;
-    transient errors surface as found=False so the frontier's
-    retry/dead-letter path (frontier/crawler.py) handles them."""
+    """Real socket transport: keep-alive HTTP/1.1 connections against a
+    page gateway (the reference's browser pool, crawler_pool.py:14-74,
+    collapsed to a connection pool per worker — T1/T3 session reuse).
 
-    def fetch_bucket(self, urls, bucket):  # pragma: no cover
-        raise NotImplementedError("HTTP transport unavailable in this sandbox")
+    Gateway contract (exercised by the localhost http.server fixture in
+    tests/test_http_transport.py; the same contract fits any real page
+    service):
+
+        GET {base_url}/fetch?url=<percent-encoded page url>
+        200 → body = html bytes; headers X-Warc-Ts (epoch microseconds)
+              and X-Lang carry the page's typed metadata
+        404 → page unknown (found=False → frontier miss/retry path)
+
+    Connections are per-thread (`threading.local`) and persistent; a
+    dropped connection is retried once on a fresh socket.  ``workers``
+    parallel threads fetch within a batch with order-preserving
+    ``Executor.map`` so output rows stay aligned with input urls —
+    politeness is enforced frontier-side (shard token buckets), so
+    client concurrency never changes crawl semantics.  Transient errors
+    surface as found=False so the frontier's retry/dead-letter path
+    (frontier/crawler.py) handles them."""
+
+    def __init__(self, base_url: str, workers: int = 4, timeout_s: float = 10.0):
+        from urllib.parse import urlsplit
+
+        u = urlsplit(base_url)
+        if u.scheme != "http":  # no TLS stack needed for the gateway contract
+            raise ValueError(f"HttpPageStore expects an http:// gateway, got {base_url}")
+        self.host = u.hostname
+        self.port = u.port or 80
+        self.path_prefix = u.path.rstrip("/")
+        self.workers = workers
+        self.timeout_s = timeout_s
+        import threading
+
+        self._tls = threading.local()
+        self._pool = None  # built lazily: ThreadPoolExecutor isn't picklable
+
+    def _conn(self):
+        import http.client
+
+        c = getattr(self._tls, "conn", None)
+        if c is None:
+            c = http.client.HTTPConnection(self.host, self.port, timeout=self.timeout_s)
+            self._tls.conn = c
+        return c
+
+    def _get_one(self, url: str):
+        """→ (html|None, warc_ts_us|None, lang|None, found). One retry on
+        a fresh socket for dropped keep-alive connections."""
+        from urllib.parse import quote
+
+        path = f"{self.path_prefix}/fetch?url={quote(url, safe='')}"
+        for attempt in (0, 1):
+            try:
+                c = self._conn()
+                c.request("GET", path)
+                r = c.getresponse()
+                body = r.read()  # must drain for keep-alive reuse
+                if r.status == 200:
+                    ts = r.getheader("X-Warc-Ts")
+                    return (body, int(ts) if ts else None, r.getheader("X-Lang"), True)
+                return (None, None, None, False)
+            except Exception:  # any socket/protocol error → retry once, then miss
+                self._tls.conn = None
+                if attempt:
+                    return (None, None, None, False)
+        return (None, None, None, False)
+
+    def fetch_bucket(self, urls, bucket: int):
+        from concurrent.futures import ThreadPoolExecutor
+
+        url_list = urls.to_pylist()
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.workers)
+        rows = list(self._pool.map(self._get_one, url_list))
+        return (
+            pa.array([r[0] for r in rows], pa.binary()),
+            pa.array([r[1] for r in rows], pa.timestamp("us")),
+            pa.array([r[2] for r in rows], pa.string()),
+            np.array([r[3] for r in rows], dtype=bool),
+        )
 
 
 class CorpusPageStore(PageStore):
@@ -245,22 +318,38 @@ def _corpus_generation(corpus_dir: str, bucket_refs) -> str:
         return "nodone"
 
 
+def _make_page_store(spec) -> Optional[PageStore]:
+    """Spec → PageStore: ("http", base_url[, workers]) builds the real
+    socket transport; None keeps the default corpus store.  Specs (not
+    instances) travel through the task closure so each worker process
+    builds its own connection state."""
+    if spec is None:
+        return None
+    kind = spec[0]
+    if kind == "http":
+        return HttpPageStore(*spec[1:])
+    raise ValueError(f"unknown page_store spec {spec!r}")
+
+
 def make_fetch_fn(
     corpus_dir: str,
     bucket_refs: Optional[Dict[int, "ray.ObjectRef"]] = None,
     flaky: Optional[dict] = None,
+    page_store: Optional[tuple] = None,
 ):
     """``flaky`` = {"mod": M, "fail_attempts": K}: urls with
     hash64(url) % M == 0 fail transiently (status='miss') until their
     ``retries`` column reaches K — the deterministic fault injector for
-    the retry/dead-letter path (tests only; None in production)."""
+    the retry/dead-letter path (tests only; None in production).
+    ``page_store``: transport spec for _make_page_store (e.g.
+    ("http", base_url)); None = corpus parquet store."""
     gen = _corpus_generation(corpus_dir, bucket_refs)
 
     def fetch_batch(batch: pa.Table) -> pa.Table:
-        key = (corpus_dir, gen)
+        key = (corpus_dir, gen, page_store)
         st = _PROC_FETCH_STATE.get(key)
         if st is None:
-            st = FetchActor(corpus_dir, bucket_refs)
+            st = FetchActor(corpus_dir, bucket_refs, page_store=_make_page_store(page_store))
             _PROC_FETCH_STATE.clear()  # one corpus generation live per process
             _PROC_FETCH_STATE[key] = st
         out = st(batch)

@@ -72,3 +72,29 @@ class TestLLMStub:
         rec = json.loads(out["extracted_content"][0].as_py())
         assert rec == {"title": "one two three four", "n_words": 4, "ok": True}
         assert stage(batch)["extracted_content"][0] == out["extracted_content"][0]
+
+
+class TestGroupedQuantileSketch:
+    def test_tdigest_pipeline_vs_exact(self, ray_session):
+        """VERDICT r2 #6: the t-digest partial-merge plan must match the
+        exact grouped quantiles within the sketch's rank-error bound on
+        the real events table; counts are exact."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from deepcrawl4ai_ray.pipelines.queries import value_quantiles_by_type
+
+        sf = "/root/testdata/sf0.001"
+        exact = value_quantiles_by_type(sf).set_index("event_type")
+        sk = value_quantiles_by_type(sf, sketch=True).set_index("event_type")
+        assert (sk["n"] == exact["n"]).all()
+
+        ev = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"]).to_pandas()
+        for et, row in sk.iterrows():
+            vals = np.sort(ev.loc[ev["event_type"] == et, "value"].to_numpy(dtype=float))
+            for q, col in ((0.5, "p50"), (0.9, "p90")):
+                lo = np.searchsorted(vals, row[col], side="left") / len(vals)
+                hi = np.searchsorted(vals, row[col], side="right") / len(vals)
+                err = min(abs(lo - q), abs(hi - q))
+                assert err <= 0.02, (et, col, err)

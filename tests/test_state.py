@@ -1,4 +1,5 @@
-"""Unit tests: bloom / cuckoo / token bucket / robots / frontier shard (no Ray)."""
+"""Unit tests: bloom / cuckoo / token bucket / robots / tdigest /
+frontier shard (no Ray)."""
 
 import numpy as np
 
@@ -220,3 +221,67 @@ class TestHyperLogLog:
         for _, row in approx.iterrows():
             t = exact[row["k"]]
             assert abs(row["approx_distinct"] - t) / t < 0.05
+
+
+class TestTDigest:
+    def _rank_err(self, values, est, q):
+        """|empirical CDF position of est − q| — the t-digest guarantee
+        lives in rank space."""
+        import numpy as np
+
+        v = np.sort(values)
+        pos = np.searchsorted(v, est, side="left") / len(v)
+        pos_r = np.searchsorted(v, est, side="right") / len(v)
+        # est may fall inside a run of equal values; take the closest edge
+        return min(abs(pos - q), abs(pos_r - q))
+
+    def test_rank_error_bounded(self):
+        import numpy as np
+
+        from deepcrawl4ai_ray.state.tdigest import TDigest
+
+        rng = np.random.default_rng(3)
+        for data in (
+            rng.normal(0, 1, 100_000),
+            rng.lognormal(0, 2, 100_000),  # heavy skew
+            np.repeat(rng.normal(0, 1, 50), 2000),  # heavy ties
+        ):
+            d = TDigest(200)
+            for chunk in np.array_split(data, 37):  # out-of-order chunks
+                d.add_many(chunk)
+            for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+                assert self._rank_err(data, d.quantile(q), q) <= 0.015, q
+
+    def test_merge_matches_single_digest_bound(self):
+        """Partial digests merged (the shuffle path) must obey the same
+        rank-error bound as one digest over all data."""
+        import numpy as np
+
+        from deepcrawl4ai_ray.state.tdigest import TDigest
+
+        rng = np.random.default_rng(9)
+        data = rng.gamma(2.0, 3.0, 80_000)
+        parts = np.array_split(data, 16)
+        merged = TDigest(200)
+        for p in parts:
+            d = TDigest(200)
+            d.add_many(p)
+            merged.merge(TDigest.from_bytes(d.to_bytes()))  # serde round-trip too
+        assert abs(merged.n - len(data)) < 1e-6
+        for q in (0.05, 0.5, 0.9, 0.95):
+            assert self._rank_err(data, merged.quantile(q), q) <= 0.02, q
+
+    def test_edge_cases(self):
+        import math
+
+        import numpy as np
+
+        from deepcrawl4ai_ray.state.tdigest import TDigest
+
+        d = TDigest()
+        assert math.isnan(d.quantile(0.5))
+        d.add_many([42.0])
+        assert d.quantile(0.0) == d.quantile(1.0) == 42.0
+        d2 = TDigest()
+        d2.add_many(np.arange(10, dtype=float))
+        assert d2.quantile(0.0) == 0.0 and d2.quantile(1.0) == 9.0
