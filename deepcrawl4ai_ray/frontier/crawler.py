@@ -69,12 +69,19 @@ class CrawlConfig:
     # to pages/dead_letter/round=r/.  0 = off (misses flow to the round
     # output as before).
     max_retries: int = 0
-    # graceful mid-run cancel (reference api.py:484-606 revoke + SIGTERM +
-    # state reconciliation, re-expressed round-synchronously): when this
-    # file appears — or request_stop() is called — the crawl finishes the
+    # graceful mid-run cancel (reference api.py:484-606 revoke + state
+    # reconciliation, re-expressed round-synchronously): when this file
+    # appears — or request_stop() is called — the crawl finishes the
     # CURRENT round (atomic publish + checkpoint as usual) and returns
     # with stopped=True; resume() continues exactly where it left off.
     stop_file: Optional[str] = None
+    # PREEMPTIVE mid-round cancel (the reference's SIGTERM/SIGKILL path,
+    # api.py:508-530): when this file appears, in-flight fetch tasks
+    # raise, every shard rolls back to its pre-round state, nothing is
+    # published, and run() returns stopped=True with next_round
+    # unchanged — resume (or the same object) re-runs the aborted round
+    # identically (tested equivalence vs an uninterrupted run).
+    abort_file: Optional[str] = None
     # pin corpus bucket tables in the object store once (zero-copy shared
     # across fetch actors); disable when the corpus exceeds plasma
     corpus_in_object_store: bool = True
@@ -302,7 +309,54 @@ class Crawler:
                     )
                 )
         ray.get(refs)
-        ray.get([s.finalize_round.remote() for s in self.shards])
+        self._finalize_all()
+
+    # -------------------------------------------------- adaptive salting
+    def salt_host(self, host: str, factor: int) -> None:
+        """Salt a host that became hot MID-CRAWL across ``factor``
+        consecutive shards — without breaking exact dedup.
+
+        Unlike ``cfg.hot_hosts`` (fixed at birth, re-routes candidates),
+        adaptive salting keeps candidate routing AND seen-set authority
+        on the host's base shard; the base forwards new-unique urls to
+        the salted queue shards at the round barrier (enqueue-only).
+        Membership never moves, so the fetched set is identical to an
+        unsalted run; only queue depth (and politeness quota, split
+        1/factor per shard) spreads.  Effective from the next round;
+        checkpoint-persisted in shard state, so resume keeps it."""
+        if host in self.cfg.hot_hosts:
+            raise ValueError(f"{host} already statically salted")
+        base_delay = self._base_host_delay(host)
+        new_delay = base_delay * max(1, int(factor))
+        ray.get([s.set_host_delay.remote(host, new_delay) for s in self.shards])
+        base = int(hash64([host])[0] % np.uint64(self.cfg.num_shards))
+        ray.get(self.shards[base].enable_forwarding.remote(host, int(factor), self.cfg.num_shards))
+
+    def _base_host_delay(self, host: str) -> int:
+        from ..state.robots import DEFAULT_DELAY_MS
+
+        path = os.path.join(self.corpus_dir, "robots.parquet")
+        if os.path.exists(path):
+            t = pq.read_table(path, columns=["host", "crawl_delay_ms"])
+            m = dict(zip(t.column("host").to_pylist(), t.column("crawl_delay_ms").to_pylist()))
+            return int(m.get(host, DEFAULT_DELAY_MS))
+        return DEFAULT_DELAY_MS
+
+    def _finalize_all(self) -> list:
+        """Round barrier: finalize every shard, then route any
+        adaptive-salting forwards (refs only — url data stays in the
+        object store) and wait for the enqueues, so forwarded urls are
+        committed before the next select / checkpoint."""
+        stats = ray.get([s.finalize_round.remote() for s in self.shards])
+        by_target: Dict[int, list] = {}
+        for st in stats:
+            for t, refs in (st.pop("forwards", None) or {}).items():
+                by_target.setdefault(t, []).extend(refs)
+        if by_target:
+            ray.get(
+                [self.shards[t].enqueue_forwarded.remote(refs) for t, refs in by_target.items()]
+            )
+        return stats
 
     # ------------------------------------------------------------------ round
     def run_round(self, r: int) -> Dict[str, int]:
@@ -359,6 +413,8 @@ class Crawler:
                 self.bucket_refs,
                 cfg.extra.get("flaky"),
                 page_store=cfg.extra.get("page_store"),
+                abort_file=cfg.abort_file,
+                stop_trigger=cfg.extra.get("stop_trigger"),
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -391,33 +447,23 @@ class Crawler:
                 shutil.rmtree(dead_dir, ignore_errors=True)
                 os.rename(dead_tmp, dead_dir)  # atomic dead-letter publish
 
-        if cfg.checkpoint:
-            # resumability contract: round r's pages must be published
-            # before round r's checkpoint says it's done → synchronous
-            publish(out)
-        else:
-            # throughput mode: the round BARRIER only needs the router
-            # offers acknowledged (they happen during execution), not the
-            # parquet write — materialize the routed blocks, then write +
-            # publish on a background thread overlapped with the next
-            # round's select/fetch (round order preserved by joining the
-            # previous writer first)
-            import threading
-
-            routed = out.materialize()
-            self._join_writer()
-
-            def publish_capturing(r_):
-                try:
-                    publish(r_)
-                except BaseException as e:  # surfaced by _join_writer
-                    self._writer_exc = e
-
-            self._writer = threading.Thread(target=publish_capturing, args=(routed,), daemon=True)
-            self._writer.start()
+        if self._execute_round(out, publish, cfg):
+            # mid-round cancel: every shard rolled back, nothing
+            # published, fetch_seq restored — the round never happened;
+            # resume (or this object) re-runs it identically
+            self.fetch_seq -= total
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            if dead_tmp is not None:
+                shutil.rmtree(dead_tmp, ignore_errors=True)
+            phases["aborted"] = time.perf_counter() - t0 - sum(phases.values())
+            return {
+                "fetched": 0,
+                "aborted": True,
+                "phases": {k: round(v, 3) for k, v in phases.items()},
+            }
         phases["pipeline"] = time.perf_counter() - t0 - sum(phases.values())
 
-        stats = ray.get([s.finalize_round.remote() for s in self.shards])
+        stats = self._finalize_all()
         phases["finalize"] = time.perf_counter() - t0 - sum(phases.values())
         fetched_by_shard = [int(c) for c in counts]
         man = pa.table(
@@ -444,6 +490,47 @@ class Crawler:
             "frontier": sum(s["frontier_size"] for s in stats),
             "phases": {k: round(v, 3) for k, v in phases.items()},
         }
+
+    def _execute_round(self, out, publish, cfg) -> bool:
+        """Run the round's Dataset pipeline to its barrier.  Returns True
+        if the round was aborted mid-flight by the stop token (fetch
+        tasks raise CrawlAborted; all shards are rolled back here);
+        genuine pipeline failures re-raise."""
+        try:
+            if cfg.checkpoint:
+                # resumability contract: round r's pages must be published
+                # before round r's checkpoint says it's done → synchronous
+                publish(out)
+            else:
+                # throughput mode: the round BARRIER only needs the router
+                # offers acknowledged (they happen during execution), not
+                # the parquet write — materialize the routed blocks, then
+                # write + publish on a background thread overlapped with
+                # the next round's select/fetch (round order preserved by
+                # joining the previous writer first)
+                import threading
+
+                routed = out.materialize()
+                self._join_writer()
+
+                def publish_capturing(r_):
+                    try:
+                        publish(r_)
+                    except BaseException as e:  # surfaced by _join_writer
+                        self._writer_exc = e
+
+                self._writer = threading.Thread(target=publish_capturing, args=(routed,), daemon=True)
+                self._writer.start()
+            return False
+        except Exception as e:
+            # only the abort token converts a failure into a clean abort;
+            # anything else (with no abort requested) is a real error.
+            # Ray wraps the worker's CrawlAborted in RayTaskError whose
+            # repr omits the cause — search the full rendered chain.
+            if self._abort_requested() and "CrawlAborted" in f"{e!r}\n{e}":
+                ray.get([s.abort_round.remote() for s in self.shards])
+                return True
+            raise
 
     # ------------------------------------------------------------- checkpoint
     def _write_checkpoint(self, r: int) -> None:
@@ -512,6 +599,9 @@ class Crawler:
     def _stop_requested(self) -> bool:
         return self._stop or bool(self.cfg.stop_file and os.path.exists(self.cfg.stop_file))
 
+    def _abort_requested(self) -> bool:
+        return bool(self.cfg.abort_file and os.path.exists(self.cfg.abort_file))
+
     def run(self) -> Dict[str, int]:
         if self.next_round == 0:
             self.offer_seeds()
@@ -521,6 +611,12 @@ class Crawler:
         while r < self.cfg.max_rounds and self.total_fetched < self.cfg.max_pages:
             res = self.run_round(r)
             rounds_run += 1
+            if res.get("aborted"):
+                # mid-round cancel: round r rolled back, next_round stays
+                # r — resume() (or this object, once the token clears)
+                # re-runs it identically
+                stopped = True
+                break
             if res["fetched"] == 0:
                 break
             r += 1

@@ -77,6 +77,62 @@ class FrontierShard:
         self.retry_counts: Dict[str, int] = {}
         self._picked = None
         self._stats = dict(offered=0, inserts=0, dupes_skipped=0, overflow_dropped=0)
+        # ADAPTIVE hot-host salting (the _route_shards docstring's
+        # membership-authority-decoupled design, now real): this shard
+        # stays the DEDUP AUTHORITY for its hosts — candidates keep
+        # routing here, the cuckoo insert happens here — but new-unique
+        # urls of a host in ``forward_salts`` are FORWARDED to queue
+        # shard (shard_id + hash64(url) % s) % num_shards for
+        # enqueue-only.  Exactness is preserved because membership never
+        # moves; only queue placement (load) spreads.
+        self.forward_salts: Dict[str, int] = {}
+        self.num_peer_shards: int = 0
+        # mid-round cancel support: snapshot of what select/emit consumed
+        # this round (picked urls, touched bucket states, popped retry
+        # counts) so abort_round() can restore the exact pre-round state;
+        # cleared at finalize_round (the commit point)
+        self._round_backup: Optional[dict] = None
+
+    # -------------------------------------------------- adaptive salting
+    def enable_forwarding(self, host: str, factor: int, num_shards: int) -> None:
+        """Salt ``host`` across ``factor`` consecutive shards from this
+        (base) shard, effective at the next round barrier."""
+        self.forward_salts[host] = int(factor)
+        self.num_peer_shards = int(num_shards)
+
+    def set_host_delay(self, host: str, delay_ms: int) -> None:
+        """Update a host's politeness delay (quota-split for salting);
+        an existing bucket keeps its token level but refills at the new
+        rate with the new per-round cap."""
+        self.host_delays[host] = int(delay_ms)
+        b = self.buckets.get(host)
+        if b is not None:
+            b.refill_per_ms = 1.0 / delay_ms
+            b.capacity = max(1.0, self.round_ms / delay_ms)
+            b.tokens = min(b.tokens, b.capacity)
+
+    def enqueue_forwarded(self, refs: list) -> int:
+        """Enqueue urls deduped by their base (authority) shard — no
+        seen-set check here.  ``refs`` are ObjectRefs of (urls,
+        priorities, host) tuples placed by base shards."""
+        n_added = 0
+        for ref in refs:
+            urls, prios, host = ray.get(ref)
+            q = self.queues.setdefault(host, [])
+            for u, p in zip(urls, prios):
+                if len(q) >= self.max_per_host:
+                    self._stats["overflow_dropped"] += 1
+                    continue
+                q.append((int(p), u))
+                n_added += 1
+            if q:
+                self._ready.add(host)
+            elif not q:
+                self.queues.pop(host, None)
+        return n_added
+
+    def host_queue_depth(self, host: str) -> int:
+        return len(self.queues.get(host, ()))
 
     # ------------------------------------------------------------------ offer
     def offer(self, urls: List[str], priorities: List[int], hosts: List[str]) -> int:
@@ -107,8 +163,10 @@ class FrontierShard:
         Deterministic: pending processed in sorted-url order.  Returns
         and resets the round's stats (manifest row fields).
         """
+        self._round_backup = None  # commit point: abort no longer possible
         pend = self._pending
         self._pending = {}
+        fwd: Dict[Tuple[int, str], List[Tuple[str, int]]] = {}  # (target, host) → [(url, prio)]
         if pend:
             urls = sorted(pend)
             h = hash64(urls)
@@ -120,6 +178,15 @@ class FrontierShard:
                 if not new[i]:
                     continue
                 p, host = pend[u]
+                s = self.forward_salts.get(host)
+                if s:
+                    # enqueue-only forwarding to the salted queue shard
+                    # (deterministic per url; k=0 stays local)
+                    target = (self.shard_id + int(h[i] % np.uint64(s))) % self.num_peer_shards
+                    if target != self.shard_id:
+                        fwd.setdefault((target, host), []).append((u, p))
+                        n_new += 1
+                        continue
                 q = self.queues.setdefault(host, [])
                 if len(q) >= self.max_per_host:
                     dropped += 1  # bounded per-partition queue depth
@@ -148,6 +215,18 @@ class FrontierShard:
             peak_rss_mb=resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024,
         )
         self._stats = dict(offered=0, inserts=0, dupes_skipped=0, overflow_dropped=0)
+        if fwd:
+            # urls leave via the object store (one ref per (target, host)
+            # batch); the DRIVER routes refs to targets — never
+            # actor→actor blocking calls inside finalize (two salted
+            # bases waiting on each other's enqueue ack would deadlock
+            # single-threaded actors)
+            by_target: Dict[int, list] = {}
+            for (t, host), rows in fwd.items():
+                by_target.setdefault(t, []).append(
+                    ray.put(([u for u, _ in rows], [p for _, p in rows], host))
+                )
+            stats["forwards"] = by_target
         return stats
 
     # ----------------------------------------------------------------- select
@@ -163,6 +242,7 @@ class FrontierShard:
         now_ms = round_index * self.round_ms
         picked: List[Tuple[int, str, str]] = []  # (priority, host, url)
         drained: List[str] = []
+        backup = self._round_backup = {"buckets": {}, "retries": {}, "sel": None}
         for host in sorted(self._ready):
             q = self.queues[host]
             bucket = self.buckets.get(host)
@@ -171,6 +251,7 @@ class FrontierShard:
                 cap = max(1.0, self.round_ms / delay)
                 bucket = TokenBucket(cap, 1.0 / delay, now_ms)
                 self.buckets[host] = bucket
+            backup["buckets"][host] = bucket.state()  # pre-take snapshot
             q.sort()  # (priority, url) — deterministic within host
             n = 0
             while n < len(q) and bucket.try_take(now_ms):
@@ -206,6 +287,8 @@ class FrontierShard:
         URL-level data (O(shards), not O(pages), driver work)."""
         sel = self.select(round_index, budget)
         self._picked = sel
+        if self._round_backup is not None:
+            self._round_backup["sel"] = sel
         return len(sel["url"])
 
     def emit_ready(self, seq_start: int, round_index: int, num_buckets: int, max_block_rows: int):
@@ -224,11 +307,13 @@ class FrontierShard:
         if n == 0:
             return []
         hosts = np.asarray(sel["host"], dtype=object)
-        retries = (
-            [self.retry_counts.pop(u, 0) for u in sel["url"]]
-            if self.retry_counts
-            else np.zeros(n, dtype=np.int32)
-        )
+        if self.retry_counts:
+            popped = {u: self.retry_counts.pop(u) for u in sel["url"] if u in self.retry_counts}
+            if self._round_backup is not None:
+                self._round_backup["retries"] = popped
+            retries = [popped.get(u, 0) for u in sel["url"]]
+        else:
+            retries = np.zeros(n, dtype=np.int32)
         tbl = pa.table(
             {
                 "fetch_seq": pa.array(seq_start + np.arange(n, dtype=np.int64)),
@@ -254,6 +339,33 @@ class FrontierShard:
             start = end
         return refs
 
+    # -------------------------------------------------- mid-round cancel
+    def abort_round(self) -> int:
+        """Roll the shard back to its pre-round state after a mid-round
+        cancel (reference api.py:508-530 SIGTERM revoke, re-expressed as
+        clean rollback): re-enqueue the picked urls, restore politeness
+        bucket token levels and popped retry counts, discard the aborted
+        round's pending offers/stats.  The round can then be re-run —
+        from this process or from the previous checkpoint — with results
+        identical to an uninterrupted run."""
+        b = self._round_backup
+        self._round_backup = None
+        self._pending = {}
+        self._pending_retry = {}
+        self._picked = None
+        self._stats = dict(offered=0, inserts=0, dupes_skipped=0, overflow_dropped=0)
+        if b is None:
+            return 0
+        sel = b["sel"]
+        if sel:
+            for u, p, h in zip(sel["url"], sel["priority"], sel["host"]):
+                self.queues.setdefault(h, []).append((int(p), u))
+                self._ready.add(h)
+        for host, st in b["buckets"].items():
+            self.buckets[host] = TokenBucket.from_state(st)
+        self.retry_counts.update(b["retries"])
+        return len(sel["url"]) if sel else 0
+
     # ------------------------------------------------------------------ misc
     def frontier_size(self) -> int:
         return sum(len(q) for q in self.queues.values())
@@ -277,6 +389,8 @@ class FrontierShard:
                 "queues": self.queues,
                 "buckets": {h: b.state() for h, b in self.buckets.items()},
                 "retry_counts": self.retry_counts,
+                "forward_salts": self.forward_salts,
+                "num_peer_shards": self.num_peer_shards,
             },
             protocol=4,
         )
@@ -295,9 +409,12 @@ class FrontierShard:
         obj._ready = set(obj.queues)
         obj.buckets = {h: TokenBucket.from_state(s) for h, s in d["buckets"].items()}
         obj.retry_counts = d.get("retry_counts", {})
+        obj.forward_salts = d.get("forward_salts", {})
+        obj.num_peer_shards = d.get("num_peer_shards", 0)
         obj._pending = {}
         obj._pending_retry = {}
         obj._picked = None
+        obj._round_backup = None
         obj._stats = dict(offered=0, inserts=0, dupes_skipped=0, overflow_dropped=0)
         return obj
 

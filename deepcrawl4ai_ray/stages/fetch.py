@@ -300,7 +300,15 @@ class FetchActor:
 # actor-pool variant (needed when state must be exclusive per key).
 # ---------------------------------------------------------------------------
 
+class CrawlAborted(RuntimeError):
+    """Raised inside fetch tasks when the crawl's stop token (stop_file)
+    appears mid-round; the driver catches it, rolls the round back on
+    every shard, and returns cleanly (reference api.py:508-530 revoke +
+    SIGTERM semantics, without killing workers)."""
+
+
 _PROC_FETCH_STATE: Dict[tuple, FetchActor] = {}
+_STOP_TRIGGER_COUNTS: Dict[tuple, int] = {}
 
 
 def _corpus_generation(corpus_dir: str, bucket_refs) -> str:
@@ -336,16 +344,33 @@ def make_fetch_fn(
     bucket_refs: Optional[Dict[int, "ray.ObjectRef"]] = None,
     flaky: Optional[dict] = None,
     page_store: Optional[tuple] = None,
+    abort_file: Optional[str] = None,
+    stop_trigger: Optional[dict] = None,
 ):
     """``flaky`` = {"mod": M, "fail_attempts": K}: urls with
     hash64(url) % M == 0 fail transiently (status='miss') until their
     ``retries`` column reaches K — the deterministic fault injector for
     the retry/dead-letter path (tests only; None in production).
     ``page_store``: transport spec for _make_page_store (e.g.
-    ("http", base_url)); None = corpus parquet store."""
+    ("http", base_url)); None = corpus parquet store.
+    ``abort_file``: preemptive mid-round cancel token — when the file
+    exists, fetch tasks raise CrawlAborted and the driver rolls the
+    round back (distinct from the graceful round-boundary stop_file).
+    ``stop_trigger`` = {"round": r, "after_batches": m}: fault injector
+    that CREATES abort_file after this worker process has fetched m
+    batches of round r (tests the mid-round cancel path)."""
     gen = _corpus_generation(corpus_dir, bucket_refs)
 
     def fetch_batch(batch: pa.Table) -> pa.Table:
+        if stop_trigger and abort_file and len(batch):
+            r_now = int(batch["round"][0].as_py())
+            if r_now == int(stop_trigger["round"]):
+                k = (corpus_dir, r_now)
+                _STOP_TRIGGER_COUNTS[k] = _STOP_TRIGGER_COUNTS.get(k, 0) + 1
+                if _STOP_TRIGGER_COUNTS[k] > int(stop_trigger.get("after_batches", 0)):
+                    open(abort_file, "w").close()
+        if abort_file and os.path.exists(abort_file):
+            raise CrawlAborted(f"abort token {abort_file} present — aborting round mid-flight")
         key = (corpus_dir, gen, page_store)
         st = _PROC_FETCH_STATE.get(key)
         if st is None:

@@ -121,3 +121,47 @@ class TestBloomPrescreen:
         assert len(urls_l) == len(set(urls_l))
         assert sorted(urls_l) == sorted(exact.column("url").to_pylist())
         assert man_l["offered"].sum() <= man_e["offered"].sum()
+
+
+class TestAdaptiveSalting:
+    def test_mid_crawl_salting_keeps_fetched_set_and_balances(self, ray_session, tiny_corpus):
+        """VERDICT r2 #7: salting a newly-hot host MID-CRAWL must keep the
+        fetched set identical to an unsalted run (membership authority
+        never moves) while spreading the host's queue depth across
+        shards (enqueue-only forwarding from the base shard)."""
+        import ray as _ray
+
+        def run(out, salt_after):
+            shutil.rmtree(out, ignore_errors=True)
+            cfg = CrawlConfig(
+                num_shards=4, fetch_concurrency=2, max_rounds=12,
+                per_shard_budget=150, checkpoint=False, round_ms=10_000_000,
+            )
+            c = Crawler(tiny_corpus, out, cfg)
+            c.offer_seeds()
+            r, depths = 0, None
+            while r < cfg.max_rounds:
+                res = c.run_round(r)
+                r += 1
+                c.next_round = r
+                if salt_after is not None and r == salt_after:
+                    c.salt_host("host-0.example", 4)
+                if salt_after is not None and r == salt_after + 2:
+                    depths = _ray.get(
+                        [s.host_queue_depth.remote("host-0.example") for s in c.shards]
+                    )
+                if res["fetched"] == 0:
+                    break
+            c._join_writer()
+            c.kill_shards()
+            return read_crawl_output(out), depths
+
+        plain, _ = run("/tmp/dc4r_test/adapt_off", None)
+        salted, depths = run("/tmp/dc4r_test/adapt_on", 2)
+        urls_p = plain.column("url").to_pylist()
+        urls_s = salted.column("url").to_pylist()
+        assert sorted(urls_p) == sorted(urls_s)  # identical fetched set
+        assert len(urls_s) == len(set(urls_s))  # exact dedup under forwarding
+        # the hot host's queue spread beyond its base shard
+        assert depths is not None, "crawl ended before depth sample; lower budget"
+        assert sum(1 for d in depths if d > 0) >= 2, depths
