@@ -257,6 +257,19 @@ class Crawler:
         self.bucket_refs = (
             load_bucket_refs(corpus_dir) if self.cfg.corpus_in_object_store else None
         )
+        # disk-mode locality routing: a small BucketCacheActor pool owns
+        # the bucket cache (bucket % pool_size → owner), so each bucket
+        # is read from storage once total, not once per fetch worker
+        self.cache_actors = []
+        n_cache = int(self.cfg.extra.get("bucket_cache_actors", 0))
+        if n_cache and self.bucket_refs is None:
+            from ..stages.fetch import BucketCacheActor
+
+            RemoteCache = ray.remote(num_cpus=0.25)(BucketCacheActor)
+            self.cache_actors = [
+                RemoteCache.remote(corpus_dir, read_log=self.cfg.extra.get("disk_read_log"))
+                for _ in range(n_cache)
+            ]
         self.next_round = 0
         self.total_fetched = 0
         self.fetch_seq = 0
@@ -412,9 +425,11 @@ class Crawler:
                 self.corpus_dir,
                 self.bucket_refs,
                 cfg.extra.get("flaky"),
-                page_store=cfg.extra.get("page_store"),
+                page_store=cfg.extra.get("page_store")
+                or (("bucket_cache", tuple(self.cache_actors)) if self.cache_actors else None),
                 abort_file=cfg.abort_file,
                 stop_trigger=cfg.extra.get("stop_trigger"),
+                read_log=cfg.extra.get("disk_read_log"),
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -636,6 +651,9 @@ class Crawler:
         for s in self.shards:
             ray.kill(s)
         self.shards = []
+        for a in self.cache_actors:
+            ray.kill(a)
+        self.cache_actors = []
 
 
 def read_crawl_output(out_dir: str) -> pa.Table:

@@ -859,8 +859,10 @@ FROM documents GROUP BY lang ORDER BY lang
 def lang_id_counts(sf_dir: str) -> pd.DataFrame:
     """Language-ID (character-bigram profile heuristic,
     functions/textstats.lang_id) over documents: (true lang, predicted
-    lang, n) confusion counts.  Rows-only — the n-gram heuristic is not
-    SQL-expressible; determinism + tie-break are unit-tested."""
+    lang, n) confusion counts.  Fully oracle-checked (r2: rows-only):
+    the bigram-set/profile-overlap scoring with alphabetical tie-break
+    is expressed in SQL via a list comprehension + list_intersect, with
+    the same profile table embedded in the oracle."""
     from ..functions.textstats import lang_id
 
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
@@ -877,6 +879,39 @@ def lang_id_counts(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     df = pd.DataFrame({"lang": out["lang"], "pred": out["pred"], "n": out["sum_n"].astype("int64")})
     return df.sort_values(["lang", "pred"]).reset_index(drop=True)
+
+
+def _lang_id_sql() -> str:
+    """SQL oracle for lang_id_counts: the exact scoring spec of
+    functions/textstats.lang_id (distinct char bigrams ∩ profile /
+    |profile|, argmax with alphabetical tie-break, 'und' for blank)."""
+    from ..functions.textstats import _LANG_PROFILES
+
+    vals = ",\n  ".join(
+        "('%s', [%s])" % (lang, ",".join("'" + g.replace("'", "''") + "'" for g in s.split()))
+        for lang, s in sorted(_LANG_PROFILES.items())
+    )
+    return f"""
+WITH profiles(plang, prof) AS (VALUES {vals}),
+d AS (SELECT doc_id, lang AS true_lang, lower(text) AS t FROM documents),
+g AS (SELECT doc_id, true_lang, t,
+             list_distinct([substring(t, i, 2) for i in range(1, length(t))]) AS grams FROM d),
+scored AS (
+  SELECT doc_id, true_lang, p.plang AS pred,
+         CAST(len(list_intersect(grams, p.prof)) AS DOUBLE) / len(p.prof) AS score
+  FROM g JOIN profiles p ON TRUE WHERE trim(t) <> ''
+),
+pick AS (SELECT true_lang, pred,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, pred ASC) AS rn
+         FROM scored),
+preds AS (SELECT true_lang, pred FROM pick WHERE rn = 1
+          UNION ALL
+          SELECT true_lang, 'und' FROM d WHERE trim(t) = '')
+SELECT true_lang AS lang, pred, COUNT(*) AS n FROM preds GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_LANG_ID_SQL = _lang_id_sql()
 
 
 def source_stats(sf_dir: str) -> pd.DataFrame:
@@ -1658,9 +1693,23 @@ FROM documents ORDER BY doc_id
 """
 
 
+_TINY_CORPUS = "/tmp/dc4r_corpus/tiny"  # deterministic path of ensure("tiny")
+
+# element counts per tag: the engine's stack-based tag scanner counts
+# every OPENING tag (selectors._TAG_RE, closing tags skipped), capped at
+# 500 elements per document in document order — expressed in SQL as a
+# regex tag extraction with a list slice (r2: rows-only)
+_SELECTOR_SQL = rf"""
+WITH p AS (SELECT decode(html) AS h FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')),
+tags AS (SELECT unnest((regexp_extract_all(h, '<([a-zA-Z][a-zA-Z0-9-]*)((?:\s+[^<>]*?)?)/?>', 1))[1:500]) AS tag FROM p)
+SELECT lower(tag) AS tag, COUNT(*) AS n FROM tags GROUP BY 1 ORDER BY 1
+"""
+
+
 def selector_tag_counts(sf_dir: str) -> pd.DataFrame:
     """Selector auto-detection (M8) over the tiny corpus html: count of
-    detected elements per tag (rows-only; no SQL HTML parser)."""
+    detected elements per tag — oracle-checked against a SQL regex tag
+    extraction mirroring the scanner's opening-tag/500-cap spec."""
     from ..functions.selectors import auto_detect_selectors
     from ..sources.corpus import ensure
 
@@ -1710,8 +1759,9 @@ def crawl_tiny_e2e(sf_dir: str) -> pd.DataFrame:
 
 def extract_corpus_text(sf_dir: str) -> pd.DataFrame:
     """The minimum end-to-end slice (SURVEY.md §7 step 2): read pages →
-    map_batches(extract) → compare-ready (url, md5(text)).  Rows-only;
-    byte-identity vs the corpus oracle is asserted in pytest."""
+    map_batches(extract) → compare-ready (url, md5(text)).  Hash-checked
+    against the corpus oracle text column (r2: rows-only); byte-identity
+    is also asserted in pytest."""
     from ..sources.corpus import ensure
 
     corpus = ensure("tiny")
@@ -1730,6 +1780,91 @@ def extract_corpus_text(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(ex, batch_format="pyarrow").to_pandas()
     return out.sort_values("url").reset_index(drop=True)
+
+
+# byte-identity invariant as an oracle: the corpus `text` column was
+# computed by the SAME pure extractor at generation time (FIXTURES.md
+# §1), so engine re-extraction must md5-match it per url (r2: rows-only)
+_EXTRACT_CORPUS_SQL = f"""
+SELECT url, md5(text) AS text_md5
+FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet') ORDER BY url
+"""
+
+
+def crawl_reachability(sf_dir: str) -> pd.DataFrame:
+    """The crawl's SEEN SET oracle-checked end to end: run the frontier
+    loop to exhaustion (politeness-free, unbounded budget) and return
+    every selected url with its fetch status.  The DuckDB oracle
+    recomputes the same set as the recursive-CTE transitive closure of
+    the corpus link graph from the seed list — robots-denied pages
+    contribute no edges, misses are dangling links — and derives each
+    url's status from pages/robots alone.  This pins the frontier's
+    dedup + discovery semantics (north rule: 'matching the reference's
+    crawl ordering and URL-seen set') with a full value-hash check;
+    crawl ORDER stays pinned by the byte-frozen pytest fixtures
+    (fetch_seq is engine-defined and not SQL-derivable)."""
+    import shutil
+
+    from ..frontier.crawler import Crawler, CrawlConfig, read_crawl_output
+    from ..sources.corpus import ensure
+
+    corpus = ensure("tiny")
+    out_dir = "/tmp/dc4r_query_reach"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    c = Crawler(
+        corpus,
+        out_dir,
+        CrawlConfig(
+            num_shards=2,
+            fetch_concurrency=2,
+            max_rounds=50,
+            per_shard_budget=100_000,
+            round_ms=10_000_000,
+            checkpoint=False,
+        ),
+    )
+    c.run()
+    c.kill_shards()
+    out = read_crawl_output(out_dir)
+    df = out.select(["url", "status"]).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+_REACH_SQL = rf"""
+WITH pages AS (
+  SELECT url, decode(html) AS html,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         coalesce(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), '') AS path
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+),
+rob AS (SELECT host, unnest(disallow) AS d FROM read_parquet('{_TINY_CORPUS}/robots.parquet')),
+denied_pages AS (
+  SELECT DISTINCT p.url FROM pages p JOIN rob r ON r.host = p.host WHERE starts_with(p.path, r.d)
+),
+links AS (
+  SELECT p.url AS src,
+         CASE WHEN href LIKE 'http%' THEN href
+              WHEN href = '/' THEN 'https://' || p.host
+              ELSE 'https://' || p.host || href END AS dst
+  FROM pages p, UNNEST(regexp_extract_all(p.html, '<a\s[^>]*?href\s*=\s*["'']([^"''<>]+)["'']', 1)) AS u(href)
+  WHERE p.url NOT IN (SELECT url FROM denied_pages)
+),
+reach AS (
+  WITH RECURSIVE r(url) AS (
+     SELECT url FROM read_parquet('{_TINY_CORPUS}/seeds.parquet')
+     UNION
+     SELECT l.dst FROM r JOIN links l ON l.src = r.url
+  ) SELECT url FROM r
+)
+SELECT r.url,
+  CASE WHEN EXISTS (SELECT 1 FROM rob
+                    WHERE rob.host = regexp_extract(r.url, '^[a-z]+://([^/]+)', 1)
+                      AND starts_with(coalesce(regexp_extract(r.url, '^[a-z]+://[^/]+(/.*)$', 1), ''), rob.d))
+       THEN 'robots_denied'
+       WHEN r.url IN (SELECT url FROM pages) THEN 'ok'
+       ELSE 'miss' END AS status
+FROM reach r ORDER BY url
+"""
 
 
 # =========================================================================
@@ -1782,6 +1917,7 @@ QUERIES = {
     "llm_extract_stub": llm_extract_stub,
     "selector_tag_counts": selector_tag_counts,
     "crawl_tiny_e2e": crawl_tiny_e2e,
+    "crawl_reachability": crawl_reachability,
     "extract_corpus_text": extract_corpus_text,
 }
 
@@ -1825,8 +1961,13 @@ ORACLES = {
     "minhash_near_dups": _MINHASH_PAIRS_SQL,
     "minhash_dup_clusters": _MINHASH_CLUSTERS_SQL,
     "frame_samples": _FRAME_SAMPLES_SQL,
-    # rows-only (non-SQL-expressible): knn_ivf_top10 (approximate by
-    # design), simhash_signatures (siphash not in SQL; frozen-fixture
-    # pytest), selector_tag_counts / crawl_tiny_e2e / extract_corpus_text
-    # (corpus tables not registered as driver views; pytest-verified)
+    "lang_id_counts": _LANG_ID_SQL,
+    "selector_tag_counts": _SELECTOR_SQL,
+    "extract_corpus_text": _EXTRACT_CORPUS_SQL,
+    "crawl_reachability": _REACH_SQL,
+    # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed
+    # (approximate by design; indexed==unindexed pytest), simhash
+    # (siphash not in SQL; frozen-fixture pytest), crawl_tiny_e2e
+    # (fetch_seq ORDER is engine-defined; the SEEN SET + statuses are
+    # hash-checked by crawl_reachability, order by byte-frozen fixtures)
 }

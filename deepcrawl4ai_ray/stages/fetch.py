@@ -30,7 +30,7 @@ no wall-clock sleeping happens and runs stay deterministic.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -147,12 +147,25 @@ class HttpPageStore(PageStore):
 
 class CorpusPageStore(PageStore):
     """Parquet-corpus transport: keyed lookup into per-host-bucket page
-    tables (zero-copy plasma refs or column-pruned disk reads + LRU)."""
+    tables (zero-copy plasma refs or column-pruned disk reads + LRU).
 
-    def __init__(self, corpus_dir: str, bucket_refs: Optional[Dict[int, "ray.ObjectRef"]] = None, max_cached_buckets: int = 64):
+    ``read_log``: optional append-only file logging one "pid bucket"
+    line per DISK bucket read — the locality-measurement sideband used
+    by the disk-mode bench/tests (how many times was each bucket
+    actually re-read across worker processes?)."""
+
+    def __init__(
+        self,
+        corpus_dir: str,
+        bucket_refs: Optional[Dict[int, "ray.ObjectRef"]] = None,
+        max_cached_buckets: int = 64,
+        read_log: Optional[str] = None,
+    ):
         self.pages_dir = os.path.join(corpus_dir, "pages")
         self.bucket_refs = bucket_refs
         self.max_cached_buckets = max_cached_buckets
+        self.read_log = read_log
+        self.disk_reads = 0
         self._bucket_cache: Dict[int, tuple] = {}
         self._buckets_lru: list[int] = []
 
@@ -173,6 +186,11 @@ class CorpusPageStore(PageStore):
             import glob
 
             parts = sorted(glob.glob(os.path.join(self.pages_dir, f"bucket={bucket:03d}*.parquet")))
+            if parts:
+                self.disk_reads += 1
+                if self.read_log:
+                    with open(self.read_log, "a") as f:
+                        f.write(f"{os.getpid()} {bucket}\n")
             t = (
                 pa.concat_tables(
                     pq.read_table(p, columns=["url", "html", "warc_ts", "lang"]) for p in parts
@@ -208,6 +226,38 @@ class CorpusPageStore(PageStore):
         )
 
 
+class BucketCacheActor:
+    """Disk-mode LOCALITY ROUTING (the 100-TB story formerly living in
+    this module's docstring, now real): one small actor pool owns the
+    bucket→table cache, buckets assigned by ``bucket % pool_size``, so
+    each bucket is read from storage by exactly ONE process — total disk
+    reads ≈ num_buckets instead of num_buckets × fetch workers.  Fetch
+    tasks stay stateless map_batches; page columns travel back through
+    the object store.  Wrapped with ray.remote by the crawl driver."""
+
+    def __init__(self, corpus_dir: str, max_cached_buckets: int = 64, read_log: Optional[str] = None):
+        self.store = CorpusPageStore(corpus_dir, None, max_cached_buckets, read_log=read_log)
+
+    def lookup(self, urls: List[str], bucket: int):
+        html, ts, lang, found = self.store.fetch_bucket(pa.array(urls, pa.string()), bucket)
+        return (html, ts, lang, found)
+
+    def disk_reads(self) -> int:
+        return self.store.disk_reads
+
+
+class BucketCacheStore(PageStore):
+    """PageStore façade over a BucketCacheActor pool: routes each
+    bucket's lookup to its owning cache actor."""
+
+    def __init__(self, handles):
+        self.handles = list(handles)
+
+    def fetch_bucket(self, urls, bucket: int):
+        h = self.handles[bucket % len(self.handles)]
+        return ray.get(h.lookup.remote(urls.to_pylist(), int(bucket)))
+
+
 class FetchActor:
     def __init__(
         self,
@@ -215,8 +265,11 @@ class FetchActor:
         bucket_refs: Optional[Dict[int, "ray.ObjectRef"]] = None,
         max_cached_buckets: int = 64,
         page_store: Optional[PageStore] = None,
+        read_log: Optional[str] = None,
     ):
-        self.page_store = page_store or CorpusPageStore(corpus_dir, bucket_refs, max_cached_buckets)
+        self.page_store = page_store or CorpusPageStore(
+            corpus_dir, bucket_refs, max_cached_buckets, read_log=read_log
+        )
         robots_path = os.path.join(corpus_dir, "robots.parquet")
         if os.path.exists(robots_path):
             self.robots = RobotsCache.from_arrow(pq.read_table(robots_path))
@@ -328,15 +381,28 @@ def _corpus_generation(corpus_dir: str, bucket_refs) -> str:
 
 def _make_page_store(spec) -> Optional[PageStore]:
     """Spec → PageStore: ("http", base_url[, workers]) builds the real
-    socket transport; None keeps the default corpus store.  Specs (not
-    instances) travel through the task closure so each worker process
-    builds its own connection state."""
+    socket transport; ("bucket_cache", handles_tuple) routes lookups to
+    the locality cache-actor pool; None keeps the default corpus store.
+    Specs (not instances) travel through the task closure so each worker
+    process builds its own connection state."""
     if spec is None:
         return None
     kind = spec[0]
     if kind == "http":
         return HttpPageStore(*spec[1:])
+    if kind == "bucket_cache":
+        return BucketCacheStore(spec[1])
     raise ValueError(f"unknown page_store spec {spec!r}")
+
+
+def _spec_token(spec) -> tuple:
+    """Hashable cache-key token for a page_store spec (actor handles
+    aren't dict keys; use their ids)."""
+    if spec is None:
+        return ()
+    if spec[0] == "bucket_cache":
+        return ("bucket_cache",) + tuple(h._actor_id.hex() for h in spec[1])
+    return tuple(spec)
 
 
 def make_fetch_fn(
@@ -346,6 +412,7 @@ def make_fetch_fn(
     page_store: Optional[tuple] = None,
     abort_file: Optional[str] = None,
     stop_trigger: Optional[dict] = None,
+    read_log: Optional[str] = None,
 ):
     """``flaky`` = {"mod": M, "fail_attempts": K}: urls with
     hash64(url) % M == 0 fail transiently (status='miss') until their
@@ -371,10 +438,12 @@ def make_fetch_fn(
                     open(abort_file, "w").close()
         if abort_file and os.path.exists(abort_file):
             raise CrawlAborted(f"abort token {abort_file} present — aborting round mid-flight")
-        key = (corpus_dir, gen, page_store)
+        key = (corpus_dir, gen, _spec_token(page_store), read_log)
         st = _PROC_FETCH_STATE.get(key)
         if st is None:
-            st = FetchActor(corpus_dir, bucket_refs, page_store=_make_page_store(page_store))
+            st = FetchActor(
+                corpus_dir, bucket_refs, page_store=_make_page_store(page_store), read_log=read_log
+            )
             _PROC_FETCH_STATE.clear()  # one corpus generation live per process
             _PROC_FETCH_STATE[key] = st
         out = st(batch)
