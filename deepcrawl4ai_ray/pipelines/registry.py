@@ -225,6 +225,39 @@ def _dedup_exact(ds, id_col: str, text_col: str = "text", num_buckets: int = 16)
     )
 
 
+@register("near_dup_pairs")
+def _near_dup_pairs(ds, id_col: str, text_col: str = "text", threshold: float = 0.9, prune_payload: bool = False):
+    """MinHash+LSH near-dup pairs with exact in-verify Jaccard — the
+    dedup family as a declarative step.  TERMINAL-shaped: replaces the
+    stream with Dataset(id_a, id_b, jac) (pairs stay distributed; sink
+    with write_parquet)."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        ds, id_col, text_col, threshold=threshold, verify="exact", prune_payload=prune_payload
+    )
+
+
+@register("dup_clusters")
+def _dup_clusters(ds, id_col: str, text_col: str = "text", threshold: float = 0.9):
+    """Near-dup pairs → cluster labels (min-label propagation).  Replaces
+    the stream with Dataset(node, component)."""
+    from ..stages.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(ds, id_col, text_col, threshold=threshold, verify="exact")
+    return connected_components(pairs)
+
+
+@register("quantiles_sketch")
+def _quantiles_sketch(ds, key: str, val: str, qs=(0.5, 0.9), compression: int = 200):
+    """Grouped quantiles via the t-digest partial-merge plan (only
+    sketch bytes shuffle).  Replaces the stream with
+    Dataset(key, n, p50, p90, ...)."""
+    from ..stages.agg import grouped_quantiles_tdigest
+
+    return grouped_quantiles_tdigest(ds, key, val, qs=tuple(qs), compression=compression)
+
+
 @register("image_decode")
 def _image_decode(ds, payload_col: str = "payload", id_col: str = "doc_id", batch_size: int = 256):
     """Actor-pool binary-image decode stage (stubbed kernel, real

@@ -88,3 +88,47 @@ def test_image_decode_step(ray_session):
     out = build_pipeline(_ds(df), [{"step": "image_decode", "params": {}}]).to_pandas()
     assert set(out.columns) == {"doc_id", "width", "height", "n_bytes"}
     assert out.sort_values("doc_id")["n_bytes"].tolist() == [3, 7]
+
+
+class TestNewSteps:
+    def test_near_dup_pairs_and_clusters_steps(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.pipelines.registry import build_pipeline
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+        docs = pd.DataFrame(
+            {
+                "doc_id": pd.Series([1, 2, 3], dtype="int64"),
+                "text": [base, base + " extra", "completely different words entirely here now ok"],
+            }
+        )
+        pairs = build_pipeline(
+            rd.from_pandas(docs),
+            [{"step": "near_dup_pairs", "params": {"id_col": "doc_id", "threshold": 0.5}}],
+        ).to_pandas()
+        assert [1, 2] in pairs[["id_a", "id_b"]].values.tolist()
+
+        labels = build_pipeline(
+            rd.from_pandas(docs),
+            [{"step": "dup_clusters", "params": {"id_col": "doc_id", "threshold": 0.5}}],
+        ).to_pandas().set_index("node")["component"]
+        assert labels[1] == labels[2] == 1
+
+    def test_quantiles_sketch_step(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.pipelines.registry import build_pipeline
+
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame({"k": rng.integers(0, 3, 30_000), "v": rng.normal(0, 1, 30_000)})
+        out = build_pipeline(
+            rd.from_pandas(df),
+            [{"step": "quantiles_sketch", "params": {"key": "k", "val": "v"}}],
+        ).to_pandas().set_index("k")
+        for k, g in df.groupby("k"):
+            assert abs(out.loc[k, "p50"] - g["v"].quantile(0.5)) < 0.05
+            assert int(out.loc[k, "n"]) == len(g)
