@@ -211,3 +211,36 @@ class TestHashJoinRandomized:
         c = pd.DataFrame({"k": np.arange(n, dtype=np.int64), "w": np.zeros(n, dtype=np.int64)})
         j2 = hash_join(rd.from_pandas(c), slim, on="k", right_on="k2", num_buckets=8)
         assert j2.count() == n
+
+
+class TestTDigestProperties:
+    @given(st.integers(0, 2**31), st.integers(1, 6))
+    @settings(max_examples=25, deadline=None)
+    def test_invariants_under_random_data_and_splits(self, seed, n_parts):
+        """For any data and any partitioning: merged digest conserves n
+        exactly, quantiles stay within [min, max], are monotone in q,
+        and q=0/1 hit the exact extremes."""
+        from deepcrawl4ai_ray.state.tdigest import TDigest
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 5000))
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            data = rng.normal(0, 10, n)
+        elif kind == 1:
+            data = rng.lognormal(0, 3, n)
+        else:
+            data = np.repeat(rng.normal(0, 1, max(1, n // 100)), 100)
+        n = len(data)
+        merged = TDigest(100)
+        for part in np.array_split(data, min(n_parts, n)):
+            d = TDigest(100)
+            d.add_many(part)
+            merged.merge(TDigest.from_bytes(d.to_bytes()))
+        assert abs(merged.n - n) < 1e-6
+        qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+        vals = [merged.quantile(q) for q in qs]
+        assert vals == sorted(vals)  # monotone
+        assert vals[0] == data.min() and vals[-1] == data.max()
+        for v in vals:
+            assert data.min() - 1e-9 <= v <= data.max() + 1e-9
