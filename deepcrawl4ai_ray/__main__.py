@@ -52,6 +52,7 @@ def main(argv=None):
     c.add_argument("--no-checkpoint", action="store_true")
     c.add_argument("--max-retries", type=int, default=0)
     c.add_argument("--stop-file", default=None, help="touch this file to stop after the current round")
+    c.add_argument("--abort-file", default=None, help="touch this file to abort the in-flight round (rolls back; resume re-runs it)")
 
     t = sub.add_parser("tail", help="stream crawl progress as NDJSON (manifest tail)")
     t.add_argument("--out", required=True)
@@ -85,6 +86,7 @@ def main(argv=None):
             checkpoint=not args.no_checkpoint,
             max_retries=args.max_retries,
             stop_file=args.stop_file,
+            abort_file=args.abort_file,
         )
         if args.resume:
             crawler = Crawler.resume(args.corpus, args.out, cfg)
@@ -111,6 +113,8 @@ def main(argv=None):
             print(f"unknown query {args.name!r}; available: {sorted(QUERIES)}", file=sys.stderr)
             return 2
         out = QUERIES[args.name](args.sf_dir)
+        if hasattr(out, "to_pandas"):  # Dataset / Arrow results
+            out = out.to_pandas()
         print(out.to_string() if hasattr(out, "to_string") else out)
         return 0
 

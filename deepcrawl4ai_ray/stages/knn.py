@@ -59,7 +59,7 @@ def brute_force_topk(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         V = _to_matrix(batch[vec_col])
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         sims = V @ qv
@@ -116,7 +116,7 @@ def ivf_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         qv, C, probe_set = ray.get(ctx_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         V = _to_matrix(batch[vec_col])
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         assign = np.argmax(V @ C.T, axis=1)
