@@ -540,6 +540,55 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_in_windows(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: every event falling inside one of the
+    30-minute campaign windows opened by each event_id % 997 == 0 event
+    (stages/rangejoin.interval_join — intervals exploded to covered
+    hour-buckets, points tagged with their single bucket, ONE groupby
+    shuffle, exact bounds check in-group).  Oracle: plain BETWEEN join."""
+    from ..stages.rangejoin import interval_join
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def mk_windows(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % 997 == 0))
+        lo = sub["ts"]
+        hi = pc.cast(pc.add(pc.cast(lo, pa.int64()), 1_800_000_000), pa.timestamp("us"))
+        return pa.table(
+            {"window_id": sub["event_id"], "lo": pc.cast(lo, pa.timestamp("us")), "hi": hi}
+        )
+
+    windows = ds.map_batches(mk_windows, batch_format="pyarrow")
+    joined = interval_join(
+        ds,
+        windows,
+        ts_col="ts",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width_us=3_600_000_000,  # 1 h buckets ≈ 2× the span
+        point_cols=["event_id", "ts"],
+        interval_cols=["window_id", "lo", "hi"],
+    )
+    out = joined.map_batches(
+        lambda t: t.select(["window_id", "event_id"]), batch_format="pyarrow"
+    ).to_pandas()
+    out["window_id"] = out["window_id"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values(["window_id", "event_id"]).reset_index(drop=True)
+
+
+_RANGE_JOIN_SQL = """
+WITH w AS (
+  SELECT event_id AS window_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi
+  FROM events WHERE event_id % 997 = 0
+)
+SELECT w.window_id, e.event_id
+FROM events e JOIN w ON e.ts BETWEEN w.lo AND w.hi
+ORDER BY window_id, event_id
+"""
+
+
 def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
     """Exact grouped distinct count — two-level: per-batch unique
     (type, user) pairs via Arrow group_by, one groupby shuffle of the
@@ -1889,6 +1938,7 @@ QUERIES = {
     "q5_region_revenue": q5_region_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "distinct_users_by_type": distinct_users_by_type,
+    "events_in_windows": events_in_windows,
     "top3_events_per_user": top3_events_per_user,
     "value_quantiles_by_type": value_quantiles_by_type,
     "customers_without_orders": customers_without_orders,
@@ -1939,6 +1989,7 @@ ORACLES = {
     "q5_region_revenue": _Q5_SQL,
     "q7_volume_shipping": _Q7_SQL,
     "distinct_users_by_type": _DISTINCT_USERS_SQL,
+    "events_in_windows": _RANGE_JOIN_SQL,
     "top3_events_per_user": _TOP3_SQL,
     "value_quantiles_by_type": _QUANTILES_SQL,
     "customers_without_orders": _ANTI_SQL,

@@ -454,3 +454,41 @@ class TestConnectedComponents:
         a = norm(connected_components(pairs))
         b = norm(connected_components(_ds(pairs)))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestIntervalJoin:
+    def test_matches_bruteforce_with_boundary_spanning_intervals(self):
+        """Range join vs an O(N*M) pandas reference: random points and
+        intervals, some spanning multiple buckets, some empty, ties at
+        the exact lo/hi bounds."""
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.rangejoin import interval_join
+
+        rng = np.random.RandomState(13)
+        n_pts, n_iv, width = 2000, 60, 1000
+        ts = rng.randint(0, 100_000, n_pts).astype("int64")
+        pts = pd.DataFrame({"pid": np.arange(n_pts, dtype=np.int64), "ts": ts})
+        lo = rng.randint(0, 100_000, n_iv).astype("int64")
+        span = rng.randint(0, 3 * width, n_iv).astype("int64")  # up to 3 buckets
+        iv = pd.DataFrame({"iid": np.arange(n_iv, dtype=np.int64), "lo": lo, "hi": lo + span})
+        # plant exact-boundary ties
+        iv.loc[0, ["lo", "hi"]] = [int(ts[0]), int(ts[1])]
+
+        got = (
+            interval_join(
+                rd.from_pandas(pts), rd.from_pandas(iv),
+                ts_col="ts", lo_col="lo", hi_col="hi", bucket_width_us=width,
+            )
+            .to_pandas()[["pid", "iid"]]
+            .sort_values(["pid", "iid"])
+            .reset_index(drop=True)
+        )
+        want = (
+            pts.merge(iv, how="cross")
+            .query("lo <= ts <= hi")[["pid", "iid"]]
+            .sort_values(["pid", "iid"])
+            .reset_index(drop=True)
+        )
+        assert len(want) > 100  # the scenario is non-trivial
+        pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
