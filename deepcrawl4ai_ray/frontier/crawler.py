@@ -288,13 +288,16 @@ class Crawler:
                 exc, self._writer_exc = self._writer_exc, None
                 raise RuntimeError("background round publish failed") from exc
 
-    def _host_delays(self) -> Dict[str, int]:
+    def _robots_delays(self) -> Dict[str, int]:
+        """Raw per-host crawl delays from robots.parquet (no salting)."""
         path = os.path.join(self.corpus_dir, "robots.parquet")
         if not os.path.exists(path):
-            delays: Dict[str, int] = {}
-        else:
-            t = pq.read_table(path, columns=["host", "crawl_delay_ms"])
-            delays = dict(zip(t.column("host").to_pylist(), t.column("crawl_delay_ms").to_pylist()))
+            return {}
+        t = pq.read_table(path, columns=["host", "crawl_delay_ms"])
+        return dict(zip(t.column("host").to_pylist(), t.column("crawl_delay_ms").to_pylist()))
+
+    def _host_delays(self) -> Dict[str, int]:
+        delays = self._robots_delays()
         # per-salt politeness quota split: a host salted s ways lives on
         # up to s shards; each shard refills its bucket at 1/s of the
         # host rate so the host's aggregate crawl rate is preserved
@@ -348,12 +351,7 @@ class Crawler:
     def _base_host_delay(self, host: str) -> int:
         from ..state.robots import DEFAULT_DELAY_MS
 
-        path = os.path.join(self.corpus_dir, "robots.parquet")
-        if os.path.exists(path):
-            t = pq.read_table(path, columns=["host", "crawl_delay_ms"])
-            m = dict(zip(t.column("host").to_pylist(), t.column("crawl_delay_ms").to_pylist()))
-            return int(m.get(host, DEFAULT_DELAY_MS))
-        return DEFAULT_DELAY_MS
+        return int(self._robots_delays().get(host, DEFAULT_DELAY_MS))
 
     def _finalize_all(self) -> list:
         """Round barrier: finalize every shard, then route any

@@ -127,7 +127,7 @@ class FrontierShard:
                 n_added += 1
             if q:
                 self._ready.add(host)
-            elif not q:
+            else:
                 self.queues.pop(host, None)
         return n_added
 
@@ -172,7 +172,6 @@ class FrontierShard:
             h = hash64(urls)
             new = self.seen.add_if_absent_many(h)
             self.bloom.add_many(h[new])
-            n_new = 0
             dropped = 0
             for i, u in enumerate(urls):
                 if not new[i]:
@@ -185,7 +184,6 @@ class FrontierShard:
                     target = (self.shard_id + int(h[i] % np.uint64(s))) % self.num_peer_shards
                     if target != self.shard_id:
                         fwd.setdefault((target, host), []).append((u, p))
-                        n_new += 1
                         continue
                 q = self.queues.setdefault(host, [])
                 if len(q) >= self.max_per_host:
@@ -193,7 +191,6 @@ class FrontierShard:
                     continue
                 q.append((p, u))
                 self._ready.add(host)
-                n_new += 1
             self._stats["inserts"] += int(new.sum())
             # dupes = within-round merged offers + already-seen urls
             self._stats["dupes_skipped"] += self._stats["offered"] - int(new.sum())

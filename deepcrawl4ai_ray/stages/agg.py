@@ -85,8 +85,12 @@ def grouped_quantiles_tdigest(
     from ..state.tdigest import TDigest
 
     def partial(batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field(key).type  # stable across empty blocks
         df = batch.select([key, val]).to_pandas()
         out_k, out_d, out_n = [], [], []
+        # null keys are unsupported here, as in every grouped operator in
+        # this engine: Ray's sort-based groupby cannot order null keys
+        # (TypeError in sort_and_partition) — filter them upstream
         for kv, g in df.groupby(key, sort=False):
             d = TDigest(compression)
             d.add_many(g[val].to_numpy(dtype=np.float64))
@@ -95,7 +99,7 @@ def grouped_quantiles_tdigest(
             out_n.append(len(g))
         return pa.table(
             {
-                key: pa.array(out_k),
+                key: pa.array(out_k, key_type),
                 "digest": pa.array(out_d, pa.binary()),
                 "n": pa.array(out_n, pa.int64()),
             }

@@ -106,6 +106,15 @@ def asof_join(
         out = pd.merge_asof(
             lg, rg, on=ts, by=key, direction=direction, suffixes=("", suffix)
         )
+        # unify with the empty-group branches: a fully-matched group would
+        # emit int64 right columns while a right-empty group emits float64
+        # NaN — conflicting block schemas.  Cast every right-side column to
+        # its group-independent _na_dtype so all groups agree.
+        for c in r_only:
+            name = c + suffix if c in l_cols else c
+            want = _na_dtype(c)
+            if want is np.float64 and out[name].dtype.kind in "iu":
+                out[name] = out[name].astype(np.float64)
         return out
 
     return both.groupby("__b").map_groups(merge, batch_format="pyarrow")

@@ -432,9 +432,13 @@ def make_fetch_fn(
         if stop_trigger and abort_file and len(batch):
             r_now = int(batch["round"][0].as_py())
             if r_now == int(stop_trigger["round"]):
-                k = (corpus_dir, r_now)
+                # keyed by abort_file too (two crawls over one corpus in
+                # a session must not share counts) and fires EXACTLY once
+                # per process (== not >): re-running the aborted round
+                # with the injector still armed doesn't re-trip it
+                k = (corpus_dir, abort_file, r_now)
                 _STOP_TRIGGER_COUNTS[k] = _STOP_TRIGGER_COUNTS.get(k, 0) + 1
-                if _STOP_TRIGGER_COUNTS[k] > int(stop_trigger.get("after_batches", 0)):
+                if _STOP_TRIGGER_COUNTS[k] == int(stop_trigger.get("after_batches", 0)) + 1:
                     open(abort_file, "w").close()
         if abort_file and os.path.exists(abort_file):
             raise CrawlAborted(f"abort token {abort_file} present — aborting round mid-flight")

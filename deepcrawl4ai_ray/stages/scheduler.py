@@ -67,6 +67,16 @@ class SchedulerDaemon:
         due = due.take(
             pc.sort_indices(due, sort_keys=[(self.ts_col, "ascending"), (self.id_col, "ascending")])
         )
+        # intra-tick dedup: a task re-inserted with a newer ready_ts can
+        # appear on two due rows; keep the first (earliest) so exactly-once
+        # holds WITHIN a tick too, not just across ticks
+        seen_tick: set = set()
+        keep = []
+        for i in due[self.id_col].to_pylist():
+            keep.append(i not in seen_tick)
+            seen_tick.add(i)
+        if not all(keep):
+            due = due.filter(pa.array(keep))
         self.promote(due)
         self.promoted.update(due[self.id_col].to_pylist())
         return due.num_rows

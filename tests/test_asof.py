@@ -64,3 +64,29 @@ def test_asof_no_right_rows_for_key(ray_session):
     got = got.sort_values("lv")
     assert got[got.k == 1]["rv"].tolist() == [7]
     assert got[got.k == 2]["rv"].isna().all()
+
+
+def test_int_right_columns_uniform_dtype_across_buckets(ray_session):
+    """A bucket whose key has no right-side rows must not produce a
+    different dtype (float64 vs int64) than fully-matched buckets —
+    int right columns are float64 in EVERY group."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from deepcrawl4ai_ray.stages.asof import asof_join
+
+    left = pd.DataFrame(
+        {"k": np.array([0, 0, 1, 1], dtype=np.int64), "ts": np.array([5, 9, 5, 9], dtype=np.int64)}
+    )
+    right = pd.DataFrame(  # only key 0 — key 1's bucket is right-empty
+        {"k": np.array([0], dtype=np.int64), "ts": np.array([1], dtype=np.int64),
+         "rv": np.array([7], dtype=np.int64)}
+    )
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right), key="k", ts="ts", num_buckets=2)
+    tbl = out.to_pandas()
+    import pyarrow as pa
+    sch = dict(zip(out.schema().names, out.schema().types))
+    assert sch["rv"] == pa.float64()  # uniform across matched/empty groups
+    assert tbl.loc[tbl.k == 0, "rv"].tolist() == [7.0, 7.0]
+    assert tbl.loc[tbl.k == 1, "rv"].isna().all()

@@ -98,3 +98,30 @@ class TestGroupedQuantileSketch:
                 hi = np.searchsorted(vals, row[col], side="right") / len(vals)
                 err = min(abs(lo - q), abs(hi - q))
                 assert err <= 0.02, (et, col, err)
+
+    def test_tdigest_partial_handles_empty_blocks(self, ray_session):
+        """Blocks emptied by an upstream filter must emit key-TYPED
+        partials (a null-typed key column would break schema unification
+        in the groupby shuffle).  Null keys are unsupported engine-wide
+        (Ray's sort-based groupby cannot order them) — filter upstream."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.agg import grouped_quantiles_tdigest
+
+        df = pd.DataFrame(
+            {
+                "k": pd.array(["a"] * 50 + ["b"] * 50 + ["drop"] * 20, dtype="string"),
+                "v": np.arange(120, dtype=float),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(8).map_batches(
+            # the 'drop' rows sit in the trailing blocks → some blocks
+            # reach partial() completely empty
+            lambda t: t.filter(pa.compute.not_equal(t["k"], "drop")), batch_format="pyarrow"
+        )
+        out = grouped_quantiles_tdigest(ds, "k", "v").to_pandas()
+        assert set(out["k"]) == {"a", "b"}
+        assert int(out["n"].sum()) == 100

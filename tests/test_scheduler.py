@@ -89,3 +89,19 @@ class TestSchedulerDaemon:
         )
         d.run_forever(stop, now_fn=now_fn)
         assert promoted == ["a"]
+
+    def test_intra_tick_duplicate_ids_promoted_once(self):
+        """A task re-inserted with a newer ready_ts (two due rows, same
+        id) must reach promote() once — earliest row wins."""
+        t = pa.table(
+            {
+                "task_id": pa.array(["a", "a", "b"], pa.string()),
+                "ready_ts_ms": pa.array([10, 500, 20], pa.int64()),
+            }
+        )
+        got = []
+        d = SchedulerDaemon(lambda: t, lambda x: got.extend(
+            zip(x["task_id"].to_pylist(), x["ready_ts_ms"].to_pylist())
+        ), interval_ms=1000)
+        d.run_virtual(0, 2000)
+        assert got == [("a", 10), ("b", 20)]
