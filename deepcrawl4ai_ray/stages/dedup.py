@@ -465,6 +465,86 @@ def simhash_stage(id_col: str, text_col: str):
     return fn
 
 
+def simhash_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Hamming-ball near-dup pairs over 64-bit SimHash signatures →
+    Dataset(id_a, id_b, hamming), id_a < id_b.
+
+    Banding (Charikar 2002 / Manku et al. 2007 table-partition trick):
+    the 64-bit signature splits into ``bands`` equal chunks; by
+    pigeonhole any pair with ≤ bands-1 differing bits agrees EXACTLY on
+    ≥1 chunk, so candidates = rows sharing a (band_idx, chunk) key —
+    recall is 100 % for max_hamming ≤ bands-1 (raise ``bands`` for wider
+    balls).  One bucket groupby; the 8 B signature rides with each band
+    row (no join-back needed); vectorized XOR+popcount verify in-bucket;
+    distributed cross-band pair dedup."""
+    if max_hamming > bands - 1:
+        raise ValueError(f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} for full recall")
+    chunk_bits = 64 // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = np.array([H.simhash64(t) for t in batch[text_col].to_pylist()], dtype=np.uint64)
+        n = len(ids)
+        out_ids = np.repeat(ids, bands)
+        out_sigs = np.repeat(sigs, bands)
+        band_idx = np.tile(np.arange(bands, dtype=np.uint64), n)
+        chunks = (out_sigs >> (band_idx * np.uint64(chunk_bits))) & np.uint64((1 << chunk_bits) - 1)
+        band_key = (band_idx << np.uint64(60)) | chunks  # band id disambiguates chunks
+        return pa.table(
+            {
+                "band_bucket": pa.array((band_key % np.uint64(num_buckets)).astype(np.int32)),
+                "band_key": pa.array(band_key),
+                id_col: pa.array(out_ids),
+                "sig": pa.array(out_sigs),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a: List[int] = []
+        rows_b: List[int] = []
+        hams: List[int] = []
+        for _, band in g.groupby("band_key", sort=False):
+            band = band.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            m = len(band)
+            if m < 2:
+                continue
+            ids = band[id_col].to_numpy()
+            sigs = band["sig"].to_numpy().astype(np.uint64)
+            for a in range(m - 1):
+                x = np.bitwise_xor(sigs[a + 1 :], sigs[a])
+                ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+                hit = np.nonzero(ham <= max_hamming)[0]
+                rows_a.extend([ids[a]] * len(hit))
+                rows_b.extend(ids[a + 1 + hit])
+                hams.extend(ham[hit])
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(rows_a, dtype="int64"),
+                "id_b": pd.Series(rows_b, dtype="int64"),
+                "hamming": pd.Series(hams, dtype="int64"),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("band_bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    import ray.data as rd
+    from ray.data.aggregate import Min as _Min
+
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())])
+    seeded = pairs.union(rd.from_arrow(schema.empty_table()))
+    return seeded.groupby(["id_a", "id_b"]).aggregate(_Min("hamming", alias_name="hamming"))
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup via SRP-LSH (signed random projections)
 #

@@ -492,3 +492,41 @@ class TestIntervalJoin:
         )
         assert len(want) > 100  # the scenario is non-trivial
         pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+class TestSimhashNearDup:
+    def test_matches_bruteforce_hamming(self):
+        """Banded SimHash near-dup vs an all-pairs popcount reference:
+        100% recall for hamming <= bands-1 (pigeonhole), zero extras."""
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.functions import hashing as H
+        from deepcrawl4ai_ray.stages.dedup import simhash_near_dup_pairs
+
+        base = [
+            " ".join(f"w{(i * 11 + j * 3) % 211}" for j in range(60)) for i in range(80)
+        ]
+        ids = list(range(80))
+        texts = list(base)
+        for i in range(0, 80, 8):  # near-dups: one word swapped
+            ids.append(1000 + i)
+            texts.append(base[i].replace(f"w{(i * 11) % 211} ", "wx ", 1))
+        docs = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "text": texts})
+
+        got = (
+            simhash_near_dup_pairs(_ds(docs), "doc_id", "text", max_hamming=3)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        sigs = {i: H.simhash64(t) for i, t in zip(ids, texts)}
+        want = []
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                ia, ib = sorted((ids[a], ids[b]))
+                h = H.hamming64(sigs[ids[a]], sigs[ids[b]])
+                if h <= 3:
+                    want.append((ia, ib, h))
+        want = sorted(set(want))
+        assert len(want) >= 5  # the plant produced real near-dups
+        assert list(map(tuple, got.values.tolist())) == want
