@@ -53,6 +53,8 @@ def main(argv=None):
     c.add_argument("--max-retries", type=int, default=0)
     c.add_argument("--stop-file", default=None, help="touch this file to stop after the current round")
     c.add_argument("--abort-file", default=None, help="touch this file to abort the in-flight round (rolls back; resume re-runs it)")
+    c.add_argument("--http-gateway", default=None, help="fetch pages over this HTTP gateway (HttpPageStore) instead of the corpus parquet")
+    c.add_argument("--bucket-cache-actors", type=int, default=0, help="disk-mode locality: route bucket reads through N cache actors")
 
     t = sub.add_parser("tail", help="stream crawl progress as NDJSON (manifest tail)")
     t.add_argument("--out", required=True)
@@ -88,6 +90,12 @@ def main(argv=None):
             stop_file=args.stop_file,
             abort_file=args.abort_file,
         )
+        if args.http_gateway:
+            cfg.extra["page_store"] = ("http", args.http_gateway)
+            cfg.corpus_in_object_store = False  # transport replaces the corpus read
+        if args.bucket_cache_actors:
+            cfg.extra["bucket_cache_actors"] = args.bucket_cache_actors
+            cfg.corpus_in_object_store = False
         if args.resume:
             crawler = Crawler.resume(args.corpus, args.out, cfg)
         else:

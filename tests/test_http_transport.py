@@ -121,3 +121,84 @@ def test_crawl_http_vs_corpus(ray_session, tiny_corpus, page_gateway, tmp_path):
     http_tbl = run(tmp_path / "http_mode", {"page_store": ("http", page_gateway)})
     assert corpus_tbl.num_rows > 0
     assert corpus_tbl.equals(http_tbl)
+
+
+@pytest.fixture(scope="module")
+def close_every_response_gateway(tiny_corpus):
+    """Gateway that CLOSES the connection after every response (HTTP/1.0,
+    no keep-alive) — exercises HttpPageStore's reconnect path."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlsplit
+
+    pages = pa.concat_tables(
+        pq.read_table(f) for f in glob.glob(os.path.join(tiny_corpus, "pages", "*.parquet"))
+    )
+    lut = {}
+    ts_us = pages["warc_ts"].cast(pa.int64()).to_pylist()
+    for u, h, t, l in zip(
+        pages["url"].to_pylist(), pages["html"].to_pylist(), ts_us, pages["lang"].to_pylist()
+    ):
+        lut[u] = (h, t, l)
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.0"  # server hangs up after each response
+
+        def do_GET(self):  # noqa: N802
+            url = parse_qs(urlsplit(self.path).query).get("url", [None])[0]
+            hit = lut.get(url)
+            if hit is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            html, ts, lang = hit
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(html)))
+            self.send_header("X-Warc-Ts", str(ts))
+            if lang:
+                self.send_header("X-Lang", lang)
+            self.end_headers()
+            self.wfile.write(html)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_store_survives_connection_close_per_request(
+    ray_session, tiny_corpus, close_every_response_gateway
+):
+    """A server that drops the connection after every response (no
+    keep-alive) must still yield byte-identical fetches — the client
+    reconnects transparently instead of reporting misses."""
+    import numpy as np
+
+    from deepcrawl4ai_ray.functions.urlnorm import host_buckets, hosts_of
+    from deepcrawl4ai_ray.sources.corpus import NUM_HOST_BUCKETS
+    from deepcrawl4ai_ray.stages.fetch import FetchActor, HttpPageStore
+
+    pages = pa.concat_tables(
+        pq.read_table(f, columns=["url"])
+        for f in glob.glob(os.path.join(tiny_corpus, "pages", "*.parquet"))
+    )
+    urls = pages["url"].to_pylist()[:60]
+    arr = np.asarray(urls, dtype=object)
+    hosts = hosts_of(arr)
+    batch = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(list(hosts), pa.string()),
+            "round": pa.array(np.zeros(len(urls), dtype=np.int32)),
+            "host_bucket": pa.array(host_buckets(hosts, NUM_HOST_BUCKETS)),
+        }
+    )
+    corpus_out = FetchActor(tiny_corpus)(batch)
+    http_out = FetchActor(
+        tiny_corpus, page_store=HttpPageStore(close_every_response_gateway)
+    )(batch)
+    assert corpus_out.equals(http_out)
+    assert set(http_out["status"].to_pylist()) == {"ok"}
