@@ -1384,6 +1384,21 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def simhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    """SimHash Hamming-ball near-dup pairs over documents ∪ perturbed
+    copies (the same planted population as minhash_near_dups).  Banded
+    candidates (4×16-bit chunks, 100 % recall for hamming ≤ 3), exact
+    XOR+popcount verify.  Rows-only: the siphash-based signature isn't
+    SQL-expressible; the operator is pinned by an all-pairs brute-force
+    equality test (tests/test_stages.py::TestSimhashNearDup) and the
+    signature spec by a frozen fixture."""
+    from ..stages.dedup import simhash_near_dup_pairs
+
+    out = simhash_near_dup_pairs(_augmented_docs(sf_dir), "doc_id", "text", max_hamming=3).to_pandas()
+    out["hamming"] = out["hamming"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def simhash_signatures(sf_dir: str) -> pd.DataFrame:
     """SimHash64 per doc (rows-only; deterministic)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1964,6 +1979,7 @@ QUERIES = {
     "minhash_near_dups": minhash_near_dups,
     "minhash_dup_clusters": minhash_dup_clusters,
     "clean_corpus_stats": clean_corpus_stats,
+    "simhash_near_dups": simhash_near_dups,
     "simhash_signatures": simhash_signatures,
     "image_decode_meta": image_decode_meta,
     "frame_samples": frame_samples,
@@ -2028,7 +2044,8 @@ ORACLES = {
     "crawl_reachability": _REACH_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed
     # (approximate by design; indexed==unindexed pytest), simhash
-    # (siphash not in SQL; frozen-fixture pytest), crawl_tiny_e2e
-    # (fetch_seq ORDER is engine-defined; the SEEN SET + statuses are
-    # hash-checked by crawl_reachability, order by byte-frozen fixtures)
+    # signatures + near-dup pairs (siphash not in SQL; frozen-fixture +
+    # all-pairs brute-force pytest), crawl_tiny_e2e (fetch_seq ORDER is
+    # engine-defined; the SEEN SET + statuses are hash-checked by
+    # crawl_reachability, order by byte-frozen fixtures)
 }
