@@ -1142,6 +1142,27 @@ def knn_ivf_indexed_top10(sf_dir: str) -> pd.DataFrame:
     return ivf_topk_indexed(idx_dir, "vec_id", "embedding", q, cents, k=10, nprobe=4, exclude_id=0)
 
 
+def knn_pq_top10(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN (stages/knn.train_pq/pq_encode/pq_topk):
+    the scan index holds 8 BYTES per vector (64× smaller than float64),
+    scanned via an asymmetric-distance LUT; the top-256 ADC candidates
+    are re-ranked EXACTLY against the full-precision column.  With
+    refine ≫ k the result equals the exact brute force — so this shares
+    knn_cosine_top10's SQL oracle (hash-checked ANN, deterministic:
+    seeded codebooks, no query-time RNG)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.knn import _to_matrix, pq_encode, pq_topk, train_pq
+
+    q = _load_query_vec(sf_dir)
+    sample = pq.read_table(_p(sf_dir, "embeddings"), columns=["embedding"])
+    M = _to_matrix(sample["embedding"].slice(0, 2048))
+    books = train_pq(M, m=8, k=64, iters=5)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    codes = pq_encode(ds, "vec_id", "embedding", books)
+    return pq_topk(codes, ds, "vec_id", "embedding", q, books, k=10, refine=256, exclude_id=0)
+
+
 def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
 
@@ -1974,6 +1995,7 @@ QUERIES = {
     "knn_cosine_top10": knn_cosine_top10,
     "knn_ivf_top10": knn_ivf_top10,
     "knn_ivf_indexed_top10": knn_ivf_indexed_top10,
+    "knn_pq_top10": knn_pq_top10,
     "embedding_label_stats": embedding_label_stats,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "minhash_near_dups": minhash_near_dups,
@@ -2023,6 +2045,7 @@ ORACLES = {
     "doc_fingerprints": _FINGERPRINT_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "knn_cosine_top10": _KNN_SQL,
+    "knn_pq_top10": _KNN_SQL,  # PQ + exact re-rank == brute force
     "embedding_label_stats": _EMB_STATS_SQL,
     "image_decode_meta": _IMAGE_DECODE_SQL,
     "llm_extract_stub": _LLM_STUB_SQL,

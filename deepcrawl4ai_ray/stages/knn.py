@@ -201,3 +201,119 @@ def ivf_topk_indexed(
         return pd.DataFrame({id_col: pd.Series(dtype="int64"), "cos_sim": pd.Series(dtype="float64")})
     ds = rd.read_parquet(paths, columns=[id_col, vec_col])
     return brute_force_topk(ds, id_col, vec_col, q, k=k, exclude_id=exclude_id)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN (Jégou, Douze &
+# Schmid 2011, "Product quantization for nearest neighbor search").
+#
+# The 100-TB memory story: the scan index holds m BYTES per vector
+# (m=8 → 64× smaller than float64 d=64), scanned via an asymmetric-
+# distance LUT (m × k dot products per query, one table lookup + add per
+# vector·subspace); survivors are re-ranked EXACTLY against the full-
+# precision column, so output values are float64-exact and, with
+# refine ≫ k, the id set matches the exact brute force deterministically
+# (codebooks are seeded — no RNG at query time).
+# ---------------------------------------------------------------------------
+
+
+def train_pq(sample: np.ndarray, m: int = 8, k: int = 64, iters: int = 5) -> np.ndarray:
+    """Per-subspace k-means codebooks → (m, k, d/m) float64.
+    Deterministic: strided init + Lloyd steps (same discipline as
+    train_ivf_centroids).  Vectors are L2-normalized first so the ADC
+    dot decomposes additively over subspaces (cosine ≈ Σ_j q_j·c_j)."""
+    X = sample.astype(np.float64, copy=False)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.empty((m, k, sub), np.float64)
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        stride = max(1, len(S) // k)
+        C = S[::stride][:k].copy()
+        kk = len(C)
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(kk):
+                msk = assign == c
+                if msk.any():
+                    C[c] = S[msk].mean(0)
+        books[j, :kk] = C
+        if kk < k:
+            books[j, kk:] = C[kk - 1]  # pad unused codes (never argmin-preferred)
+    return books
+
+
+def pq_encode(ds: "ray.data.Dataset", id_col: str, vec_col: str, codebooks: np.ndarray) -> "ray.data.Dataset":
+    """→ Dataset(id, pq_code: binary[m]) — the compressed scan index
+    (write_parquet it for a persisted index; m bytes per vector)."""
+    m, k, sub = codebooks.shape
+    books_ref = ray.put(codebooks)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        B = ray.get(books_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _to_matrix(batch[vec_col]).astype(np.float64, copy=False)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        n = len(ids)
+        codes = np.empty((n, m), np.uint8)
+        for j in range(m):
+            S = V[:, j * sub : (j + 1) * sub]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "pq_code": pa.array([codes[i].tobytes() for i in range(n)], pa.binary()),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(
+    codes_ds: "ray.data.Dataset",
+    full_ds: "ray.data.Dataset",
+    id_col: str,
+    vec_col: str,
+    query: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    refine: int = 256,
+    exclude_id: int | None = None,
+) -> pd.DataFrame:
+    """ADC scan over PQ codes → top-``refine`` candidates → exact
+    float64 re-rank via a broadcast id filter + brute_force_topk.
+    Output schema/values identical to brute_force_topk (same comparator,
+    exact cos_sim) whenever the true top-k survives the ADC prescreen —
+    which refine ≫ k makes deterministic in practice."""
+    from .join import broadcast_filter
+
+    m, kcodes, sub = codebooks.shape
+    q = np.asarray(query, np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    # LUT[j, c] = q_j · codebook[j][c] — the whole query-side math
+    lut = np.stack([codebooks[j] @ q[j * sub : (j + 1) * sub] for j in range(m)])
+    ctx_ref = ray.put(lut)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        L = ray.get(ctx_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        codes = np.frombuffer(b"".join(batch["pq_code"].to_pylist()), dtype=np.uint8).reshape(n, m)
+        scores = L[np.arange(m)[None, :], codes].sum(axis=1)
+        if exclude_id is not None:
+            scores[ids == exclude_id] = -np.inf
+        idx = _topk_idx(scores, ids, min(refine, n))
+        return pa.table(
+            {id_col: pa.array(ids[idx]), "adc": pa.array(scores[idx], pa.float64())}
+        )
+
+    parts = codes_ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["adc", id_col], ascending=[False, True], kind="mergesort")
+    cand = sorted(int(x) for x in parts.head(refine)[id_col])
+    filtered = broadcast_filter(full_ds, id_col, ray.put(cand), keep_in=True)
+    return brute_force_topk(filtered, id_col, vec_col, query, k=k, exclude_id=exclude_id)

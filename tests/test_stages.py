@@ -530,3 +530,47 @@ class TestSimhashNearDup:
         want = sorted(set(want))
         assert len(want) >= 5  # the plant produced real near-dups
         assert list(map(tuple, got.values.tolist())) == want
+
+
+class TestPQ:
+    def test_pq_rerank_equals_bruteforce_and_compresses(self):
+        """PQ + exact re-rank (refine=all) must EQUAL brute force; the
+        scan index holds exactly m bytes per vector (64x smaller than
+        float64 d=64)."""
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.knn import brute_force_topk, pq_encode, pq_topk, train_pq
+
+        rng = np.random.RandomState(21)
+        centers = rng.randn(6, 64) * 2
+        V = np.vstack([c + rng.randn(80, 64) * 0.4 for c in centers])
+        df = pd.DataFrame({"vec_id": np.arange(len(V), dtype=np.int64), "embedding": list(V)})
+        ds = _ds(df)
+        books = train_pq(V[:256], m=8, k=64)
+        codes = pq_encode(ds, "vec_id", "embedding", books)
+        code_bytes = codes.to_pandas()["pq_code"].map(len)
+        assert (code_bytes == 8).all()  # m bytes/vector
+
+        q = V[3]
+        exact = brute_force_topk(ds, "vec_id", "embedding", q, k=10, exclude_id=3)
+        full = pq_topk(codes, ds, "vec_id", "embedding", q, books, k=10, refine=len(V), exclude_id=3)
+        pd.testing.assert_frame_equal(exact, full)
+
+    def test_pq_recall_with_modest_refine(self):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.knn import brute_force_topk, pq_encode, pq_topk, train_pq
+
+        rng = np.random.RandomState(22)
+        centers = rng.randn(8, 64) * 2
+        V = np.vstack([c + rng.randn(60, 64) * 0.4 for c in centers])
+        df = pd.DataFrame({"vec_id": np.arange(len(V), dtype=np.int64), "embedding": list(V)})
+        ds = _ds(df)
+        books = train_pq(V[:256], m=8, k=64)
+        codes = pq_encode(ds, "vec_id", "embedding", books)
+        q = V[7]
+        exact = set(brute_force_topk(ds, "vec_id", "embedding", q, k=10)["vec_id"])
+        approx = set(
+            pq_topk(codes, ds, "vec_id", "embedding", q, books, k=10, refine=48)["vec_id"]
+        )
+        assert len(exact & approx) >= 8  # ADC prescreen at refine=10% keeps the ball
