@@ -90,6 +90,9 @@ def main(argv=None):
             stop_file=args.stop_file,
             abort_file=args.abort_file,
         )
+        if args.http_gateway and args.bucket_cache_actors:
+            p.error("--http-gateway and --bucket-cache-actors are mutually exclusive: "
+                    "the HTTP transport replaces the disk-bucket read path entirely")
         if args.http_gateway:
             cfg.extra["page_store"] = ("http", args.http_gateway)
             cfg.corpus_in_object_store = False  # transport replaces the corpus read

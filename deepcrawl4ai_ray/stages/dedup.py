@@ -496,7 +496,10 @@ def simhash_near_dup_pairs(
         out_sigs = np.repeat(sigs, bands)
         band_idx = np.tile(np.arange(bands, dtype=np.uint64), n)
         chunks = (out_sigs >> (band_idx * np.uint64(chunk_bits))) & np.uint64((1 << chunk_bits) - 1)
-        band_key = (band_idx << np.uint64(60)) | chunks  # band id disambiguates chunks
+        # band id disambiguates chunks: chunks < 2^chunk_bits, so shifting
+        # band_idx by exactly chunk_bits keeps keys unique for ANY bands
+        # (max key = bands·2^(64//bands) < 2^63 — no overflow aliasing).
+        band_key = (band_idx << np.uint64(chunk_bits)) | chunks
         return pa.table(
             {
                 "band_bucket": pa.array((band_key % np.uint64(num_buckets)).astype(np.int32)),
@@ -537,12 +540,9 @@ def simhash_near_dup_pairs(
         .groupby("band_bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    import ray.data as rd
-    from ray.data.aggregate import Min as _Min
-
     schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())])
-    seeded = pairs.union(rd.from_arrow(schema.empty_table()))
-    return seeded.groupby(["id_a", "id_b"]).aggregate(_Min("hamming", alias_name="hamming"))
+    seeded = pairs.union(ray.data.from_arrow(schema.empty_table()))
+    return seeded.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ---------------------------------------------------------------------------

@@ -222,6 +222,8 @@ def train_pq(sample: np.ndarray, m: int = 8, k: int = 64, iters: int = 5) -> np.
     Deterministic: strided init + Lloyd steps (same discipline as
     train_ivf_centroids).  Vectors are L2-normalized first so the ADC
     dot decomposes additively over subspaces (cosine ≈ Σ_j q_j·c_j)."""
+    if k > 256:
+        raise ValueError(f"k={k} > 256: PQ codes are uint8 (argmin would silently wrap)")
     X = sample.astype(np.float64, copy=False)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     d = X.shape[1]
@@ -251,6 +253,8 @@ def pq_encode(ds: "ray.data.Dataset", id_col: str, vec_col: str, codebooks: np.n
     """→ Dataset(id, pq_code: binary[m]) — the compressed scan index
     (write_parquet it for a persisted index; m bytes per vector)."""
     m, k, sub = codebooks.shape
+    if k > 256:
+        raise ValueError(f"codebooks have k={k} > 256 centroids: uint8 codes would wrap")
     books_ref = ray.put(codebooks)
 
     def enc(batch: pa.Table) -> pa.Table:
@@ -287,9 +291,15 @@ def pq_topk(
 ) -> pd.DataFrame:
     """ADC scan over PQ codes → top-``refine`` candidates → exact
     float64 re-rank via a broadcast id filter + brute_force_topk.
-    Output schema/values identical to brute_force_topk (same comparator,
-    exact cos_sim) whenever the true top-k survives the ADC prescreen —
-    which refine ≫ k makes deterministic in practice."""
+    Output VALUES are exact (float64 cos_sim over the full-precision
+    column); the id SET is approximate — recall depends on refine vs N
+    and on how well 8-byte ADC separates neighbors on the data.  On
+    near-random embeddings with weak neighbors the ADC ordering is
+    loose, so refine=256 does NOT guarantee the exact top-k beyond
+    N≈refine (measured: the true 10th neighbor can rank >600/2000 by
+    ADC).  Guaranteed-exact only when refine ≥ N (prescreen keeps all
+    ids, tested); for larger N treat this like IVF: approximate by
+    design, validated by recall tests — not by an exact oracle."""
     from .join import broadcast_filter
 
     m, kcodes, sub = codebooks.shape
@@ -307,7 +317,11 @@ def pq_topk(
         scores = L[np.arange(m)[None, :], codes].sum(axis=1)
         if exclude_id is not None:
             scores[ids == exclude_id] = -np.inf
-        idx = _topk_idx(scores, ids, min(refine, n))
+        # UNROUNDED prescreen: ADC score gaps are dense (< 1e-4 apart);
+        # _topk_idx's 4dp comparator belongs to the oracle-facing merge,
+        # not here — rounding would cut the refine boundary by id order.
+        order = np.lexsort((ids, -scores))
+        idx = order[: min(refine, n)]
         return pa.table(
             {id_col: pa.array(ids[idx]), "adc": pa.array(scores[idx], pa.float64())}
         )

@@ -19,10 +19,11 @@ import pyarrow.parquet as pq
 import pytest
 
 
-@pytest.fixture(scope="module")
-def page_gateway(tiny_corpus):
-    """http.server gateway over the tiny corpus: GET /fetch?url=<quoted>
-    → 200 + html body + X-Warc-Ts / X-Lang headers, 404 for unknown urls."""
+def _make_gateway(tiny_corpus, protocol_version):
+    """Shared gateway factory: GET /fetch?url=<quoted> → 200 + html body
+    + X-Warc-Ts / X-Lang headers, 404 for unknown urls.  One contract,
+    two protocol modes: HTTP/1.1 keep-alive vs HTTP/1.0 close-per-response
+    (the reconnect-path stressor)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlsplit
 
@@ -36,8 +37,10 @@ def page_gateway(tiny_corpus):
     ):
         lut[u] = (h, t, l)
 
+    proto = protocol_version
+
     class Handler(BaseHTTPRequestHandler):
-        protocol_version = "HTTP/1.1"  # keep-alive: the client reuses sockets
+        protocol_version = proto
 
         def do_GET(self):  # noqa: N802 (stdlib API)
             q = parse_qs(urlsplit(self.path).query)
@@ -63,7 +66,14 @@ def page_gateway(tiny_corpus):
     srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+@pytest.fixture(scope="module")
+def page_gateway(tiny_corpus):
+    """HTTP/1.1 keep-alive gateway: the client reuses sockets."""
+    srv, base = _make_gateway(tiny_corpus, "HTTP/1.1")
+    yield base
     srv.shutdown()
 
 
@@ -127,45 +137,8 @@ def test_crawl_http_vs_corpus(ray_session, tiny_corpus, page_gateway, tmp_path):
 def close_every_response_gateway(tiny_corpus):
     """Gateway that CLOSES the connection after every response (HTTP/1.0,
     no keep-alive) — exercises HttpPageStore's reconnect path."""
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-    from urllib.parse import parse_qs, urlsplit
-
-    pages = pa.concat_tables(
-        pq.read_table(f) for f in glob.glob(os.path.join(tiny_corpus, "pages", "*.parquet"))
-    )
-    lut = {}
-    ts_us = pages["warc_ts"].cast(pa.int64()).to_pylist()
-    for u, h, t, l in zip(
-        pages["url"].to_pylist(), pages["html"].to_pylist(), ts_us, pages["lang"].to_pylist()
-    ):
-        lut[u] = (h, t, l)
-
-    class Handler(BaseHTTPRequestHandler):
-        protocol_version = "HTTP/1.0"  # server hangs up after each response
-
-        def do_GET(self):  # noqa: N802
-            url = parse_qs(urlsplit(self.path).query).get("url", [None])[0]
-            hit = lut.get(url)
-            if hit is None:
-                self.send_response(404)
-                self.end_headers()
-                return
-            html, ts, lang = hit
-            self.send_response(200)
-            self.send_header("Content-Length", str(len(html)))
-            self.send_header("X-Warc-Ts", str(ts))
-            if lang:
-                self.send_header("X-Lang", lang)
-            self.end_headers()
-            self.wfile.write(html)
-
-        def log_message(self, *a):
-            pass
-
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
-    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv, base = _make_gateway(tiny_corpus, "HTTP/1.0")
+    yield base
     srv.shutdown()
 
 

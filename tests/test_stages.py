@@ -574,3 +574,15 @@ class TestPQ:
             pq_topk(codes, ds, "vec_id", "embedding", q, books, k=10, refine=48)["vec_id"]
         )
         assert len(exact & approx) >= 8  # ADC prescreen at refine=10% keeps the ball
+
+    def test_pq_rejects_k_over_256(self):
+        """uint8 codes wrap past 256 centroids — must refuse, not corrupt."""
+        import pytest as _pytest
+
+        from deepcrawl4ai_ray.stages.knn import pq_encode, train_pq
+
+        with _pytest.raises(ValueError, match="256"):
+            train_pq(np.random.RandomState(0).randn(512, 64), m=8, k=512)
+        bad_books = np.zeros((8, 300, 8))
+        with _pytest.raises(ValueError, match="256"):
+            pq_encode(None, "vec_id", "embedding", bad_books)
