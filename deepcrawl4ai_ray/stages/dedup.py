@@ -352,14 +352,42 @@ def minhash_lsh_pairs(
     return _dedup_pairs(pairs, schema, val_col="est_jaccard")
 
 
+def _local_cc_labels(u: np.ndarray, v: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Vectorized in-memory CC over relabeled edges (u, v < n_nodes):
+    min-propagation along edges + pointer doubling until fixpoint —
+    O(E·log V) numpy work, no per-edge Python loop."""
+    lab = np.arange(n_nodes, dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, u, lab[v])
+        np.minimum.at(lab, v, lab[u])
+        lab = np.minimum(lab, lab[lab])  # pointer doubling
+        lab = lab[lab]
+        if np.array_equal(lab, old):
+            return lab
+
+
 def connected_components(
     pairs, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
 ) -> "ray.data.Dataset":
-    """Duplicate-pair graph → cluster labels via distributed min-label
-    propagation (ray_guide 'Near-dup' pattern): each round, every node
-    adopts the minimum label in its neighborhood (one groupby per
-    round); converges in O(diameter) rounds.  Dup clusters from LSH
-    pairs have tiny diameters, so this terminates in a few rounds.
+    """Duplicate-pair graph → cluster labels, two-level distributed CC
+    (the local-contraction + label-propagation scheme of Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond"):
+
+    1. CONTRACT: a union-find per edge BLOCK inside map_batches
+       (vectorized min-propagation, `_local_cc_labels`) collapses each
+       block to star edges (node → block-local root).  Connectivity is
+       preserved — every original edge lies inside some block — while
+       the iterated graph shrinks from E edges to ≤V rows per block.
+    2. INIT: labels = groupby(node).Min over the symmetrized stars
+       (one shuffle); label₀(n) = min(n, its star neighbors).
+    3. hash-to-min rounds, TWO wide ops each (not three — r3 fix):
+       the neighbor-label hash_join, then a single union+bucket-groupby
+       that computes the new per-node min AND the changed-count in one
+       pass (no left-join / separate update stage).  Fixpoint ⇒ labels
+       constant per component = component min; rounds ≤ O(log diameter)
+       of the contracted graph — dup clusters contract to depth ≤2, so
+       typically one confirm round.
 
     ``pairs`` may be a pandas DataFrame (small edge lists) OR a
     ray.data.Dataset with the same two columns — at corpus scale the
@@ -378,73 +406,112 @@ def connected_components(
     if isinstance(pairs, pd.DataFrame):
         if pairs.empty:
             return empty
-        edges = pd.DataFrame(
+        edges_ds = rd.from_pandas(
+            pd.DataFrame(
+                {"src": pairs[id_a].astype("int64"), "dst": pairs[id_b].astype("int64")}
+            )
+        )
+    else:
+        edges_ds = pairs.map_batches(
+            lambda t: pa.table(
+                {"src": pc.cast(t[id_a], pa.int64()), "dst": pc.cast(t[id_b], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def contract(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(src) == 0:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        lab = _local_cc_labels(inv[: len(src)], inv[len(src) :], len(nodes))
+        roots = nodes[lab]
+        # symmetrized star edges: (node→root) ∪ (root→node)
+        return pa.table(
             {
-                "src": pd.concat([pairs[id_a], pairs[id_b]], ignore_index=True).astype("int64"),
-                "dst": pd.concat([pairs[id_b], pairs[id_a]], ignore_index=True).astype("int64"),
+                "src": pa.array(np.concatenate([nodes, roots])),
+                "dst": pa.array(np.concatenate([roots, nodes])),
             }
         )
-        edges_ds = rd.from_pandas(edges).materialize()
-    else:  # Dataset of (id_a, id_b): symmetrize distributed
-        def sym(t: pa.Table) -> pa.Table:
-            return pa.table(
+
+    # batch_size=None → one call per block: the union-find sees the whole
+    # block's edges, maximizing contraction.
+    stars = edges_ds.map_batches(contract, batch_format="pyarrow", batch_size=None).materialize()
+    if stars.count() == 0:
+        return empty
+
+    labels = (
+        stars.groupby("src")
+        .aggregate(Min("dst", alias_name="__m"))
+        .map_batches(
+            lambda t: pa.table(
                 {
-                    "src": pa.concat_arrays(
-                        [pc.cast(t[id_a], pa.int64()).combine_chunks(), pc.cast(t[id_b], pa.int64()).combine_chunks()]
-                    ),
-                    "dst": pa.concat_arrays(
-                        [pc.cast(t[id_b], pa.int64()).combine_chunks(), pc.cast(t[id_a], pa.int64()).combine_chunks()]
+                    "node": pc.cast(t["src"], pa.int64()),
+                    "component": pc.min_element_wise(
+                        pc.cast(t["src"], pa.int64()), pc.cast(t["__m"], pa.int64())
                     ),
                 }
-            )
-
-        edges_ds = pairs.map_batches(sym, batch_format="pyarrow").materialize()
-        if edges_ds.count() == 0:
-            return empty
-    # Labels live as a DATASET for the whole loop — each round is two
-    # bucketed hash_joins + a groupby; the driver never materializes a
-    # node→label map (r1 review finding #4).  materialize() per round
-    # keeps blocks in the object store and cuts the lazy lineage so
-    # iteration k doesn't re-execute rounds 1..k-1.
-    labels = (
-        edges_ds.map_batches(
-            lambda t: pa.table({"node": pc.unique(t["src"])}), batch_format="pyarrow"
-        )
-        .groupby("node")
-        .aggregate(Count(alias_name="__c"))
-        .map_batches(
-            lambda t: pa.table({"node": t["node"], "component": t["node"]}),
+            ),
             batch_format="pyarrow",
         )
         .materialize()
     )
-    for _ in range(max_iters):
-        cand = (
-            hash_join(edges_ds, labels, on="src", right_on="node", num_buckets=8)
-            .map_batches(
-                lambda t: pa.table({"node": t["dst"], "cand": t["component"]}),
-                batch_format="pyarrow",
-            )
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="min_cand"))
+
+    NB = 8
+
+    def to_cand(t: pa.Table) -> pa.Table:
+        node = pc.cast(t["dst"], pa.int64())
+        return pa.table(
+            {
+                "node": node,
+                "cand": pc.cast(t["component"], pa.int64()),
+                "__self": pa.array(np.zeros(len(t), dtype=np.int8)),
+                "__b": pc.cast(
+                    pc.bit_wise_and(node, pa.scalar(NB - 1, pa.int64())), pa.int32()
+                ),
+            }
         )
-        merged = hash_join(labels, cand, on="node", num_buckets=8, how="left")
 
-        def update(t: pa.Table) -> pa.Table:
-            # left-join nulls arrive as NaN floats; node ids ≪ 2^53 so the
-            # float round-trip is exact
-            comp = pc.cast(t["component"], pa.float64())
-            mc = pc.fill_null(pc.cast(t["min_cand"], pa.float64()), np.inf)
-            new = pc.min_element_wise(comp, mc)
-            return pa.table(
-                {
-                    "node": pc.cast(t["node"], pa.int64()),
-                    "component": pc.cast(new, pa.int64()),
-                    "__chg": pc.cast(pc.not_equal(new, comp), pa.int64()),
-                }
-            )
+    def to_self(t: pa.Table) -> pa.Table:
+        node = pc.cast(t["node"], pa.int64())
+        return pa.table(
+            {
+                "node": node,
+                "cand": pc.cast(t["component"], pa.int64()),
+                "__self": pa.array(np.ones(len(t), dtype=np.int8)),
+                "__b": pc.cast(
+                    pc.bit_wise_and(node, pa.scalar(NB - 1, pa.int64())), pa.int32()
+                ),
+            }
+        )
 
-        upd = merged.map_batches(update, batch_format="pyarrow").materialize()
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        newlab = g.groupby("node", sort=False)["cand"].min()
+        selflab = g[g["__self"] == 1].set_index("node")["cand"]
+        chg = (newlab < selflab.reindex(newlab.index)).astype("int64")
+        return pd.DataFrame(
+            {
+                "node": newlab.index.to_numpy(dtype="int64"),
+                "component": newlab.to_numpy(dtype="int64"),
+                "__chg": chg.to_numpy(dtype="int64"),
+            }
+        )
+
+    # Labels live as a DATASET for the whole loop — the driver never
+    # materializes a node→label map.  materialize() per round keeps
+    # blocks in the object store and cuts the lazy lineage so iteration
+    # k doesn't re-execute rounds 1..k-1.
+    for _ in range(max_iters):
+        nbr = hash_join(stars, labels, on="src", right_on="node", num_buckets=NB).map_batches(
+            to_cand, batch_format="pyarrow"
+        )
+        upd = (
+            nbr.union(labels.map_batches(to_self, batch_format="pyarrow"))
+            .groupby("__b")
+            .map_groups(bucket_min, batch_format="pandas")
+            .materialize()
+        )
         n_changed = upd.sum("__chg")
         labels = upd.drop_columns(["__chg"])
         if not n_changed:

@@ -244,3 +244,48 @@ class TestTDigestProperties:
         assert vals[0] == data.min() and vals[-1] == data.max()
         for v in vals:
             assert data.min() - 1e-9 <= v <= data.max() + 1e-9
+
+
+class TestConnectedComponentsRandomized:
+    @given(st.integers(0, 2**31), st.integers(1, 5))
+    @settings(max_examples=4, deadline=None)  # each example spins a full Ray CC
+    def test_matches_union_find_across_block_splits(self, seed, n_blocks):
+        """Two-level CC (per-block contraction + hash-to-min rounds) must
+        equal a sequential union-find for ANY random graph and ANY block
+        partitioning — the multi-block case exercises the global rounds,
+        not just the local union-find."""
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dedup import connected_components
+
+        rng = np.random.default_rng(seed)
+        n_nodes = int(rng.integers(2, 120))
+        n_edges = int(rng.integers(1, 250))
+        a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in zip(a, b):
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        touched = sorted(set(a) | set(b))
+        expected = {n: find(int(n)) for n in touched}
+        # root-relabel so every label is the component MINIMUM
+        comp_min = {}
+        for n, r in expected.items():
+            comp_min[r] = min(comp_min.get(r, n), n)
+        expected = {n: comp_min[r] for n, r in expected.items()}
+
+        pairs = pd.DataFrame({"id_a": a, "id_b": b})
+        ds = rd.from_pandas(pairs).repartition(n_blocks)
+        out = connected_components(ds).to_pandas().set_index("node")["component"].to_dict()
+        assert out == expected
