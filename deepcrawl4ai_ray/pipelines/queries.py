@@ -905,6 +905,63 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def top_tokens(sf_dir: str) -> "rd.Dataset":
+    """EXACT corpus-wide top-20 tokens WITHOUT shuffling the token
+    stream (stages/textsearch.exact_top_tokens): per-batch Misra-Gries
+    summaries (≤ m rows + omission bound θ_b) → one bounded groupby →
+    provable candidate set → exact recount of candidates only.  The
+    guarantee Θ < k-th lower bound is CHECKED at runtime — the operator
+    raises rather than silently approximate."""
+    from ..stages.textsearch import exact_top_tokens
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return exact_top_tokens(ds, "text", k=20, m=1024)
+
+
+_TOP_TOKENS_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS tok FROM documents
+)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+"""
+
+
+def bm25_top10(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 documents for a fixed term query
+    (stages/textsearch.bm25_topk): one corpus pass emits (doc, term,
+    tf, dl) rows for the query terms only; N/avgdl/df are tiny
+    aggregates; scoring is block-local (no groupby shuffle); the final
+    merge uses the knn-style 4dp comparator.  The reference's only BM25
+    is the per-page chunk filter (content_filter_strategy.py) — this is
+    the corpus-level retrieval a training-data pipeline needs."""
+    from ..stages.textsearch import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, "doc_id", "text", ["customer", "vector", "window"], k=10)
+
+
+_BM25_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w FROM documents
+),
+stats AS (SELECT COUNT(*) AS n, SUM(len(w)) * 1.0 / COUNT(*) AS avgdl FROM d),
+t AS (SELECT doc_id, unnest(w) AS tok, len(w) AS dl FROM d),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+  FROM t WHERE tok IN ('customer', 'vector', 'window') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+SELECT tf.doc_id,
+       ROUND(SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 4) AS bm25
+FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+GROUP BY tf.doc_id, stats.n, stats.avgdl
+ORDER BY bm25 DESC, tf.doc_id LIMIT 10
+"""
+
+
 def lang_id_counts(sf_dir: str) -> pd.DataFrame:
     """Language-ID (character-bigram profile heuristic,
     functions/textstats.lang_id) over documents: (true lang, predicted
@@ -1988,6 +2045,8 @@ QUERIES = {
     "first_event_per_key": first_event_per_key,
     "top_users_by_events": top_users_by_events,
     "token_stats_by_lang": token_stats_by_lang,
+    "top_tokens": top_tokens,
+    "bm25_top10": bm25_top10,
     "bpe_token_stats": bpe_token_stats,
     "lang_id_counts": lang_id_counts,
     "quality_by_lang": quality_by_lang,
@@ -2041,6 +2100,8 @@ ORACLES = {
     "first_event_per_key": _FIRST_EVENT_SQL,
     "top_users_by_events": _TOP_USERS_SQL,
     "token_stats_by_lang": _TOKEN_STATS_SQL,
+    "top_tokens": _TOP_TOKENS_SQL,
+    "bm25_top10": _BM25_SQL,
     "bpe_token_stats": _BPE_TOKEN_SQL,
     "quality_by_lang": _QUALITY_SQL,
     "source_stats": _SOURCE_STATS_SQL,

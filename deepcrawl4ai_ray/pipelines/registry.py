@@ -248,6 +248,27 @@ def _dup_clusters(ds, id_col: str, text_col: str = "text", threshold: float = 0.
     return connected_components(pairs)
 
 
+@register("top_tokens")
+def _top_tokens(ds, text_col: str = "text", k: int = 20, m: int = 4096):
+    """EXACT corpus top-k tokens via bounded per-batch summaries (the
+    token stream never shuffles; provable — raises when m is too small).
+    TERMINAL-shaped: replaces the stream with Dataset(tok, cnt)."""
+    from ..stages.textsearch import exact_top_tokens
+
+    return exact_top_tokens(ds, text_col, k=k, m=m)
+
+
+@register("bm25_topk")
+def _bm25_topk(ds, terms: List[str], id_col: str = "doc_id", text_col: str = "text", k: int = 10):
+    """Corpus-level BM25 retrieval (block-local scoring, no global
+    shuffle; the reference's BM25 is only a per-page chunk filter,
+    content_filter_strategy.py).  TERMINAL-shaped: replaces the stream
+    with DataFrame(doc_id, bm25)."""
+    from ..stages.textsearch import bm25_topk
+
+    return bm25_topk(ds, id_col, text_col, terms, k=k)
+
+
 @register("quantiles_sketch")
 def _quantiles_sketch(ds, key: str, val: str, qs=(0.5, 0.9), compression: int = 200):
     """Grouped quantiles via the t-digest partial-merge plan (only

@@ -116,6 +116,29 @@ class TestNewSteps:
         ).to_pandas().set_index("node")["component"]
         assert labels[1] == labels[2] == 1
 
+    def test_textsearch_steps(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.pipelines.registry import build_pipeline
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": pd.Series([1, 2, 3], dtype="int64"),
+                "text": ["cat cat cat dog", "dog dog fish", "cat fish fish fish"],
+            }
+        )
+        top = build_pipeline(
+            rd.from_pandas(docs),
+            [{"step": "top_tokens", "params": {"k": 2, "m": 16}}],
+        ).to_pandas()
+        assert top.values.tolist() == [["cat", 4], ["fish", 4]]
+
+        bm = build_pipeline(
+            rd.from_pandas(docs),
+            [{"step": "bm25_topk", "params": {"terms": ["cat"], "k": 2}}],
+        )
+        assert bm["doc_id"].tolist() == [1, 3]
+
     def test_quantiles_sketch_step(self, ray_session):
         import numpy as np
         import pandas as pd

@@ -586,3 +586,81 @@ class TestPQ:
         bad_books = np.zeros((8, 300, 8))
         with _pytest.raises(ValueError, match="256"):
             pq_encode(None, "vec_id", "embedding", bad_books)
+
+
+class TestTextSearch:
+    def _zipf_docs(self, n_docs=400, vocab=200, seed=7):
+        rng = np.random.default_rng(seed)
+        words = [f"w{i}" for i in range(vocab)]
+        probs = np.array([1 / (i + 1) ** 1.1 for i in range(vocab)])
+        probs /= probs.sum()
+        return [
+            " ".join(rng.choice(words, size=rng.integers(5, 60), p=probs))
+            for _ in range(n_docs)
+        ]
+
+    def test_exact_top_tokens_matches_counter_across_blocks(self, ray_session):
+        """Bounded-summary top-k must EQUAL a full count, for any block
+        split — the summaries prune per batch, the recount restores
+        exactness."""
+        from collections import Counter
+
+        from deepcrawl4ai_ray.functions.hashing import tokens
+        from deepcrawl4ai_ray.stages.textsearch import exact_top_tokens
+
+        docs = self._zipf_docs()
+        ds = _ds(pd.DataFrame({"text": docs})).repartition(6)
+        c = Counter()
+        for t in docs:
+            c.update(tokens(t))
+        expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = exact_top_tokens(ds, "text", k=10, m=64).to_pandas()
+        assert list(map(tuple, got.itertuples(index=False))) == expected
+
+    def test_exact_top_tokens_raises_when_unprovable(self, ray_session):
+        """Near-uniform data with tiny m: the omission bound cannot
+        separate the top-k, so the operator must RAISE, never silently
+        return an approximation."""
+        import pytest as _pytest
+
+        from deepcrawl4ai_ray.stages.textsearch import exact_top_tokens
+
+        rng = np.random.default_rng(3)
+        words = [f"u{i:04d}" for i in range(3000)]
+        docs = [" ".join(rng.choice(words, size=50)) for _ in range(300)]
+        ds = _ds(pd.DataFrame({"text": docs})).repartition(6)
+        with _pytest.raises(ValueError, match="raise m"):
+            exact_top_tokens(ds, "text", k=10, m=8).to_pandas()
+
+    def test_bm25_matches_local_reference(self, ray_session):
+        import math
+        from collections import Counter
+
+        from deepcrawl4ai_ray.functions.hashing import tokens
+        from deepcrawl4ai_ray.stages.textsearch import bm25_topk
+
+        docs = self._zipf_docs(seed=11)
+        terms = ["w3", "w17", "w50"]
+        N = len(docs)
+        dls = [len(tokens(t)) for t in docs]
+        avgdl = sum(dls) / N
+        dfc = {t: sum(1 for d in docs if t in tokens(d)) for t in terms}
+        scores = {}
+        for i, d in enumerate(docs):
+            cnt = Counter(tokens(d))
+            s = 0.0
+            for t in terms:
+                tf = cnt.get(t, 0)
+                if tf:
+                    idf = math.log((N - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1)
+                    s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avgdl))
+            if s > 0:
+                scores[i] = s
+        ref = sorted(((round(v, 4), -k) for k, v in scores.items()), reverse=True)[:10]
+        ref = [(-i, r) for r, i in ref]
+        ds = _ds(
+            pd.DataFrame({"doc_id": np.arange(N, dtype=np.int64), "text": docs})
+        ).repartition(5)
+        got = bm25_topk(ds, "doc_id", "text", terms, k=10)
+        got["bm25"] = got["bm25"].round(4)
+        assert list(map(tuple, got.itertuples(index=False))) == ref
