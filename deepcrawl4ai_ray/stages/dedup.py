@@ -381,10 +381,16 @@ def connected_components(
        the iterated graph shrinks from E edges to ≤V rows per block.
     2. INIT: labels = groupby(node).Min over the symmetrized stars
        (one shuffle); label₀(n) = min(n, its star neighbors).
-    3. hash-to-min rounds, TWO wide ops each (not three — r3 fix):
-       the neighbor-label hash_join, then a single union+bucket-groupby
-       that computes the new per-node min AND the changed-count in one
-       pass (no left-join / separate update stage).  Fixpoint ⇒ labels
+    3. hash-to-min rounds, TWO wide ops each: the neighbor-label
+       hash_join, then a bucket-groupby that computes the new per-node
+       min AND the changed-count in one pass.  The stars carry an
+       explicit SELF-LOOP per node, so the join alone supplies each
+       node's own current label as a candidate — the per-round plan is
+       one linear chain (join → groupby), with no second union branch
+       re-reading ``labels``.  (The earlier diamond plan — ``labels``
+       feeding both the join and a unioned self-branch under two
+       all-to-all ops — intermittently deadlocked Ray 2.49's streaming
+       executor at small CPU counts; r3 fix.)  Fixpoint ⇒ labels
        constant per component = component min; rounds ≤ O(log diameter)
        of the contracted graph — dup clusters contract to depth ≤2, so
        typically one confirm round.
@@ -427,11 +433,15 @@ def connected_components(
         nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
         lab = _local_cc_labels(inv[: len(src)], inv[len(src) :], len(nodes))
         roots = nodes[lab]
-        # symmetrized star edges: (node→root) ∪ (root→node)
+        # symmetrized star edges (node→root) ∪ (root→node), plus ONE
+        # self-loop per node: the self-loop makes the per-round join
+        # carry each node's own label as a candidate (monotone min),
+        # removing the union self-branch from the round plan
+        m = nodes != roots
         return pa.table(
             {
-                "src": pa.array(np.concatenate([nodes, roots])),
-                "dst": pa.array(np.concatenate([roots, nodes])),
+                "src": pa.array(np.concatenate([nodes[m], roots[m], nodes])),
+                "dst": pa.array(np.concatenate([roots[m], nodes[m], nodes])),
             }
         )
 
@@ -461,25 +471,15 @@ def connected_components(
     NB = 8
 
     def to_cand(t: pa.Table) -> pa.Table:
+        # join row (src, dst, component(src)): candidate for node=dst.
+        # The self-loop rows (src==dst) carry the node's OWN label —
+        # they keep the min monotone and mark the change-detection base.
         node = pc.cast(t["dst"], pa.int64())
         return pa.table(
             {
                 "node": node,
                 "cand": pc.cast(t["component"], pa.int64()),
-                "__self": pa.array(np.zeros(len(t), dtype=np.int8)),
-                "__b": pc.cast(
-                    pc.bit_wise_and(node, pa.scalar(NB - 1, pa.int64())), pa.int32()
-                ),
-            }
-        )
-
-    def to_self(t: pa.Table) -> pa.Table:
-        node = pc.cast(t["node"], pa.int64())
-        return pa.table(
-            {
-                "node": node,
-                "cand": pc.cast(t["component"], pa.int64()),
-                "__self": pa.array(np.ones(len(t), dtype=np.int8)),
+                "__self": pc.cast(pc.equal(t["src"], t["dst"]), pa.int8()),
                 "__b": pc.cast(
                     pc.bit_wise_and(node, pa.scalar(NB - 1, pa.int64())), pa.int32()
                 ),
@@ -488,7 +488,9 @@ def connected_components(
 
     def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
         newlab = g.groupby("node", sort=False)["cand"].min()
-        selflab = g[g["__self"] == 1].set_index("node")["cand"]
+        # a node straddling several blocks has one self row per block,
+        # all with the same label — dedupe by min before comparing
+        selflab = g[g["__self"] == 1].groupby("node")["cand"].min()
         chg = (newlab < selflab.reindex(newlab.index)).astype("int64")
         return pd.DataFrame(
             {
@@ -501,13 +503,12 @@ def connected_components(
     # Labels live as a DATASET for the whole loop — the driver never
     # materializes a node→label map.  materialize() per round keeps
     # blocks in the object store and cuts the lazy lineage so iteration
-    # k doesn't re-execute rounds 1..k-1.
+    # k doesn't re-execute rounds 1..k-1.  The round plan is one linear
+    # chain — labels is consumed exactly once (join right side).
     for _ in range(max_iters):
-        nbr = hash_join(stars, labels, on="src", right_on="node", num_buckets=NB).map_batches(
-            to_cand, batch_format="pyarrow"
-        )
         upd = (
-            nbr.union(labels.map_batches(to_self, batch_format="pyarrow"))
+            hash_join(stars, labels, on="src", right_on="node", num_buckets=NB)
+            .map_batches(to_cand, batch_format="pyarrow")
             .groupby("__b")
             .map_groups(bucket_min, batch_format="pandas")
             .materialize()
