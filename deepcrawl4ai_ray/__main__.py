@@ -112,7 +112,12 @@ def main(argv=None):
         # no Ray needed: reads published manifest files only (K5/SSE analog)
         from .frontier.crawler import iter_progress
 
-        for row in iter_progress(args.out, poll_s=args.poll_s, stop_after_idle=args.idle_limit):
+        for row in iter_progress(
+            args.out,
+            poll_s=args.poll_s,
+            stop_after_idle=args.idle_limit,
+            stop_on_complete=True,  # exit when the crawl publishes end-of-stream
+        ):
             print(json.dumps(row), flush=True)
         return 0
 

@@ -616,6 +616,12 @@ class Crawler:
         return bool(self.cfg.abort_file and os.path.exists(self.cfg.abort_file))
 
     def run(self) -> Dict[str, int]:
+        # a resumed run re-opens the stream: drop any end-of-stream marker
+        # from a previous (stopped/completed) run before publishing more
+        try:
+            os.remove(os.path.join(self.out_dir, "_COMPLETE"))
+        except FileNotFoundError:
+            pass
         if self.next_round == 0:
             self.offer_seeds()
         r = self.next_round
@@ -638,6 +644,11 @@ class Crawler:
                 stopped = True  # round published + checkpointed; clean exit
                 break
         self._join_writer()  # all rounds durably published before returning
+        # end-of-stream marker for live tails (the SSE "stream closed"
+        # event): published only after every round is durably visible, so
+        # iter_progress(stop_file=...) can drain-then-stop deterministically
+        with open(os.path.join(self.out_dir, "_COMPLETE"), "w") as f:
+            f.write(str(rounds_run))
         return {
             "rounds": rounds_run,
             "total_fetched": self.total_fetched,
@@ -665,20 +676,35 @@ def read_crawl_output(out_dir: str) -> pa.Table:
     return tbl.sort_by("fetch_seq")
 
 
-def iter_progress(out_dir: str, poll_s: float = 0.5, stop_after_idle: Optional[int] = None):
+def iter_progress(
+    out_dir: str,
+    poll_s: float = 0.5,
+    stop_after_idle: Optional[int] = None,
+    stop_on_complete: bool = False,
+):
     """Live progress tail — the reference's SSE/NDJSON job-progress
     stream (utils.py:272-300, job.py:396-516) re-expressed over the
     manifest partition: yields one dict per (round, shard) manifest row
     as round files are atomically published (rounds arrive in order
-    because publishes are ordered).  Polls until ``stop_after_idle``
-    consecutive empty polls (None = tail forever).  Safe to run in a
-    separate process from the crawl — it only reads published files."""
+    because publishes are ordered).  Termination: with
+    ``stop_on_complete`` the tail drains every published row and returns
+    once the crawl's ``_COMPLETE`` end-of-stream marker exists (written
+    by ``Crawler.run`` strictly AFTER the last round is durably visible
+    — the deterministic "stream closed" event, load-independent);
+    ``stop_after_idle`` N consecutive empty polls is the fallback for
+    tailing a crawl some OTHER process may still be running (None = tail
+    forever).  Safe to run in a separate process from the crawl — it
+    only reads published files."""
     import glob as _glob
     import time as _time
 
     seen: set = set()
     idle = 0
     while True:
+        # order matters: check the marker BEFORE globbing, so rows
+        # published between glob and marker-check are never dropped —
+        # if done was set first, this glob already sees every file
+        done = stop_on_complete and os.path.exists(os.path.join(out_dir, "_COMPLETE"))
         files = sorted(_glob.glob(os.path.join(out_dir, "manifest", "round=*.parquet")))
         new = [f for f in files if f not in seen]
         if new:
@@ -691,6 +717,9 @@ def iter_progress(out_dir: str, poll_s: float = 0.5, stop_after_idle: Optional[i
             idle += 1
             if stop_after_idle is not None and idle >= stop_after_idle:
                 return
+        if done:
+            return
+        if not new:
             _time.sleep(poll_s)
 
 

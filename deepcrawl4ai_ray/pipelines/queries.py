@@ -2023,6 +2023,252 @@ FROM reach r ORDER BY url
 
 
 # =========================================================================
+# Corpus-hygiene family: PII redaction, repetition stats, benchmark
+# decontamination, stratified sampling, persisted BM25 index
+# =========================================================================
+
+# Deterministic PII injection so the redaction path has real work to do on
+# the synthetic corpus: docs with doc_id % 3 != 0 get an email + IP + phone
+# appended, expressed identically in SQL so the oracle redacts the same
+# bytes.  Docs with doc_id % 3 == 0 stay clean (the no-op path is part of
+# the check: their red_md5 must equal md5(text)).
+def _inject_pii(ids: np.ndarray, texts: list) -> list:
+    out = []
+    for i, t in zip(ids, texts):
+        i = int(i)
+        if i % 3 != 0:
+            t = (
+                f"{t} contact user{i}@example.com or 10.{i % 256}.0.1 "
+                f"or call 555-{i % 1000:03d}-{i % 10000:04d}"
+            )
+        out.append(t)
+    return out
+
+
+def pii_redacted_docs(sf_dir: str) -> pd.DataFrame:
+    """PII redaction (functions/pii.redact_table): email/IPv4/phone counts
+    + md5 of the redacted text, all via Arrow RE2 kernels
+    (count_substring_regex / replace_substring_regex — zero row loops in
+    the scrub itself).  DuckDB's regexp_* are the same RE2 engine, so the
+    oracle reproduces counts AND redacted bytes exactly."""
+    from ..functions.pii import redact_table
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inj = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(_inject_pii(ids, batch["text"].to_pylist()), pa.string()),
+            }
+        )
+        red = redact_table(inj, "text")
+        return pa.table(
+            {
+                "doc_id": red["doc_id"],
+                "n_email": red["n_email"],
+                "n_ip": red["n_ip"],
+                "n_phone": red["n_phone"],
+                "red_md5": pa.array(H.md5_hex_many(red["text"].to_pylist()), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(scrub, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_PII_SQL = """
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 <> 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.0.1 or call 555-' || printf('%03d', doc_id % 1000)
+                   || '-' || printf('%04d', doc_id % 10000)
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS red_md5
+FROM inj ORDER BY doc_id
+"""
+
+
+def repetition_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition signals (functions/repetition): per-lang
+    mean top-2-gram coverage and duplicate-3-gram fraction.  Engine counts
+    hashed n-grams (windowed siphash — no per-gram strings); the oracle
+    counts exact string n-grams; equal absent an in-document 64-bit
+    collision (~1e-16/doc, the shingle family's accepted risk)."""
+    from ..functions.repetition import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        st = repetition_stats(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "top2": pa.array(st["top2_frac"], pa.float64()),
+                "dup3": pa.array(st["dup3_frac"], pa.float64()),
+            }
+        )
+
+    out = partial_grouped_sum(
+        ds.map_batches(metrics, batch_format="pyarrow"),
+        ["lang"],
+        sums=["top2", "dup3"],
+        count_alias="n_docs",
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "lang": out["lang"],
+            "n_docs": out["n_docs"].astype("int64"),
+            "avg_top2_frac": (out["sum_top2"] / out["n_docs"]).round(4),
+            "avg_dup3_frac": (out["sum_dup3"] / out["n_docs"]).round(4),
+        }
+    )
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '\\w+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, lang, len(w) AS n_tok,
+         [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS g2,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)] AS g3
+  FROM tok
+),
+t2 AS (
+  SELECT doc_id, MAX(c) AS maxc FROM (
+    SELECT doc_id, gram, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+),
+t3 AS (
+  SELECT doc_id, 1.0 - COUNT(DISTINCT gram) * 1.0 / COUNT(*) AS dup3
+  FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY doc_id
+)
+SELECT g.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CASE WHEN g.n_tok >= 2 THEN 2.0 * t2.maxc / g.n_tok ELSE 0.0 END), 4) AS avg_top2_frac,
+       ROUND(AVG(COALESCE(t3.dup3, 0.0)), 4) AS avg_dup3_frac
+FROM g LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+GROUP BY g.lang ORDER BY g.lang
+"""
+
+
+def contaminated_docs_q(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (stages/decontam.contaminated_docs):
+    docs sharing any exact 13-gram with the bench slice (doc_id % 10 == 0
+    — stand-in for a small held-out test set).  Bench n-grams broadcast
+    once via ray.put; corpus pass prescreens with vectorized windowed
+    hashes, exact string verify on the rare hits."""
+    from ..stages.decontam import contaminated_docs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _part(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = (ids % 10 == 0) if keep_bench else (ids % 10 != 0)
+            return t.filter(pa.array(mask))
+
+        return f
+
+    corpus = ds.map_batches(_part(False), batch_format="pyarrow")
+    bench = ds.map_batches(_part(True), batch_format="pyarrow")
+    out = contaminated_docs(corpus, bench, "doc_id", "text", n=13)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_CONTAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+12], ' ') FOR i IN range(1, len(w) - 11)]) AS grams
+  FROM tok WHERE len(w) >= 13
+),
+b AS (SELECT list_distinct(flatten(list(grams))) AS bg FROM g WHERE doc_id % 10 = 0)
+SELECT g.doc_id, CAST(len(list_intersect(g.grams, b.bg)) AS BIGINT) AS n_hit
+FROM g, b
+WHERE g.doc_id % 10 <> 0 AND len(list_intersect(g.grams, b.bg)) > 0
+ORDER BY g.doc_id
+"""
+
+
+def stratified_events_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sample (stages/sample.stratified_sample):
+    exactly 50 events per event_type, the 50 smallest by
+    (md5(event_id), event_id) — per-batch partial prune keeps the shuffle
+    at O(n·groups·blocks) rows, never the input."""
+    from ..stages.sample import stratified_sample
+
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id", "user_id"])
+    out = stratified_sample(
+        ds, "event_type", "event_id", 50, keep_cols=["event_type", "event_id", "user_id"]
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["event_type", "event_id"])
+        .reset_index(drop=True)[["event_type", "event_id", "user_id"]]
+    )
+
+
+_STRATIFIED_SQL = """
+SELECT event_type, event_id, user_id FROM (
+  SELECT event_type, event_id, user_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+) WHERE rn <= 50 ORDER BY event_type, event_id
+"""
+
+
+def bm25_indexed_top10(sf_dir: str) -> pd.DataFrame:
+    """BM25 from the PERSISTED inverted index (stages/textindex): build
+    once (bucket-partitioned postings keyed by the parquet's mtime+size,
+    like the IVF index cache), then answer by reading only the buckets
+    the query terms hash to.  Same query/contract as bm25_top10, so the
+    same SQL oracle applies — the build/query split must not change one
+    row."""
+    import hashlib
+    import os as _os
+    import shutil
+
+    from ..stages.textindex import bm25_topk_indexed, build_text_index
+
+    doc_path = _p(sf_dir, "documents")
+    st = _os.stat(doc_path)
+    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    idx_dir = f"/tmp/dc4r_text_index/{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    done = f"{idx_dir}/_DONE"
+    if not _os.path.exists(done):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        build_text_index(ds, "doc_id", "text", idx_dir, num_buckets=32)
+        open(done, "w").close()
+    return bm25_topk_indexed(
+        idx_dir, "doc_id", ["customer", "vector", "window"], k=10, num_buckets=32
+    )
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -2079,6 +2325,11 @@ QUERIES = {
     "crawl_tiny_e2e": crawl_tiny_e2e,
     "crawl_reachability": crawl_reachability,
     "extract_corpus_text": extract_corpus_text,
+    "pii_redacted_docs": pii_redacted_docs,
+    "repetition_by_lang": repetition_by_lang,
+    "contaminated_docs": contaminated_docs_q,
+    "stratified_events_sample": stratified_events_sample,
+    "bm25_indexed_top10": bm25_indexed_top10,
 }
 
 ORACLES = {
@@ -2128,6 +2379,11 @@ ORACLES = {
     "selector_tag_counts": _SELECTOR_SQL,
     "extract_corpus_text": _EXTRACT_CORPUS_SQL,
     "crawl_reachability": _REACH_SQL,
+    "pii_redacted_docs": _PII_SQL,
+    "repetition_by_lang": _REPETITION_SQL,
+    "contaminated_docs": _CONTAM_SQL,
+    "stratified_events_sample": _STRATIFIED_SQL,
+    "bm25_indexed_top10": _BM25_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

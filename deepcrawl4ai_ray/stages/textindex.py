@@ -1,0 +1,208 @@
+"""Persisted inverted text index — the build/query split for corpus
+BM25 retrieval (stages/textsearch.bm25_topk is the one-shot scan; this
+is what you build when many queries hit the same 100-TB corpus).
+
+Layout (all Parquet, hive-partitioned):
+
+    <index_dir>/postings/bucket=BB/*.parquet   (term, doc_id, tf, dl)
+    <index_dir>/stats.parquet                  (n_docs, total_dl)
+
+``bucket = siphash64(term) % num_buckets`` — a query reads ONLY the
+buckets its terms hash to (explicit partition pruning, same pattern as
+stages/knn.ivf_topk_indexed), i.e. ~|terms|/num_buckets of the
+postings instead of re-scanning the corpus per query.  Document
+frequencies are not stored: df(term) = the term's posting count,
+computed from the (already pruned) read at query time.
+
+Scoring then reuses the one-shot operator's discipline: Lucene-variant
+BM25, block-local partial top-k, 4dp comparator-consistent merge — so
+``bm25_topk_indexed(build_text_index(ds), terms)`` is row-identical to
+``bm25_topk(ds, terms)`` (equivalence is pytest-pinned).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.hashing import tokens
+
+
+def _term_buckets(terms: Sequence[str], num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_array(np.asarray(list(terms), dtype=object), categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def build_text_index(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    num_buckets: int = 32,
+) -> str:
+    """One corpus pass → bucket-partitioned postings + corpus stats.
+    Postings shuffle is the tokenized corpus (term, doc, tf, dl), the
+    irreducible size of an inverted index; no other stage re-reads the
+    raw text."""
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id: List[int] = []
+        out_term: List[str] = []
+        out_tf: List[int] = []
+        out_dl: List[int] = []
+        for i, txt in zip(ids, batch[text_col].to_pylist()):
+            toks = tokens(txt or "")
+            if not toks:
+                continue
+            vals, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            out_id.extend([int(i)] * len(vals))
+            out_term.extend(vals)
+            out_tf.extend(int(c) for c in cnts)
+            out_dl.extend([len(toks)] * len(vals))
+        t = pa.table(
+            {
+                "term": pa.array(out_term, pa.string()),
+                id_col: pa.array(out_id, pa.int64()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "dl": pa.array(out_dl, pa.int64()),
+            }
+        )
+        b = _term_buckets(t["term"].to_pylist(), num_buckets) if len(t) else np.array([], dtype=np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    post = ds.map_batches(postings, batch_format="pyarrow")
+    post.write_parquet(os.path.join(index_dir, "postings"), partition_cols=["bucket"])
+
+    # corpus stats: one tiny aggregate over (doc, dl) — distinct per doc
+    from ray.data.aggregate import Count, Sum
+
+    docs = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "dl": pa.array(
+                    [len(tokens(x or "")) for x in t[text_col].to_pylist()], pa.int64()
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    st = docs.aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="total_dl"))
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array([int(st["n_docs"])], pa.int64()),
+                "total_dl": pa.array([int(st["total_dl"] or 0)], pa.int64()),
+            }
+        ),
+        os.path.join(index_dir, "stats.parquet"),
+    )
+    return index_dir
+
+
+def bm25_topk_indexed(
+    index_dir: str,
+    id_col: str,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """BM25 top-k from the persisted index: reads ONLY the buckets the
+    query terms hash to, filters to the terms, derives df/N/avgdl, and
+    scores — identical output contract to textsearch.bm25_topk."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    term_arr = sorted(set(terms))
+    if not term_arr:
+        raise ValueError("bm25_topk_indexed needs at least one query term")
+    st = pq.read_table(os.path.join(index_dir, "stats.parquet"))
+    n_docs = int(st["n_docs"][0].as_py())
+    total_dl = int(st["total_dl"][0].as_py())
+    avgdl = (total_dl / n_docs) if n_docs else 1.0
+
+    buckets = sorted(set(int(x) for x in _term_buckets(term_arr, num_buckets)))
+    paths = [
+        f
+        for bb in buckets
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, "postings", f"bucket={bb}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"), "bm25": pd.Series(dtype="float64")}
+        )
+    tset = pa.array(term_arr, pa.string())
+    rows = rd.read_parquet(paths, columns=["term", id_col, "tf", "dl"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["term"], value_set=tset)),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # df(term) = posting-row count per term (one row per (doc, term) by
+    # construction) — a tiny aggregate over the already-pruned read
+    from ray.data.aggregate import Count
+
+    df_rows = rows.groupby("term").aggregate(Count(alias_name="df")).take_all()
+    if not df_rows:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"), "bm25": pd.Series(dtype="float64")}
+        )
+    idf = {
+        r["term"]: float(np.log((n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0))
+        for r in df_rows
+    }
+    idf_ref = ray.put(idf)
+
+    # distributed scoring: per-row contributions, doc-keyed sum (a doc's
+    # rows live in different term buckets, so a groupby shuffle over the
+    # postings of the QUERY TERMS — never the corpus — is irreducible),
+    # then block-local partial top-k with the final 4dp comparator
+    def contrib(t: pa.Table) -> pa.Table:
+        w = ray.get(idf_ref)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        widf = np.asarray([w[x] for x in t["term"].to_pylist()], dtype=np.float64)
+        s = widf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "bm25": pa.array(s, pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    scored = (
+        rows.map_batches(contrib, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("bm25", alias_name="bm25"))
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = t["bm25"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ids, -np.round(sc, 4)))[: min(k, len(ids))]
+        return pa.table(
+            {id_col: pa.array(ids[order], pa.int64()), "bm25": pa.array(sc[order], pa.float64())}
+        )
+
+    parts = scored.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    # identical output contract to textsearch.bm25_topk: scores rounded
+    # to 4dp, ordered (bm25 desc, id asc) with the same comparator
+    parts["bm25"] = parts["bm25"].round(4)
+    parts = parts.sort_values(["bm25", id_col], ascending=[False, True], kind="mergesort")
+    return parts.head(k).reset_index(drop=True)

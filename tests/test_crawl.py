@@ -207,8 +207,9 @@ class TestProgressTail:
         collector_done = threading.Event()
 
         def collect():
-            # generous idle budget: the tail must outlive inter-round gaps
-            for row in iter_progress(out_dir, poll_s=0.05, stop_after_idle=200):
+            # stop_on_complete: drain-then-stop on the _COMPLETE marker —
+            # deterministic under any load (no idle-timeout race)
+            for row in iter_progress(out_dir, poll_s=0.05, stop_on_complete=True):
                 rows.append(row)
             collector_done.set()
 

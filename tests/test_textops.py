@@ -1,0 +1,254 @@
+"""Decontamination, PII redaction, repetition stats, stratified
+sampling, and the persisted BM25 inverted index."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df, blocks=4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(blocks)
+
+
+class TestDecontam:
+    def _mk(self, seed=5, n_docs=60, doc_len=40):
+        rng = np.random.default_rng(seed)
+        words = [f"w{i}" for i in range(50)]
+        docs = [" ".join(rng.choice(words, size=doc_len)) for _ in range(n_docs)]
+        # plant: corpus doc 3 contains bench doc 0's tokens 5..25 verbatim
+        b0 = docs[0].split()
+        docs[3] = " ".join(docs[3].split()[:10] + b0[5:25] + docs[3].split()[10:])
+        return docs
+
+    def _reference(self, corpus, bench, ids, n):
+        bset = set()
+        for t in bench:
+            w = t.split()
+            bset.update(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+        out = {}
+        for i, t in zip(ids, corpus):
+            w = t.split()
+            ngs = {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+            hit = len(ngs & bset)
+            if hit:
+                out[i] = hit
+        return out
+
+    def test_matches_reference_with_planted_overlap(self, ray_session):
+        from deepcrawl4ai_ray.stages.decontam import contaminated_docs
+
+        docs = self._mk()
+        bench_docs, corpus_docs = docs[:2], docs[2:]
+        ids = list(range(2, len(docs)))
+        expected = self._reference(corpus_docs, bench_docs, ids, 13)
+        assert expected, "planted overlap must produce at least one hit"
+        got = (
+            contaminated_docs(
+                _ds(pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "text": corpus_docs})),
+                _ds(pd.DataFrame({"doc_id": pd.array([0, 1], dtype="int64"), "text": bench_docs}), blocks=1),
+                "doc_id",
+                "text",
+                n=13,
+            )
+            .to_pandas()
+            .set_index("doc_id")["n_hit"]
+            .to_dict()
+        )
+        assert got == expected
+
+    def test_clean_corpus_yields_empty(self, ray_session):
+        from deepcrawl4ai_ray.stages.decontam import contaminated_docs
+
+        corpus = pd.DataFrame(
+            {"doc_id": pd.array([1, 2], dtype="int64"), "text": [" ".join(["a"] * 20), " ".join(["b"] * 20)]}
+        )
+        bench = pd.DataFrame({"doc_id": pd.array([9], dtype="int64"), "text": [" ".join(["c"] * 20)]})
+        out = contaminated_docs(_ds(corpus, 2), _ds(bench, 1), "doc_id", "text", n=13).to_pandas()
+        assert len(out) == 0
+
+    def test_short_docs_never_flagged(self, ray_session):
+        from deepcrawl4ai_ray.stages.decontam import contaminated_docs
+
+        short = pd.DataFrame({"doc_id": pd.array([1], dtype="int64"), "text": ["only five words here now"]})
+        bench = pd.DataFrame({"doc_id": pd.array([9], dtype="int64"), "text": ["only five words here now"]})
+        out = contaminated_docs(_ds(short, 1), _ds(bench, 1), "doc_id", "text", n=13).to_pandas()
+        assert len(out) == 0  # both sides shorter than n → no n-grams
+
+    def test_ngram_mults_bounds(self):
+        from deepcrawl4ai_ray.stages.decontam import _ngram_mults
+
+        with pytest.raises(ValueError, match="n must be"):
+            _ngram_mults(0)
+        with pytest.raises(ValueError, match="n must be"):
+            _ngram_mults(33)
+        assert (_ngram_mults(13) % 2 == 1).all()
+
+
+class TestPII:
+    def test_redact_table_counts_and_text(self, ray_session):
+        import pyarrow as pa
+
+        from deepcrawl4ai_ray.functions.pii import redact_table
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "reach me: a.b-c@ex.io or 192.168.0.1 or 555-123-4567 end",
+                        "nothing here",
+                    ]
+                ),
+            }
+        )
+        out = redact_table(t, "text")
+        assert out["text"].to_pylist() == [
+            "reach me: <EMAIL> or <IP> or <PHONE> end",
+            "nothing here",
+        ]
+        assert out["n_email"].to_pylist() == [1, 0]
+        assert out["n_ip"].to_pylist() == [1, 0]
+        assert out["n_phone"].to_pylist() == [1, 0]
+
+
+class TestRepetition:
+    def test_matches_python_reference(self):
+        from deepcrawl4ai_ray.functions.repetition import repetition_stats
+
+        texts = [
+            "a b a b a b c",          # heavy 2-gram repetition
+            "x y z x y z x y z",      # repeated 3-grams
+            "unique words only here",
+            "tiny",
+            "",
+        ]
+        got = repetition_stats(texts)
+        for i, t in enumerate(texts):
+            w = re.findall(r"\w+", t.lower())
+            assert got["n_tokens"][i] == len(w)
+            if len(w) >= 2:
+                c = Counter(zip(w, w[1:]))
+                assert got["top2_frac"][i] == pytest.approx(2 * max(c.values()) / len(w))
+            else:
+                assert got["top2_frac"][i] == 0.0
+            if len(w) >= 3:
+                g3 = list(zip(w, w[1:], w[2:]))
+                assert got["dup3_frac"][i] == pytest.approx(1 - len(set(g3)) / len(g3))
+            else:
+                assert got["dup3_frac"][i] == 0.0
+
+
+class TestStratifiedSample:
+    def test_exact_per_group_and_split_invariant(self, ray_session):
+        from deepcrawl4ai_ray.functions.hashing import md5_hex
+        from deepcrawl4ai_ray.stages.sample import stratified_sample
+
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(500, dtype=np.int64),
+                "event_type": rng.choice(["a", "b", "c"], 500),
+                "user_id": rng.integers(0, 50, 500).astype(np.int64),
+            }
+        )
+        ref = df.assign(_rk=[md5_hex(str(i)) for i in df["event_id"]])
+        ref = (
+            ref.sort_values(["_rk", "event_id"], kind="mergesort")
+            .groupby("event_type", sort=False)
+            .head(7)
+            .drop(columns=["_rk"])
+            .sort_values(["event_type", "event_id"])
+            .reset_index(drop=True)
+        )
+        for blocks in (1, 3, 8):
+            got = (
+                stratified_sample(
+                    _ds(df, blocks),
+                    "event_type",
+                    "event_id",
+                    7,
+                    keep_cols=["event_type", "event_id", "user_id"],
+                )
+                .to_pandas()
+                .sort_values(["event_type", "event_id"])
+                .reset_index(drop=True)[ref.columns.tolist()]
+            )
+            pd.testing.assert_frame_equal(got, ref)
+
+    def test_small_groups_kept_whole(self, ray_session):
+        from deepcrawl4ai_ray.stages.sample import stratified_sample
+
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(5, dtype=np.int64),
+                "event_type": ["a", "a", "b", "b", "b"],
+            }
+        )
+        got = stratified_sample(_ds(df, 2), "event_type", "event_id", 10).to_pandas()
+        assert len(got) == 5
+
+    def test_keep_cols_must_include_keys(self):
+        from deepcrawl4ai_ray.stages.sample import stratified_sample
+
+        with pytest.raises(ValueError, match="keep_cols"):
+            stratified_sample(None, "g", "i", 3, keep_cols=["x"])
+
+
+class TestTextIndex:
+    def _docs(self, seed=9, n=200):
+        rng = np.random.default_rng(seed)
+        words = [f"w{i}" for i in range(80)]
+        probs = np.array([1 / (i + 1) for i in range(80)], dtype=float)
+        probs /= probs.sum()
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": [
+                    " ".join(rng.choice(words, size=rng.integers(8, 40), p=probs))
+                    for _ in range(n)
+                ],
+            }
+        )
+
+    def test_indexed_equals_one_shot(self, ray_session, tmp_path):
+        from deepcrawl4ai_ray.stages.textindex import build_text_index, bm25_topk_indexed
+        from deepcrawl4ai_ray.stages.textsearch import bm25_topk
+
+        df = self._docs()
+        terms = ["w2", "w11", "w40"]
+        one_shot = bm25_topk(_ds(df, 5), "doc_id", "text", terms, k=10)
+        idx = str(tmp_path / "tidx")
+        build_text_index(_ds(df, 5), "doc_id", "text", idx, num_buckets=8)
+        indexed = bm25_topk_indexed(idx, "doc_id", terms, k=10, num_buckets=8)
+        indexed["bm25"] = indexed["bm25"].round(6)
+        one_shot["bm25"] = one_shot["bm25"].round(6)
+        pd.testing.assert_frame_equal(indexed, one_shot)
+
+    def test_query_prunes_to_term_buckets(self, ray_session, tmp_path):
+        """The indexed read must touch only the hive partitions the query
+        terms hash to — the build/query split's entire point."""
+        import os
+
+        from deepcrawl4ai_ray.stages.textindex import _term_buckets, build_text_index
+
+        df = self._docs(seed=3)
+        idx = str(tmp_path / "tidx2")
+        build_text_index(_ds(df, 3), "doc_id", "text", idx, num_buckets=8)
+        present = {d for d in os.listdir(os.path.join(idx, "postings")) if d.startswith("bucket=")}
+        assert len(present) > 2  # corpus spreads across buckets
+        want = {f"bucket={b}" for b in _term_buckets(["w2"], 8)}
+        assert want <= present
+
+    def test_unknown_term_empty(self, ray_session, tmp_path):
+        from deepcrawl4ai_ray.stages.textindex import build_text_index, bm25_topk_indexed
+
+        df = self._docs(seed=4, n=30)
+        idx = str(tmp_path / "tidx3")
+        build_text_index(_ds(df, 2), "doc_id", "text", idx, num_buckets=4)
+        out = bm25_topk_indexed(idx, "doc_id", ["zzz_not_a_word"], k=5, num_buckets=4)
+        assert len(out) == 0
