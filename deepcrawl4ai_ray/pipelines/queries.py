@@ -2268,6 +2268,40 @@ def bm25_indexed_top10(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def seq_packing(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing (stages/pack): each document's exclusive token
+    offset in the doc-id-ordered concatenated token stream, and the
+    first/last 512-token training sequence it overlaps.  The global
+    prefix sum is a two-phase distributed scan (per-range partials → K-row
+    driver prefix → in-range cumsum), so a SQL window SUM() OVER (ORDER BY
+    doc_id) reproduces it exactly."""
+    from ..stages.pack import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = pack_sequences(ds, "doc_id", "text", seq_len=512)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // 512                    AS seq_first,
+       (tok_start + n_tokens - 1) // 512   AS seq_last
+FROM s ORDER BY doc_id
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -2330,6 +2364,7 @@ QUERIES = {
     "contaminated_docs": contaminated_docs_q,
     "stratified_events_sample": stratified_events_sample,
     "bm25_indexed_top10": bm25_indexed_top10,
+    "seq_packing": seq_packing,
 }
 
 ORACLES = {
@@ -2384,6 +2419,7 @@ ORACLES = {
     "contaminated_docs": _CONTAM_SQL,
     "stratified_events_sample": _STRATIFIED_SQL,
     "bm25_indexed_top10": _BM25_SQL,
+    "seq_packing": _PACK_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

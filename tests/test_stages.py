@@ -664,3 +664,65 @@ class TestTextSearch:
         got = bm25_topk(ds, "doc_id", "text", terms, k=10)
         got["bm25"] = got["bm25"].round(4)
         assert list(map(tuple, got.itertuples(index=False))) == ref
+
+
+class TestSequencePacking:
+    def test_offsets_match_local_prefix_sum(self, ray_session):
+        """pack_sequences == a single-process exclusive prefix sum in
+        doc-id order, with empty docs occupying no tokens/sequence."""
+        import pandas as pd
+
+        from deepcrawl4ai_ray.functions.hashing import tokens
+        from deepcrawl4ai_ray.stages.pack import pack_sequences
+
+        rng = np.random.default_rng(7)
+        ids = np.arange(300, dtype=np.int64)
+        rng.shuffle(ids)  # arrival order != doc-id order
+        texts = []
+        for i in ids:
+            if i % 37 == 0:
+                texts.append("")  # empty docs must be skipped
+            else:
+                n = int(rng.integers(1, 40))
+                texts.append(" ".join(f"w{int(rng.integers(0, 50))}" for _ in range(n)))
+        df = pd.DataFrame({"doc_id": ids, "text": texts})
+        ds = _ds(df).repartition(7)
+
+        got = (
+            pack_sequences(ds, "doc_id", "text", seq_len=16, num_ranges=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        ref = df.assign(n_tokens=[len(tokens(t)) for t in df["text"]])
+        ref = ref[ref.n_tokens > 0].sort_values("doc_id").reset_index(drop=True)
+        ref["tok_start"] = ref["n_tokens"].cumsum().shift(fill_value=0)
+        ref["seq_first"] = ref["tok_start"] // 16
+        ref["seq_last"] = (ref["tok_start"] + ref["n_tokens"] - 1) // 16
+
+        assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+        for c in ("n_tokens", "tok_start", "seq_first", "seq_last"):
+            assert got[c].tolist() == ref[c].tolist(), c
+        # stream is gapless: next tok_start == prev tok_start + prev n
+        assert (
+            got["tok_start"].iloc[1:].to_numpy()
+            == (got["tok_start"] + got["n_tokens"]).iloc[:-1].to_numpy()
+        ).all()
+
+    def test_max_id_hint_skips_aggregate_and_matches(self, ray_session):
+        import pandas as pd
+
+        from deepcrawl4ai_ray.stages.pack import pack_sequences
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(50, dtype=np.int64), "text": ["a b c"] * 50}
+        )
+        a = pack_sequences(_ds(df), "doc_id", "text", 8).to_pandas()
+        b = pack_sequences(_ds(df), "doc_id", "text", 8, max_id=49).to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        # 50 docs x 3 tokens, seq_len 8: doc 0 -> tok 0..2 seq 0; doc 10 -> tok 30..32 spans seq 3-4
+        r = a[a.doc_id == 10].iloc[0]
+        assert (r.tok_start, r.seq_first, r.seq_last) == (30, 3, 4)
