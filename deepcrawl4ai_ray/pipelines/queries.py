@@ -31,7 +31,7 @@ from ..stages.dedup import (
     simhash_stage,
     srp_near_dup_pairs,
 )
-from ..stages.join import broadcast_filter, hash_join
+from ..stages.join import bloom_semi_anti, broadcast_filter, hash_join
 from ..stages.knn import brute_force_topk, ivf_topk, train_ivf_centroids
 from ..stages.multimodal import FrameSampleStage, ImageDecodeStage
 from ..stages.windows import ready_queue, session_counts, tumbling_window_agg
@@ -924,6 +924,177 @@ WITH toks AS (
 )
 SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM toks GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+"""
+
+
+def top_bigrams(sf_dir: str) -> "rd.Dataset":
+    """EXACT corpus-wide top-20 word BIGRAMS — the LM-stats variant of
+    top_tokens (same Misra-Gries summary → provable candidates → exact
+    recount machinery, ngram=2), so the n-gram stream never shuffles
+    either.  N-grams never cross a document boundary."""
+    from ..stages.textsearch import exact_top_tokens
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return exact_top_tokens(ds, "text", k=20, m=4096, ngram=2)
+
+
+_TOP_BIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '\w+') AS t FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS tok
+  FROM toks WHERE len(t) >= 2
+)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM bg GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+"""
+
+
+def delta_novel_docs(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingest dedup: treat the upper half of doc_id space as
+    a NEW crawl batch and keep only its docs whose 5-token prefix
+    fingerprint was never seen in the base corpus (lower half) — the
+    content-seen analog of the frontier's URL-seen anti-join (reference
+    utils.py url-seen semantics applied to content).  The base side is
+    bloom-prescreened then exactly verified (stages/join.bloom_semi_anti,
+    the 10^9-key path), so a mostly-novel delta stream never shuffles."""
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        fps = [
+            " ".join(H.tokens(t or "")[:5]) for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())}
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    split = (int(ds.max("doc_id")) + 1) // 2
+    fps = ds.map_batches(fp_batch, batch_format="pyarrow")
+    base = fps.filter(expr=f"doc_id < {split}").select_columns(["fp"])
+    delta = fps.filter(expr=f"doc_id >= {split}")
+    novel = bloom_semi_anti(delta, "fp", base, "fp", keep_in=False)
+    out = novel.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "fp"]]
+
+
+_DELTA_NOVEL_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(lower(text), '\w+')[1:5], ' ') AS fp
+  FROM documents
+)
+SELECT doc_id, fp FROM d
+WHERE doc_id >= (SELECT (MAX(doc_id) + 1) // 2 FROM d)
+  AND NOT EXISTS (
+    SELECT 1 FROM d b
+    WHERE b.doc_id < (SELECT (MAX(doc_id) + 1) // 2 FROM d) AND b.fp = d.fp)
+ORDER BY doc_id
+"""
+
+
+def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-source top-3 terms by tf-idf (tf = term count in the source's
+    docs, idf = ln(N_docs / doc_freq)).  Both factor tables are partial-
+    aggregated inside map_batches before their groupbys, and the join is
+    the bucketed hash_join on the (already tiny) aggregated tables — the
+    full token stream never shuffles."""
+    import math
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    n_docs = ds.count()
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        keys: list = []
+        for s, t in zip(srcs, texts):
+            keys.extend(f"{s}\x00{w}" for w in H.tokens(t or ""))
+        if not keys:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "tok": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        vals, cnts = np.unique(np.asarray(keys, dtype=object), return_counts=True)
+        pairs = [k.split("\x00", 1) for k in vals]
+        return pa.table(
+            {
+                "source": pa.array([p[0] for p in pairs], pa.string()),
+                "tok": pa.array([p[1] for p in pairs], pa.string()),
+                "tf": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks: list = []
+        for t in batch["text"].to_pylist():
+            toks.extend(set(H.tokens(t or "")))
+        if not toks:
+            return pa.table(
+                {"tok": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        vals, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {"tok": pa.array(vals, pa.string()), "df": pa.array(cnts.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    tf = (
+        ds.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby(["source", "tok"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+    dfreq = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    joined = hash_join(tf, dfreq, on="tok")
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf_a = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_a = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = np.round(tf_a * np.log(float(n_docs) / df_a), 4)
+        return pa.table(
+            {"source": batch["source"], "tok": batch["tok"], "tfidf": pa.array(tfidf)}
+        )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tfidf", "tok"], ascending=[False, True], kind="mergesort")
+        return g.head(3)
+
+    out = (
+        joined.map_batches(score, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(top3)
+        .to_pandas()
+    )
+    return out.sort_values(["source", "tok"]).reset_index(drop=True)
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY source, tok
+), dfreq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), s AS (
+  SELECT tf.source, tf.tok,
+         ROUND(tf.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / dfreq.df), 4)
+           AS tfidf
+  FROM tf JOIN dfreq USING (tok)
+)
+SELECT source, tok, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY tfidf DESC, tok) AS rn
+  FROM s
+) WHERE rn <= 3 ORDER BY source, tok
 """
 
 
@@ -2365,6 +2536,9 @@ QUERIES = {
     "stratified_events_sample": stratified_events_sample,
     "bm25_indexed_top10": bm25_indexed_top10,
     "seq_packing": seq_packing,
+    "top_bigrams": top_bigrams,
+    "delta_novel_docs": delta_novel_docs,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLES = {
@@ -2420,6 +2594,9 @@ ORACLES = {
     "stratified_events_sample": _STRATIFIED_SQL,
     "bm25_indexed_top10": _BM25_SQL,
     "seq_packing": _PACK_SQL,
+    "top_bigrams": _TOP_BIGRAMS_SQL,
+    "delta_novel_docs": _DELTA_NOVEL_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

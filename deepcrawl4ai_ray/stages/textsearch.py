@@ -45,13 +45,22 @@ from ..functions.hashing import tokens
 _SENTINEL = "\x00"
 
 
-def _batch_token_counts(texts: Sequence[str]) -> tuple[np.ndarray, np.ndarray, int]:
-    """All batch tokens → (unique tokens, counts, total token count).
+def _batch_token_counts(
+    texts: Sequence[str], ngram: int = 1
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """All batch tokens (or space-joined word n-grams, never crossing a
+    document boundary) → (unique grams, counts, total gram count).
     Per-doc regex tokenization has no Arrow kernel; the counting is one
     C-level np.unique over the concatenated array."""
     toks: List[str] = []
     for t in texts:
-        toks.extend(tokens(t or ""))
+        tt = tokens(t or "")
+        if ngram == 1:
+            toks.extend(tt)
+        elif len(tt) >= ngram:
+            toks.extend(
+                " ".join(tt[i : i + ngram]) for i in range(len(tt) - ngram + 1)
+            )
     if not toks:
         return np.array([], dtype=object), np.array([], dtype=np.int64), 0
     vals, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
@@ -64,9 +73,11 @@ def exact_top_tokens(
     k: int = 20,
     m: int = 4096,
     max_candidates: int = 100_000,
+    ngram: int = 1,
 ) -> "ray.data.Dataset":
-    """EXACT top-k tokens by total count → Dataset(tok, cnt), ordered
-    (cnt desc, tok asc) — without ever shuffling the full token stream.
+    """EXACT top-k tokens (``ngram`` > 1: word n-grams, the LM-stats
+    variant) by total count → Dataset(tok, cnt), ordered (cnt desc,
+    tok asc) — without ever shuffling the full token stream.
 
     Summary-pass rows per batch: the top-m tokens by in-batch count with
     their EXACT in-batch counts, plus θ_b = the (m+1)-th largest count
@@ -79,7 +90,7 @@ def exact_top_tokens(
     an approximation).  Pass 2 recounts candidates exactly."""
 
     def summarize(batch: pa.Table) -> pa.Table:
-        vals, cnts, _total = _batch_token_counts(batch[text_col].to_pylist())
+        vals, cnts, _total = _batch_token_counts(batch[text_col].to_pylist(), ngram)
         if len(vals) > m:
             kth = np.partition(cnts, len(cnts) - m)[len(cnts) - m]
             # θ_b = largest count we may omit; keep strictly greater so
@@ -147,7 +158,7 @@ def exact_top_tokens(
 
     def recount(batch: pa.Table) -> pa.Table:
         cs = ray.get(cand_ref)
-        vals, cnts, _ = _batch_token_counts(batch[text_col].to_pylist())
+        vals, cnts, _ = _batch_token_counts(batch[text_col].to_pylist(), ngram)
         if len(vals) == 0 or len(cs) == 0:
             return pa.table(
                 {"tok": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}

@@ -617,6 +617,30 @@ class TestTextSearch:
         got = exact_top_tokens(ds, "text", k=10, m=64).to_pandas()
         assert list(map(tuple, got.itertuples(index=False))) == expected
 
+    def test_exact_top_bigrams_matches_counter_and_respects_doc_bounds(
+        self, ray_session
+    ):
+        """ngram=2: same exactness guarantee over bigrams, and n-grams
+        never cross a document boundary."""
+        from collections import Counter
+
+        from deepcrawl4ai_ray.functions.hashing import tokens
+        from deepcrawl4ai_ray.stages.textsearch import exact_top_tokens
+
+        docs = self._zipf_docs()
+        ds = _ds(pd.DataFrame({"text": docs})).repartition(6)
+        c = Counter()
+        for t in docs:
+            tt = tokens(t)
+            c.update(f"{a} {b}" for a, b in zip(tt, tt[1:]))
+        expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = exact_top_tokens(ds, "text", k=10, m=512, ngram=2).to_pandas()
+        assert list(map(tuple, got.itertuples(index=False))) == expected
+        # boundary check: a 2-doc corpus has no cross-doc bigram
+        ds2 = _ds(pd.DataFrame({"text": ["a b", "c d"]}))
+        got2 = exact_top_tokens(ds2, "text", k=10, m=64, ngram=2).to_pandas()
+        assert set(got2["tok"]) == {"a b", "c d"}
+
     def test_exact_top_tokens_raises_when_unprovable(self, ray_session):
         """Near-uniform data with tiny m: the omission bound cannot
         separate the top-k, so the operator must RAISE, never silently
