@@ -2193,6 +2193,80 @@ FROM reach r ORDER BY url
 """
 
 
+def pagerank_corpus(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the tiny-corpus link graph (stages/pagerank): the
+    ranking step a crawled link corpus feeds.  Engine link extraction is
+    the crawler's own (functions/extract.extract_links — the parity with
+    the SQL regex-CTE link graph is the one crawl_reachability already
+    hash-pins); the oracle reproduces the 3 power iterations as unrolled
+    CTEs, including dangling-mass redistribution."""
+    from ..functions.extract import extract_links
+    from ..sources.corpus import ensure
+    from ..stages.pagerank import pagerank
+
+    corpus = ensure("tiny")
+    pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs: list = []
+        dsts: list = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            for link in extract_links(h, u):
+                srcs.append(u)
+                dsts.append(link)
+        return pa.table(
+            {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+        )
+
+    pr = pagerank(pages.map_batches(edges, batch_format="pyarrow"), iters=3)
+    df = pr.to_pandas().rename(columns={"node": "url"})
+    df["pr"] = df["pr"].round(6)
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled-CTE PageRank oracle: r0 = uniform, each r{k} one power
+    iteration with teleport 0.15/N and dangling mass (1 − Σ pr over
+    nodes with out-links) spread uniformly."""
+    parts = [
+        rf"""
+WITH pages AS (
+  SELECT url, decode(html) AS html,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+), links AS (
+  SELECT DISTINCT p.url AS src,
+         CASE WHEN href LIKE 'http%' THEN href
+              WHEN href = '/' THEN 'https://' || p.host
+              ELSE 'https://' || p.host || href END AS dst
+  FROM pages p, UNNEST(regexp_extract_all(p.html,
+       '<a\s[^>]*?href\s*=\s*["'']([^"''<>]+)["'']', 1)) AS u(href)
+), nodes AS (
+  SELECT src AS node FROM links UNION SELECT dst FROM links
+), nn AS (SELECT COUNT(*) * 1.0 AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) * 1.0 AS deg FROM links GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * (COALESCE(s.in_pr, 0)
+            + (1 - (SELECT SUM(r.pr) FROM r{p} r JOIN outdeg o ON o.src = r.node))
+              / (SELECT n FROM nn)) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT l.dst AS node, SUM(r.pr / o.deg) AS in_pr
+    FROM links l JOIN r{p} r ON r.node = l.src JOIN outdeg o ON o.src = l.src
+    GROUP BY l.dst) s ON s.node = nd.node
+)"""
+        )
+    parts.append(f"\nSELECT node AS url, ROUND(pr, 6) AS pr FROM r{iters} ORDER BY url")
+    return "".join(parts)
+
+
 # =========================================================================
 # Corpus-hygiene family: PII redaction, repetition stats, benchmark
 # decontamination, stratified sampling, persisted BM25 index
@@ -2539,6 +2613,7 @@ QUERIES = {
     "top_bigrams": top_bigrams,
     "delta_novel_docs": delta_novel_docs,
     "tfidf_top_terms": tfidf_top_terms,
+    "pagerank_corpus": pagerank_corpus,
 }
 
 ORACLES = {
@@ -2597,6 +2672,7 @@ ORACLES = {
     "top_bigrams": _TOP_BIGRAMS_SQL,
     "delta_novel_docs": _DELTA_NOVEL_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
+    "pagerank_corpus": _pagerank_sql(3),
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

@@ -750,3 +750,56 @@ class TestSequencePacking:
         # 50 docs x 3 tokens, seq_len 8: doc 0 -> tok 0..2 seq 0; doc 10 -> tok 30..32 spans seq 3-4
         r = a[a.doc_id == 10].iloc[0]
         assert (r.tok_start, r.seq_first, r.seq_last) == (30, 3, 4)
+
+
+class TestPageRank:
+    def _local_pr(self, edges, iters=3, d=0.85):
+        """Dense-matrix reference implementation (teleport + dangling
+        redistribution), for tiny graphs."""
+        nodes = sorted({u for e in edges for u in e})
+        idx = {u: i for i, u in enumerate(nodes)}
+        n = len(nodes)
+        dedup = sorted(set(edges))
+        out = {u: 0 for u in nodes}
+        for s, _ in dedup:
+            out[s] += 1
+        pr = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            nxt = np.zeros(n)
+            for s, t in dedup:
+                nxt[idx[t]] += pr[idx[s]] / out[s]
+            dangling = sum(pr[idx[u]] for u in nodes if out[u] == 0)
+            pr = (1 - d) / n + d * (nxt + dangling / n)
+        return {u: pr[idx[u]] for u in nodes}
+
+    def test_matches_dense_reference_with_dangling(self, ray_session):
+        from deepcrawl4ai_ray.stages.pagerank import pagerank
+
+        rng = np.random.default_rng(3)
+        nodes = [f"u{i}" for i in range(40)]
+        edges = []
+        for i in range(200):
+            s = nodes[int(rng.integers(0, 30))]  # u30..u39 never link out
+            t = nodes[int(rng.integers(0, 40))]
+            edges.append((s, t))
+        edges += edges[:17]  # duplicate edges must count once
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        got = (
+            pagerank(_ds(df).repartition(5), iters=3, num_buckets=4)
+            .to_pandas()
+            .set_index("node")["pr"]
+        )
+        ref = self._local_pr(edges)
+        assert set(got.index) == set(ref)
+        for u, v in ref.items():
+            assert abs(got[u] - v) < 1e-9, u
+        assert abs(got.sum() - 1.0) < 1e-9  # mass conserved
+
+    def test_src_only_nodes_get_base_rank(self, ray_session):
+        from deepcrawl4ai_ray.stages.pagerank import pagerank
+
+        df = pd.DataFrame({"src": ["a", "a", "b"], "dst": ["b", "c", "c"]})
+        got = pagerank(_ds(df), iters=2, num_buckets=2).to_pandas()
+        ref = self._local_pr([("a", "b"), ("a", "c"), ("b", "c")], iters=2)
+        for _, r in got.iterrows():
+            assert abs(r["pr"] - ref[r["node"]]) < 1e-12
