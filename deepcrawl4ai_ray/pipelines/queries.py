@@ -2547,6 +2547,195 @@ FROM s ORDER BY doc_id
 """
 
 
+def shuffled_export(sf_dir: str) -> pd.DataFrame:
+    """Deterministic global training-order shuffle (stages/shuffleorder):
+    every document's 0-based position under ORDER BY md5(seed||'-'||id)
+    plus its balanced output shard — the reproducible shuffle+shard step
+    between corpus cleaning and tokenization.  The global rank is a
+    two-phase distributed scan keyed by the hash prefix (256-bucket
+    partial counts → O(256) driver prefix → in-bucket sort), so only the
+    slim (id, key) table shuffles and a SQL ROW_NUMBER() window
+    reproduces it exactly."""
+    from ..stages.shuffleorder import shuffle_ranks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = shuffle_ranks(ds, "doc_id", seed="seed0", num_shards=8)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_SHUFFLE_EXPORT_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY md5('seed0-' || CAST(doc_id AS VARCHAR)),
+                            doc_id) - 1 AS shuffle_rank
+  FROM documents
+)
+SELECT doc_id, shuffle_rank,
+       (shuffle_rank * 8) // (SELECT COUNT(*) FROM documents) AS shard
+FROM r ORDER BY doc_id
+"""
+
+
+def quality_model_scores(sf_dir: str) -> pd.DataFrame:
+    """Broadcast-model batch inference (stages/modelscore): linear
+    quality scorer whose weights are ray.put ONCE and fetched per actor
+    in __init__; whole Arrow batches scored with vectorized kernels —
+    the fastText/logreg doc-filter pattern with a deterministic kernel
+    so the full inference pass is oracle-checkable.  Per-lang rollup of
+    kept docs (score > 1.8) via per-batch partial aggregation."""
+    from ..stages.modelscore import quality_model_stage
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    scored = quality_model_stage(ds, text_col="text", concurrency=4)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keep = pc.cast(pc.greater(batch["score"], 1.8), pa.int64())
+        return pa.table(
+            {"lang": batch["lang"], "score": batch["score"], "kept": keep}
+        )
+
+    out = partial_grouped_sum(
+        scored.map_batches(partials, batch_format="pyarrow"),
+        ["lang"],
+        sums=["score", "kept"],
+        count_alias="n_docs",
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "lang": out["lang"],
+            "n_docs": out["n_docs"].astype("int64"),
+            "n_kept": out["sum_kept"].astype("int64"),
+            "avg_score": (out["sum_score"] / out["n_docs"]).round(4),
+        }
+    )
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+def _quality_model_sql() -> str:
+    from ..stages.modelscore import score_sql_expr
+
+    return f"""
+WITH s AS (SELECT lang, {score_sql_expr('text')} AS score FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN score > 1.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(AVG(score), 4) AS avg_score
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+
+def delta_near_dup_docs(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingest FUZZY dedup (complement of delta_novel_docs'
+    exact fingerprints): for each doc in the delta batch (the perturbed
+    copies, ids ≥ 10M), its best near-dup in the base corpus by exact
+    word-3-shingle Jaccard ≥ 0.9 — LSH candidates only, base↔delta
+    pairs filtered by id arithmetic (delta ids are disjoint by
+    construction), argmax per delta doc with (max jac, min base id)
+    tie-break.  The cross-corpus pair set never touches the driver until
+    the final per-delta winners (one row per delta doc)."""
+    pairs = minhash_lsh_pairs(
+        _augmented_docs(sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.9,
+        num_perm=64,
+        bands=16,
+        k=3,
+        verify="exact",
+        prune_payload=True,
+    )
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        keep = (a < 10_000_000) & (b >= 10_000_000)  # id_a < id_b always
+        sub = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": sub["id_b"],
+                "base_id": sub["id_a"],
+                "jac": sub["jac"],
+            }
+        )
+
+    def best(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["jac", "base_id"], ascending=[False, True], kind="mergesort")
+        return g.head(1)[["doc_id", "base_id", "jac"]]
+
+    out = (
+        pairs.map_batches(cross_only, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(best)
+        .to_pandas()
+    )
+    out["jac"] = out["jac"].round(4)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DELTA_NEAR_DUP_SQL = """
+WITH delta AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string((string_split(text, ' '))[1:len(string_split(text, ' '))-1], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+wb AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w FROM documents),
+wd AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w FROM delta),
+sb AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM wb WHERE len(w) >= 1
+),
+sd AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM wd WHERE len(w) >= 1
+),
+j AS (
+  SELECT d.doc_id, b.doc_id AS base_id,
+         CAST(len(list_intersect(d.s, b.s)) AS DOUBLE)
+           / len(list_distinct(d.s || b.s)) AS jac
+  FROM sd d JOIN sb b ON TRUE
+  WHERE CAST(len(list_intersect(d.s, b.s)) AS DOUBLE)
+          / len(list_distinct(d.s || b.s)) >= 0.9
+),
+best AS (
+  SELECT doc_id, base_id, jac,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jac DESC, base_id) AS rn
+  FROM j
+)
+SELECT doc_id, base_id, ROUND(jac, 4) AS jac
+FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+# per-source mixture weights (¼..1 by source index) — the "data recipe"
+# a pretraining run would configure; the SQL oracle is generated from
+# this same dict so engine and oracle can never drift.
+_MIXTURE_RATES = {f"src{i}": ((i % 4) + 1) / 4 for i in range(20)}
+
+
+def mixture_sampled_docs(sf_dir: str) -> pd.DataFrame:
+    """Source-weighted mixture sampling (stages/sample.mixture_sample):
+    per-source keep-rates broadcast once via ray.put, per-row decision a
+    pure hash function of (doc_id) — deterministic, shuffle-free,
+    split-invariant domain reweighting."""
+    from ..stages.sample import mixture_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = mixture_sample(ds, "source", "doc_id", _MIXTURE_RATES).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _mixture_sql() -> str:
+    from ..stages.sample import mixture_sample_sql_case
+
+    case = mixture_sample_sql_case(_MIXTURE_RATES, "source", "doc_id")
+    return f"SELECT doc_id, source FROM documents WHERE {case} ORDER BY doc_id"
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -2614,6 +2803,10 @@ QUERIES = {
     "delta_novel_docs": delta_novel_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "pagerank_corpus": pagerank_corpus,
+    "shuffled_export": shuffled_export,
+    "quality_model_scores": quality_model_scores,
+    "delta_near_dup_docs": delta_near_dup_docs,
+    "mixture_sampled_docs": mixture_sampled_docs,
 }
 
 ORACLES = {
@@ -2673,6 +2866,10 @@ ORACLES = {
     "delta_novel_docs": _DELTA_NOVEL_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
     "pagerank_corpus": _pagerank_sql(3),
+    "shuffled_export": _SHUFFLE_EXPORT_SQL,
+    "quality_model_scores": _quality_model_sql(),
+    "delta_near_dup_docs": _DELTA_NEAR_DUP_SQL,
+    "mixture_sampled_docs": _mixture_sql(),
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash
