@@ -2711,6 +2711,59 @@ FROM best WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def dup_span_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicate-span detection (stages/dupspans): doc pairs
+    sharing ≥1 verbatim word 13-gram, with the exact distinct shared
+    count — the exact-substring dedup family member (Lee et al. 2021),
+    complementing MinHash (similar docs) with verbatim-passage overlap.
+    Run over documents ∪ perturbed copies so the planted copies (which
+    share all their 13-grams with their base doc) make the result
+    non-trivial."""
+    from ..stages.dupspans import duplicate_span_pairs
+
+    out = duplicate_span_pairs(
+        _augmented_docs(sf_dir), "doc_id", "text", n=13, max_docs_per_gram=64
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# 13-gram self-join oracle over the same augmented corpus; the engine's
+# boilerplate cap (drop grams in >64 docs as PAIR GENERATORS, while
+# n_shared still counts every shared gram) is reproduced by the `elig`
+# semi-join.  O(N²)-ish SQL by design — exactness reference at gate
+# scale; the engine stays O(grams + candidate pairs).
+_DUP_SPANS_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string((string_split(text, ' '))[1:len(string_split(text, ' '))-1], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w FROM aug),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+12], ' ') for i in range(1, len(w) - 11)]) AS gs
+  FROM w WHERE len(w) >= 13
+),
+eg AS (SELECT doc_id, UNNEST(gs) AS gram FROM g),
+df AS (SELECT gram, COUNT(DISTINCT doc_id) AS d FROM eg GROUP BY gram),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(DISTINCT a.gram) AS n_shared
+  FROM eg a JOIN eg b ON a.gram = b.gram AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+),
+elig AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM eg a JOIN eg b ON a.gram = b.gram AND b.doc_id > a.doc_id
+  WHERE a.gram IN (SELECT gram FROM df WHERE d <= 64)
+)
+SELECT s.id_a, s.id_b, s.n_shared
+FROM shared s JOIN elig e ON s.id_a = e.id_a AND s.id_b = e.id_b
+ORDER BY s.id_a, s.id_b
+"""
+
+
 # per-source mixture weights (¼..1 by source index) — the "data recipe"
 # a pretraining run would configure; the SQL oracle is generated from
 # this same dict so engine and oracle can never drift.
@@ -2807,6 +2860,7 @@ QUERIES = {
     "quality_model_scores": quality_model_scores,
     "delta_near_dup_docs": delta_near_dup_docs,
     "mixture_sampled_docs": mixture_sampled_docs,
+    "dup_span_pairs": dup_span_pairs,
 }
 
 ORACLES = {
@@ -2870,6 +2924,7 @@ ORACLES = {
     "quality_model_scores": _quality_model_sql(),
     "delta_near_dup_docs": _DELTA_NEAR_DUP_SQL,
     "mixture_sampled_docs": _mixture_sql(),
+    "dup_span_pairs": _DUP_SPANS_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

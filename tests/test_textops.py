@@ -252,3 +252,66 @@ class TestTextIndex:
         build_text_index(_ds(df, 2), "doc_id", "text", idx, num_buckets=4)
         out = bm25_topk_indexed(idx, "doc_id", ["zzz_not_a_word"], k=5, num_buckets=4)
         assert len(out) == 0
+
+
+class TestDupSpans:
+    def _mk(self, seed=9, n_docs=40, doc_len=60):
+        rng = np.random.default_rng(seed)
+        words = [f"t{i}" for i in range(400)]  # wide vocab: no accidental 13-grams
+        docs = [" ".join(rng.choice(words, size=doc_len)) for _ in range(n_docs)]
+        # plant: docs 2 and 7 share a verbatim 20-token span (8 shared 13-grams);
+        # docs 5, 11, 13 share a verbatim 13-token span (1 shared 13-gram each pair)
+        span = " ".join(rng.choice(words, size=20))
+        docs[2] = docs[2] + " " + span
+        docs[7] = span + " " + docs[7]
+        tri = " ".join(rng.choice(words, size=13))
+        for i in (5, 11, 13):
+            docs[i] = docs[i] + " " + tri
+        return docs
+
+    def _reference(self, docs, n=13, cap=64):
+        from deepcrawl4ai_ray.functions.hashing import tokens
+        from deepcrawl4ai_ray.stages.decontam import _ngram_strings
+
+        grams = [set(_ngram_strings(tokens(t), n)) for t in docs]
+        freq = Counter(g for gs in grams for g in gs)
+        out = {}
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                shared = grams[a] & grams[b]
+                if shared and any(freq[g] <= cap for g in shared):
+                    out[(a, b)] = len(shared)
+        return out
+
+    def test_matches_brute_force_with_planted_spans(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dupspans import duplicate_span_pairs
+
+        docs = self._mk()
+        df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+        got = (
+            duplicate_span_pairs(rd.from_pandas(df).repartition(5), "doc_id", "text")
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        exp = self._reference(docs)
+        assert {(int(r.id_a), int(r.id_b)): int(r.n_shared) for r in got.itertuples()} == exp
+        assert exp[(2, 7)] == 8  # the 20-token span => 8 shared 13-grams
+        assert exp[(5, 11)] == exp[(5, 13)] == exp[(11, 13)] == 1
+
+    def test_boilerplate_cap_drops_hot_gram_pairs(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dupspans import duplicate_span_pairs
+
+        # one 13-token boilerplate span in EVERY doc, nothing else shared
+        rng = np.random.default_rng(3)
+        words = [f"b{i}" for i in range(300)]
+        boiler = " ".join(rng.choice(words, size=13))
+        docs = [boiler + " " + " ".join(rng.choice(words, size=40)) for _ in range(12)]
+        df = pd.DataFrame({"doc_id": np.arange(12, dtype=np.int64), "text": docs})
+        ds = rd.from_pandas(df).repartition(3)
+        capped = duplicate_span_pairs(ds, "doc_id", "text", max_docs_per_gram=8).to_pandas()
+        assert len(capped) == 0  # the only shared gram is in 12 > 8 docs
+        uncapped = duplicate_span_pairs(ds, "doc_id", "text", max_docs_per_gram=64).to_pandas()
+        assert len(uncapped) == 12 * 11 // 2 and (uncapped["n_shared"] >= 1).all()
