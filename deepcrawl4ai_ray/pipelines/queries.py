@@ -2764,6 +2764,40 @@ ORDER BY s.id_a, s.id_b
 """
 
 
+def chunked_docs(sf_dir: str) -> pd.DataFrame:
+    """Fixed-size chunk splitter (stages/chunk): the reference's
+    4096-char result chunker (utils.py:345-358, chunk_index /
+    total_chunks) as a columnar flat transform — here at size=128 so
+    the sf corpus yields multi-chunk docs.  One map_batches pass,
+    vectorized per chunk index; the training-data document chunker."""
+    from ..stages.chunk import chunk_text
+
+    out = chunk_text(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+        size=128,
+    ).to_pandas()
+    return out.sort_values(["doc_id", "chunk_index"]).reset_index(drop=True)
+
+
+_CHUNKED_DOCS_SQL = """
+WITH d AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil(length(text) / 128.0) AS BIGINT)) AS total_chunks
+  FROM documents
+),
+e AS (
+  SELECT doc_id, text, total_chunks,
+         UNNEST(range(total_chunks)) AS chunk_index
+  FROM d
+)
+SELECT doc_id, chunk_index, total_chunks,
+       substring(text, CAST(chunk_index * 128 + 1 AS BIGINT), 128) AS chunk
+FROM e ORDER BY doc_id, chunk_index
+"""
+
+
 # per-source mixture weights (¼..1 by source index) — the "data recipe"
 # a pretraining run would configure; the SQL oracle is generated from
 # this same dict so engine and oracle can never drift.
@@ -2861,6 +2895,7 @@ QUERIES = {
     "delta_near_dup_docs": delta_near_dup_docs,
     "mixture_sampled_docs": mixture_sampled_docs,
     "dup_span_pairs": dup_span_pairs,
+    "chunked_docs": chunked_docs,
 }
 
 ORACLES = {
@@ -2925,6 +2960,7 @@ ORACLES = {
     "delta_near_dup_docs": _DELTA_NEAR_DUP_SQL,
     "mixture_sampled_docs": _mixture_sql(),
     "dup_span_pairs": _DUP_SPANS_SQL,
+    "chunked_docs": _CHUNKED_DOCS_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

@@ -219,7 +219,9 @@ class TestProgressTail:
         c = Crawler(tiny_corpus, out_dir, cfg)
         res = c.run()
         c.kill_shards()
-        assert collector_done.wait(timeout=30)
+        # generous: under full-suite + shared-box load the collector
+        # thread can be starved well past the crawl's own finish
+        assert collector_done.wait(timeout=120)
         assert len(rows) == res["rounds"] * CFG["num_shards"]
         rounds_seen = [r["round"] for r in rows]
         assert rounds_seen == sorted(rounds_seen)  # atomic publish order

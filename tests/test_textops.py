@@ -315,3 +315,71 @@ class TestDupSpans:
         assert len(capped) == 0  # the only shared gram is in 12 > 8 docs
         uncapped = duplicate_span_pairs(ds, "doc_id", "text", max_docs_per_gram=64).to_pandas()
         assert len(uncapped) == 12 * 11 // 2 and (uncapped["n_shared"] >= 1).all()
+
+
+class TestChunkText:
+    @staticmethod
+    def _reference(texts, size, overlap=0):
+        """Plain-Python chunker: minimal covering windows every
+        (size - overlap) codepoints; empty/None → one empty chunk."""
+        stride = size - overlap
+        out = []
+        for i, t in enumerate(texts):
+            t = t or ""
+            n = max(1, -(-max(len(t) - overlap, 0) // stride))
+            for k in range(n):
+                out.append((i, k, n, t[k * stride : k * stride + size]))
+        return out
+
+    def _run(self, texts, size, overlap=0, parts=4):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.chunk import chunk_text
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        got = (
+            chunk_text(rd.from_pandas(df).repartition(parts), "doc_id", "text",
+                       size=size, overlap=overlap)
+            .to_pandas().sort_values(["doc_id", "chunk_index"])
+        )
+        return [
+            (int(r.doc_id), int(r.chunk_index), int(r.total_chunks), r.chunk)
+            for r in got.itertuples()
+        ]
+
+    def test_matches_reference_disjoint(self, ray_session):
+        rng = np.random.default_rng(4)
+        texts = ["x" * int(n) for n in rng.integers(0, 50, size=30)]
+        texts[3] = ""          # empty → one empty chunk
+        texts[7] = "a" * 16    # exact multiple of size
+        assert self._run(texts, size=8) == self._reference(texts, 8)
+
+    def test_matches_reference_overlap(self, ray_session):
+        rng = np.random.default_rng(5)
+        texts = ["".join(map(chr, rng.integers(97, 123, size=int(n)))) for n in rng.integers(0, 60, size=25)]
+        assert self._run(texts, size=10, overlap=3) == self._reference(texts, 10, 3)
+
+    def test_codepoint_not_byte_slicing(self, ray_session):
+        texts = ["héllo wörld ünïcodé ✓" * 3, "日本語のテキストです" * 4]
+        got = self._run(texts, size=7)
+        assert got == self._reference(texts, 7)
+        # reassembling disjoint chunks restores the original text exactly
+        for i, t in enumerate(texts):
+            assert "".join(c for d, _, _, c in got if d == i) == t
+
+    def test_null_text_and_guards(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.chunk import chunk_text
+
+        df = pd.DataFrame({"doc_id": [0, 1], "text": [None, "abc"]})
+        got = chunk_text(rd.from_pandas(df), "doc_id", "text", size=2).to_pandas()
+        assert got[got.doc_id == 0].chunk.tolist() == [""]
+        assert got[got.doc_id == 1].chunk.tolist() == ["ab", "c"]
+        with _pytest.raises(ValueError):
+            chunk_text(rd.from_pandas(df), "doc_id", "text", size=0)
+        with _pytest.raises(ValueError):
+            chunk_text(rd.from_pandas(df), "doc_id", "text", size=4, overlap=4)
