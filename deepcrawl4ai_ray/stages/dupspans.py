@@ -88,33 +88,44 @@ def duplicate_span_pairs(
     # with ≥2 docs are rare, so the per-gram pair loop touches only the
     # collision tail, never the clean majority.
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        sizes = group.groupby("gh", sort=False)[id_col].size()
-        multi = sizes[sizes >= 2].index
-        if len(multi) == 0:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})
-        sub = group[group["gh"].isin(multi)]
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
+        )
+        gh = group["gh"].to_numpy()
+        ids = group[id_col].to_numpy()
+        order = np.lexsort((ids, gh))
+        gh, ids = gh[order], ids[order]
+        _, start, counts = np.unique(gh, return_index=True, return_counts=True)
         rows_a: List[np.ndarray] = []
         rows_b: List[np.ndarray] = []
-        for _, gr in sub.groupby("gh", sort=False):
-            ids = np.unique(gr[id_col].to_numpy())
-            if len(ids) < 2 or len(ids) > max_docs_per_gram:
-                continue
-            a, b = np.triu_indices(len(ids), k=1)
-            rows_a.append(ids[a])
-            rows_b.append(ids[b])
+        # count==2 grams (the overwhelming majority of collisions) are
+        # paired in one vectorized gather — no per-gram Python
+        two = start[counts == 2]
+        if two.size:
+            rows_a.append(ids[two])
+            rows_b.append(ids[two + 1])
+        # rare >2-doc grams (up to the boilerplate cap) loop
+        for j in np.where((counts > 2) & (counts <= max_docs_per_gram))[0]:
+            g_ids = ids[start[j] : start[j] + counts[j]]
+            a, b = np.triu_indices(len(g_ids), k=1)
+            rows_a.append(g_ids[a])
+            rows_b.append(g_ids[b])
         if not rows_a:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})
-        df = pd.DataFrame(
+            return empty
+        return pd.DataFrame(
             {"id_a": np.concatenate(rows_a), "id_b": np.concatenate(rows_b)}
         ).drop_duplicates()
-        return df
 
+    # materialize: the candidate set is tiny (pairs, not grams) and is
+    # consumed twice below (schema probe + join input) — without this the
+    # whole gram explode + bucket shuffle would re-execute from lineage
     cand = (
         grams.groupby("bk")
         .map_groups(bucket_pairs)
         .groupby(["id_a", "id_b"])
         .count()
         .drop_columns(["count()"])
+        .materialize()
     )
 
     if cand.schema() is None:  # no candidates at all (e.g. cap drops everything)
