@@ -60,6 +60,13 @@ def main(argv=None):
     t.add_argument("--out", required=True)
     t.add_argument("--poll-s", type=float, default=0.5)
     t.add_argument("--idle-limit", type=int, default=None, help="stop after N empty polls (default: forever)")
+    t.add_argument(
+        "--follow",
+        action="store_true",
+        help="keep tailing past a _COMPLETE marker (for crawls another "
+        "process may resume: a STALE marker from a previous stopped run "
+        "would otherwise end the tail immediately)",
+    )
 
     q = sub.add_parser("query", help="run a registered pipeline", parents=[common])
     q.add_argument("name")
@@ -116,7 +123,7 @@ def main(argv=None):
             args.out,
             poll_s=args.poll_s,
             stop_after_idle=args.idle_limit,
-            stop_on_complete=True,  # exit when the crawl publishes end-of-stream
+            stop_on_complete=not args.follow,  # default: exit on end-of-stream marker
         ):
             print(json.dumps(row), flush=True)
         return 0

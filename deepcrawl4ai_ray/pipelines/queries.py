@@ -969,7 +969,10 @@ def delta_novel_docs(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     split = (int(ds.max("doc_id")) + 1) // 2
-    fps = ds.map_batches(fp_batch, batch_format="pyarrow")
+    # materialize: the per-doc tokenize+fingerprint pass is consumed by
+    # BOTH filter branches (and the base side again inside bloom_semi_anti)
+    # — without this it re-executes from lineage per consumer
+    fps = ds.map_batches(fp_batch, batch_format="pyarrow").materialize()
     base = fps.filter(expr=f"doc_id < {split}").select_columns(["fp"])
     delta = fps.filter(expr=f"doc_id >= {split}")
     novel = bloom_semi_anti(delta, "fp", base, "fp", keep_in=False)
@@ -2703,7 +2706,10 @@ j AS (
 ),
 best AS (
   SELECT doc_id, base_id, jac,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jac DESC, base_id) AS rn
+         -- engine's minhash_lsh_pairs emits jac pre-rounded to 4dp, so the
+         -- argmax must order by the ROUNDED value or a rounded tie would
+         -- pick a different base_id than the engine's (jac desc, id asc)
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ROUND(jac, 4) DESC, base_id) AS rn
   FROM j
 )
 SELECT doc_id, base_id, ROUND(jac, 4) AS jac

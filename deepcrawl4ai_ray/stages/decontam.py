@@ -36,16 +36,25 @@ import ray.data
 from ..functions.hashing import token_hashes, tokens
 
 # fixed odd multipliers for positional window combination (uint64
-# wraparound dot product); seed is part of the operator spec
+# wraparound dot product); seed is part of the operator spec.  Built once
+# at import — callers hit this in per-document loops, so no per-call
+# RandomState construction.
 _MAX_N = 32
+_NGRAM_MULTS = (
+    (
+        np.random.RandomState(2027)
+        .randint(0, 2**63, size=_MAX_N, dtype=np.int64)
+        .astype(np.uint64)
+        << np.uint64(1)
+    )
+    | np.uint64(1)
+)
 
 
 def _ngram_mults(n: int) -> np.ndarray:
     if not 1 <= n <= _MAX_N:
         raise ValueError(f"n must be in [1, {_MAX_N}], got {n}")
-    rs = np.random.RandomState(2027)
-    m = rs.randint(0, 2**63, size=_MAX_N, dtype=np.int64).astype(np.uint64)
-    return ((m << np.uint64(1)) | np.uint64(1))[:n]
+    return _NGRAM_MULTS[:n]
 
 
 def ngram_window_hashes(h: np.ndarray, n: int) -> np.ndarray:

@@ -99,8 +99,9 @@ def duplicate_span_pairs(
         rows_a: List[np.ndarray] = []
         rows_b: List[np.ndarray] = []
         # count==2 grams (the overwhelming majority of collisions) are
-        # paired in one vectorized gather — no per-gram Python
-        two = start[counts == 2]
+        # paired in one vectorized gather — no per-gram Python; the
+        # boilerplate cap applies here too (a cap < 2 means "no pairs")
+        two = start[counts == 2] if max_docs_per_gram >= 2 else start[:0]
         if two.size:
             rows_a.append(ids[two])
             rows_b.append(ids[two + 1])

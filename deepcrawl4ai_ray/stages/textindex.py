@@ -159,10 +159,9 @@ def bm25_topk_indexed(
         return pd.DataFrame(
             {id_col: pd.Series(dtype="int64"), "bm25": pd.Series(dtype="float64")}
         )
-    idf = {
-        r["term"]: float(np.log((n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0))
-        for r in df_rows
-    }
+    from .textsearch import bm25_contrib, lucene_idf, merge_topk, partial_topk_order
+
+    idf = lucene_idf(n_docs, {r["term"]: r["df"] for r in df_rows})
     idf_ref = ray.put(idf)
 
     # distributed scoring: per-row contributions, doc-keyed sum (a doc's
@@ -174,7 +173,7 @@ def bm25_topk_indexed(
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
         widf = np.asarray([w[x] for x in t["term"].to_pylist()], dtype=np.float64)
-        s = widf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        s = bm25_contrib(tf, dl, widf, k1, b, avgdl)
         return pa.table(
             {
                 id_col: t[id_col].cast(pa.int64()),
@@ -193,7 +192,7 @@ def bm25_topk_indexed(
     def partial_topk(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sc = t["bm25"].to_numpy(zero_copy_only=False).astype(np.float64)
-        order = np.lexsort((ids, -np.round(sc, 4)))[: min(k, len(ids))]
+        order = partial_topk_order(ids, sc, k)
         return pa.table(
             {id_col: pa.array(ids[order], pa.int64()), "bm25": pa.array(sc[order], pa.float64())}
         )
@@ -201,8 +200,5 @@ def bm25_topk_indexed(
     parts = scored.map_batches(
         partial_topk, batch_format="pyarrow", batch_size=None
     ).to_pandas()
-    # identical output contract to textsearch.bm25_topk: scores rounded
-    # to 4dp, ordered (bm25 desc, id asc) with the same comparator
-    parts["bm25"] = parts["bm25"].round(4)
-    parts = parts.sort_values(["bm25", id_col], ascending=[False, True], kind="mergesort")
-    return parts.head(k).reset_index(drop=True)
+    # identical output contract to textsearch.bm25_topk (shared comparator)
+    return merge_topk(parts, id_col, "bm25", k)

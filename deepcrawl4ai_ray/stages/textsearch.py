@@ -45,6 +45,40 @@ from ..functions.hashing import tokens
 _SENTINEL = "\x00"
 
 
+# ---- BM25 kernel, shared with stages/textindex (the pytest-pinned
+# ``bm25_topk_indexed == bm25_topk`` equivalence is single-sourced here:
+# one idf variant, one per-row contribution formula, one merge comparator)
+
+
+def lucene_idf(n_docs: int, df_by_term: dict) -> dict:
+    """Lucene idf variant ln((N − df + ½)/(df + ½) + 1) per term."""
+    return {
+        t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
+        for t, d in df_by_term.items()
+    }
+
+
+def bm25_contrib(
+    tf: np.ndarray, dl: np.ndarray, widf: np.ndarray, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    """Per-(doc, term) BM25 contribution (Robertson/Sparck-Jones)."""
+    return widf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def partial_topk_order(ids: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the block-local top-k under the FINAL comparator
+    (round(score,4) desc, id asc) — same discipline as knn.brute_force_topk."""
+    return np.lexsort((ids, -np.round(scores, 4)))[: min(k, len(ids))]
+
+
+def merge_topk(parts: pd.DataFrame, id_col: str, score_col: str, k: int) -> pd.DataFrame:
+    """Merge block-local partials: 4dp-rounded scores, (score desc, id asc)."""
+    parts = parts.copy()
+    parts[score_col] = parts[score_col].round(4)
+    parts = parts.sort_values([score_col, id_col], ascending=[False, True], kind="mergesort")
+    return parts.head(k).reset_index(drop=True)
+
+
 def _batch_token_counts(
     texts: Sequence[str], ngram: int = 1
 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -128,16 +162,29 @@ def exact_top_tokens(
     theta_total = int(theta_row[0]["lb"]) if theta_row else 0
     non_sent = agg.map_batches(_sentinel_split(False), batch_format="pyarrow")
     top_lb = non_sent.sort("lb", descending=True).limit(k).take_all()
-    if not top_lb:
-        return ray.data.from_arrow(
-            pa.table({"tok": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
-        )
-    kth_lb = int(min(r["lb"] for r in top_lb)) if len(top_lb) >= k else 0
-    if theta_total >= kth_lb and kth_lb > 0:
-        raise ValueError(
-            f"exact top-{k} not provable: omission bound Θ={theta_total} ≥ "
-            f"k-th lower bound {kth_lb}; raise m (currently {m})"
-        )
+    if len(top_lb) < k:
+        # fewer than k tokens were ever emitted.  Exact only when nothing
+        # was ever omitted (Θ = 0 ⇒ the summaries ARE the full token set);
+        # with Θ > 0 an omitted-everywhere token (true count up to Θ)
+        # could belong in the top-k and no candidate check can find it.
+        if theta_total > 0:
+            raise ValueError(
+                f"exact top-{k} not provable: only {len(top_lb)} tokens "
+                f"emitted by the summaries but omission bound Θ={theta_total} > 0; "
+                f"raise m (currently {m})"
+            )
+        if not top_lb:
+            return ray.data.from_arrow(
+                pa.table({"tok": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+            )
+        kth_lb = 0  # Θ=0: every token is a candidate, recount is the full exact count
+    else:
+        kth_lb = int(min(r["lb"] for r in top_lb))
+        if theta_total >= kth_lb:
+            raise ValueError(
+                f"exact top-{k} not provable: omission bound Θ={theta_total} ≥ "
+                f"k-th lower bound {kth_lb}; raise m (currently {m})"
+            )
 
     def is_candidate(t: pa.Table) -> pa.Table:
         ub = pc.add(t["lb"], pa.scalar(theta_total, pa.int64()))
@@ -264,13 +311,21 @@ def bm25_topk(
         .aggregate(Count(alias_name="df"))
         .take_all()
     )
-    idf = {
-        r["term"]: float(np.log((n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0))
-        for r in df_rows
-    }
+    idf = lucene_idf(n_docs, {r["term"]: r["df"] for r in df_rows})
     idf_ref = ray.put(idf)
 
     def score_block(t: pa.Table) -> pa.Table:
+        # block-integrity guard: tf_stage appends its sentinel as the LAST
+        # row of every output, so a block ends at a batch boundary iff its
+        # last row is a sentinel.  If Ray sliced an oversized output
+        # mid-table (splitting one doc's rows across blocks), raise rather
+        # than score the doc as two partial sums.
+        if t.num_rows and t["term"][-1].as_py() != _SENTINEL:
+            raise ValueError(
+                "bm25_topk: a tf block was split mid-batch (doc rows "
+                "straddle a block boundary); lower map_batches batch_size "
+                "or raise DataContext.target_max_block_size"
+            )
         w = ray.get(idf_ref)
         dfr = t.to_pandas()
         dfr = dfr[dfr["term"] != _SENTINEL]
@@ -283,7 +338,7 @@ def bm25_topk(
         tf = dfr["tf"].to_numpy(dtype=np.float64)
         dl = dfr["dl"].to_numpy(dtype=np.float64)
         widf = dfr["term"].map(w).to_numpy(dtype=np.float64)
-        s = widf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        s = bm25_contrib(tf, dl, widf, k1, b, avgdl)
         out = (
             pd.DataFrame({id_col: dfr[id_col].to_numpy(), "s": s})
             .groupby(id_col, sort=True)["s"]
@@ -291,17 +346,13 @@ def bm25_topk(
         )
         ids = out.index.to_numpy(dtype=np.int64)
         sc = out.to_numpy(dtype=np.float64)
-        # block-local partial top-k with the FINAL comparator (4dp desc,
-        # id asc) — same discipline as knn.brute_force_topk
-        r = np.round(sc, 4)
-        order = np.lexsort((ids, -r))[: min(k, len(ids))]
+        order = partial_topk_order(ids, sc, k)
         return pa.table(
             {id_col: pa.array(ids[order], pa.int64()), "bm25": pa.array(sc[order], pa.float64())}
         )
 
     # batch_size=None → one call per materialized block, so every doc's
-    # rows (emitted contiguously by tf_stage) are scored together
+    # rows (emitted contiguously by tf_stage) are scored together; the
+    # sentinel guard above makes that invariant checked, not assumed
     parts = rows.map_batches(score_block, batch_format="pyarrow", batch_size=None).to_pandas()
-    parts["bm25"] = parts["bm25"].round(4)
-    parts = parts.sort_values(["bm25", id_col], ascending=[False, True], kind="mergesort")
-    return parts.head(k).reset_index(drop=True)
+    return merge_topk(parts, id_col, "bm25", k)

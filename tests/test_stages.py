@@ -656,6 +656,31 @@ class TestTextSearch:
         with _pytest.raises(ValueError, match="raise m"):
             exact_top_tokens(ds, "text", k=10, m=8).to_pandas()
 
+    def test_exact_top_tokens_uniform_counts_raise_not_empty(self, ray_session):
+        """Every batch token unique (count 1) with m tiny: summaries emit
+        ZERO tokens (keep = cnts > θ drops all), so nothing is provable —
+        must raise, never return an empty result for a non-empty corpus."""
+        import pytest as _pytest
+
+        from deepcrawl4ai_ray.stages.textsearch import exact_top_tokens
+
+        docs = [" ".join(f"w{i:04d}_{j}" for i in range(100)) for j in range(6)]
+        ds = _ds(pd.DataFrame({"text": docs})).repartition(3)
+        with _pytest.raises(ValueError, match="raise m"):
+            exact_top_tokens(ds, "text", k=10, m=8).to_pandas()
+
+    def test_exact_top_tokens_under_k_vocab_exact(self, ray_session):
+        """Corpus with fewer than k distinct tokens and m large enough
+        that nothing is ever omitted (Θ=0): returning the full vocab with
+        exact counts IS the exact top-k."""
+        from deepcrawl4ai_ray.stages.textsearch import exact_top_tokens
+
+        docs = ["a a b", "b c a", "a"]
+        ds = _ds(pd.DataFrame({"text": docs})).repartition(2)
+        got = exact_top_tokens(ds, "text", k=10, m=64).to_pandas()
+        assert list(map(tuple, got.itertuples(index=False))) == [
+            ("a", 4), ("b", 2), ("c", 1)]
+
     def test_bm25_matches_local_reference(self, ray_session):
         import math
         from collections import Counter

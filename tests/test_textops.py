@@ -317,6 +317,20 @@ class TestDupSpans:
         assert len(uncapped) == 12 * 11 // 2 and (uncapped["n_shared"] >= 1).all()
 
 
+    def test_cap_below_two_yields_no_pairs(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dupspans import duplicate_span_pairs
+
+        # two docs sharing one 13-gram: cap=1 (grams in >1 doc excluded)
+        # must suppress even the vectorized count==2 fast path
+        span = " ".join(f"s{i}" for i in range(13))
+        df = pd.DataFrame({"doc_id": [0, 1], "text": [span + " alpha", "beta " + span]})
+        ds = rd.from_pandas(df)
+        assert len(duplicate_span_pairs(ds, "doc_id", "text", max_docs_per_gram=1).to_pandas()) == 0
+        assert len(duplicate_span_pairs(ds, "doc_id", "text").to_pandas()) == 1
+
+
 class TestChunkText:
     @staticmethod
     def _reference(texts, size, overlap=0):
