@@ -2804,6 +2804,67 @@ FROM e ORDER BY doc_id, chunk_index
 """
 
 
+def crawl_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Incremental-recrawl diff (stages/snapshot): added / removed /
+    changed keys between two crawl snapshots.  The 'new' snapshot is
+    synthesized deterministically from documents: doc_id % 7 == 0
+    removed, % 10 == 0 (and not removed) perturbed (last word dropped),
+    and a copy at doc_id + 10M added for % 13 == 0.  Only slim
+    (key, md5) rows shuffle through the FULL OUTER bucketed join;
+    unchanged keys are dropped bucket-side."""
+    from ..stages.snapshot import snapshot_diff
+
+    old = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def make_new(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        kept = batch.filter(pa.array(ids % 7 != 0))
+        kids = kept["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [
+            " ".join(t.split(" ")[:-1]) if i % 10 == 0 else t
+            for i, t in zip(kids, kept["text"].to_pylist())
+        ]
+        added = batch.filter(pa.array(ids % 13 == 0))
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        kept["doc_id"].combine_chunks(),
+                        pc.add(added["doc_id"], 10_000_000).combine_chunks(),
+                    ]
+                ),
+                "text": pa.array(texts + added["text"].to_pylist(), pa.string()),
+            }
+        )
+
+    new = old.map_batches(make_new, batch_format="pyarrow")
+    out = snapshot_diff(old, new, "doc_id", "text").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 10 = 0
+              THEN array_to_string((string_split(text, ' '))[1:len(string_split(text, ' '))-1], ' ')
+              ELSE text END) AS h
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, md5(text) AS h
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h
+ORDER BY doc_id
+"""
+
+
 # per-source mixture weights (¼..1 by source index) — the "data recipe"
 # a pretraining run would configure; the SQL oracle is generated from
 # this same dict so engine and oracle can never drift.
@@ -2902,6 +2963,7 @@ QUERIES = {
     "mixture_sampled_docs": mixture_sampled_docs,
     "dup_span_pairs": dup_span_pairs,
     "chunked_docs": chunked_docs,
+    "crawl_snapshot_diff": crawl_snapshot_diff,
 }
 
 ORACLES = {
@@ -2967,6 +3029,7 @@ ORACLES = {
     "mixture_sampled_docs": _mixture_sql(),
     "dup_span_pairs": _DUP_SPANS_SQL,
     "chunked_docs": _CHUNKED_DOCS_SQL,
+    "crawl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

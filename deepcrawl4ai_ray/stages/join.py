@@ -226,8 +226,12 @@ def hash_join(
     """Partitioned hash join on a key column (explicit shuffle-once plan).
 
     Non-key column names of the two sides must be disjoint (rename
-    upstream).  ``how`` ∈ {inner, left}.
+    upstream).  ``how`` ∈ {inner, left, outer}; outer with ``on ==
+    right_on`` coalesces the key column across sides (pandas merge
+    semantics in every bucket).
     """
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how must be inner/left/outer, got {how!r}")
     right_on = right_on or on
     l_schema, r_schema = left.schema(), right.schema()
     l_cols = list(l_schema.names)
@@ -284,6 +288,12 @@ def hash_join(
                 t_arrow = r_types.get(c, l_types.get(c))
                 if t_arrow is not None and pa.types.is_integer(t_arrow) and m[c].dtype.kind == "f":
                     m[c] = m[c].astype("Int64")
-        return pa.Table.from_pandas(m, preserve_index=False)
+        # pin the Arrow schema: a group whose rows are all one side yields
+        # all-NaN object columns that from_pandas would otherwise infer as
+        # null-typed — unstable block schemas downstream (cf. asof.py fix)
+        schema = pa.schema(
+            [(c, l_types[c] if c in l_types else r_types[c]) for c in m.columns]
+        )
+        return pa.Table.from_pandas(m, preserve_index=False, schema=schema)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

@@ -41,6 +41,32 @@ class TestHashJoin:
         assert len(got) == 2
         assert got.loc[got.k == 1, "b"].isna().all()
 
+    def test_outer_join_matches_pandas_and_stable_schema(self):
+        """FULL OUTER: unmatched rows from BOTH sides survive with the key
+        coalesced, and string columns stay string-typed even in buckets
+        whose rows are all one side (no null-typed blocks)."""
+        from deepcrawl4ai_ray.stages.join import hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 3], "a": ["x", "y", "z"]})
+        right = pd.DataFrame({"k": [2, 3, 4, 5], "b": ["p", "q", "r", "s"]})
+        ds = hash_join(_ds(left), _ds(right), on="k", how="outer", num_buckets=8)
+        sch = dict(zip(ds.schema().names, ds.schema().types))
+        assert sch["a"] == pa.string() and sch["b"] == pa.string()
+        assert sch["k"] == pa.int64()
+        got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+        want = (
+            left.merge(right, on="k", how="outer").sort_values("k").reset_index(drop=True)
+        )
+        assert got["k"].tolist() == want["k"].tolist() == [1, 2, 3, 4, 5]
+        assert got["a"].fillna("-").tolist() == want["a"].fillna("-").tolist()
+        assert got["b"].fillna("-").tolist() == want["b"].fillna("-").tolist()
+
+    def test_how_validated(self):
+        from deepcrawl4ai_ray.stages.join import hash_join
+
+        with pytest.raises(ValueError, match="inner/left/outer"):
+            hash_join(_ds(pd.DataFrame({"k": [1]})), _ds(pd.DataFrame({"k": [1]})), on="k", how="cross")
+
     def test_chained_join_preserves_int_keys(self):
         """Regression: a join's output fed into ANOTHER join must keep
         int64 key dtype (the union null-padding used to promote keys to
@@ -828,3 +854,37 @@ class TestPageRank:
         ref = self._local_pr([("a", "b"), ("a", "c"), ("b", "c")], iters=2)
         for _, r in got.iterrows():
             assert abs(r["pr"] - ref[r["node"]]) < 1e-12
+
+
+class TestSnapshotDiff:
+    def test_added_removed_changed_unchanged(self, ray_session):
+        from deepcrawl4ai_ray.stages.snapshot import snapshot_diff
+
+        old = pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "text": ["same", "will change", "gone", "also same"]}
+        )
+        new = pd.DataFrame(
+            {"doc_id": [1, 2, 4, 9], "text": ["same", "CHANGED", "also same", "fresh"]}
+        )
+        got = (
+            snapshot_diff(_ds(old).repartition(2), _ds(new).repartition(3), "doc_id", "text")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(map(tuple, got.itertuples(index=False))) == [
+            (2, "changed"), (3, "removed"), (9, "added")]
+
+    def test_identical_snapshots_empty_delta(self, ray_session):
+        from deepcrawl4ai_ray.stages.snapshot import snapshot_diff
+
+        df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                           "text": [f"t{i}" for i in range(50)]})
+        out = snapshot_diff(_ds(df), _ds(df.copy()), "doc_id", "text").to_pandas()
+        assert len(out) == 0
+
+    def test_null_text_treated_as_empty(self, ray_session):
+        from deepcrawl4ai_ray.stages.snapshot import snapshot_diff
+
+        old = pd.DataFrame({"doc_id": [1, 2], "text": [None, ""]})
+        new = pd.DataFrame({"doc_id": [1, 2], "text": ["", None]})
+        out = snapshot_diff(_ds(old), _ds(new), "doc_id", "text").to_pandas()
+        assert len(out) == 0  # md5(None→"") == md5("")
