@@ -2890,6 +2890,65 @@ def _mixture_sql() -> str:
     return f"SELECT doc_id, source FROM documents WHERE {case} ORDER BY doc_id"
 
 
+def anchor_text_agg(sf_dir: str) -> pd.DataFrame:
+    """Anchor-text aggregation over the tiny-corpus link graph
+    (stages/anchors): per link TARGET, total anchor tokens, distinct
+    terms, and the dominant anchor term.  HTML never shuffles — pages
+    reduce to slim (dst, term, cnt) partials in map_batches; one
+    groupby sum + a per-target argmax.  The oracle reproduces the same
+    regex extraction (group 1 = href, group 2 = anchor text) and
+    resolution CASE that crawl_reachability already hash-pins."""
+    from ..sources.corpus import ensure
+    from ..stages.anchors import anchor_term_stats
+
+    corpus = ensure("tiny")
+    pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
+    df = anchor_term_stats(pages).to_pandas()
+    for c in ("n_anchor_tokens", "n_terms", "top_term_count"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("dst").reset_index(drop=True)
+
+
+def _anchor_sql() -> str:
+    from ..stages.anchors import ANCHOR_RE_SQL
+
+    rx = ANCHOR_RE_SQL.replace("'", "''")
+    return rf"""
+WITH pages AS (
+  SELECT url, decode(html) AS html,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+),
+raw AS (
+  SELECT p.host, pr[1] AS href, pr[2] AS anchor
+  FROM pages p, UNNEST(list_zip(
+      regexp_extract_all(p.html, '{rx}', 1),
+      regexp_extract_all(p.html, '{rx}', 2))) AS z(pr)
+),
+links AS (
+  SELECT CASE WHEN href LIKE 'http%' THEN href
+              WHEN href = '/' THEN 'https://' || host
+              ELSE 'https://' || host || href END AS dst,
+         anchor
+  FROM raw
+),
+terms AS (
+  SELECT dst, t.term
+  FROM links, UNNEST(regexp_extract_all(lower(anchor), '[a-z0-9]+')) AS t(term)
+),
+counts AS (SELECT dst, term, COUNT(*) AS cnt FROM terms GROUP BY dst, term),
+ranked AS (
+  SELECT dst, term, cnt,
+         ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, term) AS rn,
+         SUM(cnt) OVER (PARTITION BY dst) AS tot,
+         COUNT(*) OVER (PARTITION BY dst) AS nt
+  FROM counts)
+SELECT dst, CAST(tot AS BIGINT) AS n_anchor_tokens, CAST(nt AS BIGINT) AS n_terms,
+       term AS top_term, CAST(cnt AS BIGINT) AS top_term_count
+FROM ranked WHERE rn = 1 ORDER BY dst
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -2964,6 +3023,7 @@ QUERIES = {
     "dup_span_pairs": dup_span_pairs,
     "chunked_docs": chunked_docs,
     "crawl_snapshot_diff": crawl_snapshot_diff,
+    "anchor_text_agg": anchor_text_agg,
 }
 
 ORACLES = {
@@ -3030,6 +3090,7 @@ ORACLES = {
     "dup_span_pairs": _DUP_SPANS_SQL,
     "chunked_docs": _CHUNKED_DOCS_SQL,
     "crawl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "anchor_text_agg": _anchor_sql(),
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

@@ -397,3 +397,87 @@ class TestChunkText:
             chunk_text(rd.from_pandas(df), "doc_id", "text", size=0)
         with _pytest.raises(ValueError):
             chunk_text(rd.from_pandas(df), "doc_id", "text", size=4, overlap=4)
+
+
+class TestAnchorTextAgg:
+    """stages/anchors — anchor-text aggregation over the link graph."""
+
+    def test_pairs_extraction_and_resolution(self):
+        from deepcrawl4ai_ray.stages.anchors import anchor_term_pairs
+
+        html = (
+            '<a href="/about">About Us</a>'
+            "<a href='/'>home</a>"
+            '<a href="https://other.example/p/1">Cross Link 7</a>'
+            '<a href="mailto:x@y.z">mail me</a>'          # dropped scheme
+            '<a href="/p/2"></a>'                          # empty anchor → no terms
+        )
+        got = anchor_term_pairs(html, "https://h.example/p/0")
+        assert got == [
+            ("https://h.example/about", "about"),
+            ("https://h.example/about", "us"),
+            ("https://h.example", "home"),
+            ("https://other.example/p/1", "cross"),
+            ("https://other.example/p/1", "link"),
+            ("https://other.example/p/1", "7"),
+        ]
+
+    def test_stats_match_local_reference(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.anchors import anchor_term_pairs, anchor_term_stats
+
+        pages = [
+            ("https://a.x/p/0", '<a href="/p/1">alpha beta</a><a href="/p/1">alpha</a>'),
+            ("https://a.x/p/1", '<a href="/p/0">beta</a><a href="https://b.x/">gamma gamma</a>'),
+            ("https://b.x/p/0", '<a href="/">gamma delta</a>'),
+        ]
+        df = pd.DataFrame({"url": [u for u, _ in pages], "html": [h.encode() for _, h in pages]})
+        got = (
+            anchor_term_stats(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("dst")
+            .reset_index(drop=True)
+        )
+        # local reference: flat Counter over all (dst, term) pairs
+        from collections import Counter
+
+        ref: Counter = Counter()
+        for u, h in pages:
+            ref.update(anchor_term_pairs(h, u))
+        import itertools
+
+        rows = []
+        for dst, grp in itertools.groupby(sorted(ref.items()), key=lambda kv: kv[0][0]):
+            items = [(term, c) for (_, term), c in grp]
+            top = sorted(items, key=lambda tc: (-tc[1], tc[0]))[0]
+            rows.append((dst, sum(c for _, c in items), len(items), top[0], top[1]))
+        exp = pd.DataFrame(
+            rows, columns=["dst", "n_anchor_tokens", "n_terms", "top_term", "top_term_count"]
+        ).sort_values("dst").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"n_anchor_tokens": "int64", "n_terms": "int64", "top_term_count": "int64"}),
+            exp.astype({"n_anchor_tokens": "int64", "n_terms": "int64", "top_term_count": "int64"}),
+        )
+
+    def test_batch_partials_split_invariant(self, ray_session):
+        """Same result whether pages arrive in one batch or one per block."""
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.anchors import anchor_term_stats
+
+        df = pd.DataFrame(
+            {
+                "url": [f"https://h.x/p/{i}" for i in range(6)],
+                "html": [f'<a href="/p/0">same anchor text</a>'.encode() for _ in range(6)],
+            }
+        )
+        one = anchor_term_stats(rd.from_pandas(df)).to_pandas().sort_values("dst").reset_index(drop=True)
+        many = (
+            anchor_term_stats(rd.from_pandas(df).repartition(6))
+            .to_pandas()
+            .sort_values("dst")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(one, many)
+        assert one.loc[0, "n_anchor_tokens"] == 18  # 6 pages × 3 terms
