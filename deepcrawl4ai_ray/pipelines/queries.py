@@ -2949,6 +2949,38 @@ FROM ranked WHERE rn = 1 ORDER BY dst
 """
 
 
+def c4_cleaned_pages(sf_dir: str) -> pd.DataFrame:
+    """C4-style line-level cleaning over the tiny-corpus extracted text
+    (stages/c4filter): drop headings and lines under 5 words, drop docs
+    with fewer than 2 surviving lines; per doc report non-blank /kept
+    line counts and the md5 of the cleaned text.  Shuffle-free — one
+    vectorized map_batches pass."""
+    from ..sources.corpus import ensure
+    from ..stages.c4filter import c4_line_stats
+
+    corpus = ensure("tiny")
+    pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "text"])
+    df = c4_line_stats(pages, "url", "text", min_words=5, min_kept=2).to_pandas()
+    for c in ("n_lines", "n_kept"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("url").reset_index(drop=True)
+
+
+_C4_CLEAN_SQL = rf"""
+WITH pages AS (SELECT url, text FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')),
+l AS (
+  SELECT url,
+    length(list_filter(string_split(text, chr(10)),
+           x -> length(regexp_extract_all(x, '\S+')) > 0)) AS n_lines,
+    list_filter(string_split(text, chr(10)),
+           x -> length(regexp_extract_all(x, '\S+')) >= 5 AND NOT starts_with(x, '#')) AS kept
+  FROM pages)
+SELECT url, CAST(n_lines AS BIGINT) AS n_lines, CAST(length(kept) AS BIGINT) AS n_kept,
+       md5(list_aggregate(kept, 'string_agg', chr(10))) AS clean_md5
+FROM l WHERE length(kept) >= 2 ORDER BY url
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3024,6 +3056,7 @@ QUERIES = {
     "chunked_docs": chunked_docs,
     "crawl_snapshot_diff": crawl_snapshot_diff,
     "anchor_text_agg": anchor_text_agg,
+    "c4_cleaned_pages": c4_cleaned_pages,
 }
 
 ORACLES = {
@@ -3091,6 +3124,7 @@ ORACLES = {
     "chunked_docs": _CHUNKED_DOCS_SQL,
     "crawl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "anchor_text_agg": _anchor_sql(),
+    "c4_cleaned_pages": _C4_CLEAN_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

@@ -481,3 +481,48 @@ class TestAnchorTextAgg:
         )
         pd.testing.assert_frame_equal(one, many)
         assert one.loc[0, "n_anchor_tokens"] == 18  # 6 pages × 3 terms
+
+
+class TestC4LineFilter:
+    """stages/c4filter — C4-style line-level cleaning."""
+
+    def _run(self, texts, **kw):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.c4filter import c4_line_stats
+
+        df = pd.DataFrame({"url": [f"u{i}" for i in range(len(texts))], "text": texts})
+        out = c4_line_stats(rd.from_pandas(df), "url", "text", **kw).to_pandas()
+        return out.sort_values("url").reset_index(drop=True)
+
+    def test_rules_and_counts(self, ray_session):
+        import hashlib
+
+        texts = [
+            "# heading\n\none two three four five\n\nsix seven eight nine ten eleven",
+            "short line\n\n# another heading",            # nothing kept → dropped
+            "one two three four five\n\ntiny",            # 1 kept < min_kept → dropped
+        ]
+        got = self._run(texts, min_words=5, min_kept=2)
+        assert got.url.tolist() == ["u0"]
+        assert got.n_lines.tolist() == [3]     # heading is non-blank, counted
+        assert got.n_kept.tolist() == [2]
+        clean = "one two three four five\nsix seven eight nine ten eleven"
+        assert got.clean_md5.tolist() == [hashlib.md5(clean.encode()).hexdigest()]
+
+    def test_split_invariant_and_empty(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.c4filter import c4_line_stats
+
+        texts = ["a b c d e\nf g h i j k"] * 5 + ["", "   \n \n"]
+        df = pd.DataFrame({"url": [f"u{i}" for i in range(len(texts))], "text": texts})
+        one = c4_line_stats(rd.from_pandas(df)).to_pandas().sort_values("url").reset_index(drop=True)
+        many = (
+            c4_line_stats(rd.from_pandas(df).repartition(7))
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(one, many)
+        assert len(one) == 5  # blank docs dropped, no crash on empty blocks
