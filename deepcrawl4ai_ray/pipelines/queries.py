@@ -2981,6 +2981,51 @@ FROM l WHERE length(kept) >= 2 ORDER BY url
 """
 
 
+def cdx_host_lookup(sf_dir: str) -> pd.DataFrame:
+    """CDX-style SURT-sorted URL index (stages/cdx): build once (global
+    sort of the slim (url, warc_ts, surt) capture table + per-file
+    range manifest from parquet footers), then answer a host-prefix
+    lookup reading ONLY the manifest-intersecting files.  The index is
+    cached under /tmp keyed by the corpus generation (mtime+size), the
+    knn_ivf discipline."""
+    import hashlib
+    import shutil
+
+    from ..sources.corpus import ensure
+    from ..stages.cdx import build_cdx_index, cdx_prefix_lookup, surt_prefix_for_host
+
+    corpus = ensure("tiny")
+    import glob as _glob
+    import os as _os
+
+    pages_files = sorted(_glob.glob(f"{corpus}/pages/*.parquet"))
+    sig = "|".join(f"{f}:{_os.stat(f).st_mtime_ns}:{_os.stat(f).st_size}" for f in pages_files)
+    idx_dir = f"/tmp/dc4r_cdx_index/{hashlib.md5(sig.encode()).hexdigest()[:12]}"
+    done = f"{idx_dir}/_DONE"
+    if not _os.path.exists(done):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "warc_ts"])
+        build_cdx_index(pages, idx_dir, "url", keep_cols=["url", "warc_ts"])
+        open(done, "w").close()
+    out = cdx_prefix_lookup(idx_dir, surt_prefix_for_host("host-7.example")).to_pandas()
+    return out[["surt", "url", "warc_ts"]].sort_values("surt").reset_index(drop=True)
+
+
+_CDX_SQL = rf"""
+WITH pages AS (
+  SELECT url, warc_ts,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         coalesce(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), '') AS path
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+)
+SELECT array_to_string(list_reverse(string_split(host, '.')), ',') || ')' || path AS surt,
+       url, warc_ts
+FROM pages
+WHERE host = 'host-7.example'
+ORDER BY surt
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3057,6 +3102,7 @@ QUERIES = {
     "crawl_snapshot_diff": crawl_snapshot_diff,
     "anchor_text_agg": anchor_text_agg,
     "c4_cleaned_pages": c4_cleaned_pages,
+    "cdx_host_lookup": cdx_host_lookup,
 }
 
 ORACLES = {
@@ -3125,6 +3171,7 @@ ORACLES = {
     "crawl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "anchor_text_agg": _anchor_sql(),
     "c4_cleaned_pages": _C4_CLEAN_SQL,
+    "cdx_host_lookup": _CDX_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

@@ -1,0 +1,143 @@
+"""CDX-style SURT-sorted URL index — the web-archive lookup structure
+(Common Crawl / Wayback CDXJ convention): every captured URL keyed by
+its SURT form (reversed host labels + ")" + path), globally sorted, so
+that all captures of one host — or one host's path subtree — are a
+contiguous key range.  The reference keeps per-task Redis hashes for
+URL lookup (SURVEY §2 K1, api.py:400-406); at corpus scale the
+archive-standard answer is this sorted index.
+
+Build/query split (same discipline as stages/textindex and knn's IVF):
+
+- BUILD: one pass adds the surt key (vectorized string ops), a global
+  ``ds.sort("surt")`` range-partitions the corpus (the one wide step,
+  amortized over every later lookup), files are written sorted, and a
+  tiny MANIFEST of per-file [min, max] surt ranges is derived from the
+  parquet footers — metadata only, no data re-read.
+- QUERY: a prefix lookup consults the manifest (KB-sized, driver-side
+  by design) and reads ONLY the files whose range intersects the
+  prefix interval, with the exact ``starts_with`` filter applied
+  per batch.  Lookup cost is O(result + one file) independent of
+  corpus size.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def surt_key(url: str) -> str:
+    """URL → SURT key: ``scheme://a.b.c/path`` → ``c,b,a)/path``.
+    The ")" terminator keeps host prefixes exact: ``example,host-7)``
+    never matches ``example,host-70)...``.  Scheme is dropped (archive
+    convention: http/https collapse)."""
+    _, sep, rest = url.partition("://")
+    if not sep:
+        rest = url
+    host, slash, path = rest.partition("/")
+    rev = ",".join(reversed(host.split(".")))
+    return rev + ")" + (("/" + path) if slash else "")
+
+
+def surt_prefix_for_host(host: str) -> str:
+    """The SURT prefix covering every URL of ``host`` (exact-host
+    match, subdomains excluded — they sort under a longer prefix)."""
+    return ",".join(reversed(host.split("."))) + ")"
+
+
+def make_surt_fn(url_col: str = "url"):
+    def fn(batch: pa.Table) -> pa.Table:
+        surts = [surt_key(u) for u in batch[url_col].to_pylist()]
+        return batch.append_column("surt", pa.array(surts, pa.string()))
+
+    return fn
+
+
+def build_cdx_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    url_col: str = "url",
+    keep_cols: List[str] | None = None,
+) -> str:
+    """Sort the (slim) capture table by surt and persist it with a
+    per-file range manifest.  Pass only the lookup columns in
+    ``keep_cols`` (url + timestamps/digests) — never page payloads."""
+    cols = keep_cols or [url_col]
+    slim = ds.select_columns(cols).map_batches(make_surt_fn(url_col), batch_format="pyarrow")
+    out = os.path.join(index_dir, "captures")
+    slim.sort("surt").write_parquet(out)
+
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    lo: List[str] = []
+    hi: List[str] = []
+    keep: List[str] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        si = next(i for i in range(md.num_columns) if md.schema.column(i).name == "surt")
+        mins = [md.row_group(g).column(si).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(si).statistics.max for g in range(md.num_row_groups)]
+        keep.append(f)
+        lo.append(min(mins))
+        hi.append(max(maxs))
+    pq.write_table(
+        pa.table(
+            {
+                "file": pa.array(keep, pa.string()),
+                "lo": pa.array(lo, pa.string()),
+                "hi": pa.array(hi, pa.string()),
+            }
+        ),
+        os.path.join(index_dir, "manifest.parquet"),
+    )
+    return index_dir
+
+
+def cdx_prefix_lookup(index_dir: str, prefix: str) -> "ray.data.Dataset":
+    """All captures whose surt starts with ``prefix`` → Dataset, read
+    from only the manifest-intersecting files.  The exclusive upper
+    bound is prefix with its last codepoint incremented (standard
+    prefix-interval trick)."""
+    if not prefix:
+        raise ValueError("empty prefix would scan the whole index")
+    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    man = pq.read_table(os.path.join(index_dir, "manifest.parquet"))
+    files = [
+        f
+        for f, lo, hi in zip(
+            man["file"].to_pylist(), man["lo"].to_pylist(), man["hi"].to_pylist()
+        )
+        if lo < upper and hi >= prefix
+    ]
+    import ray.data as rd
+
+    if not files:
+        schema = pq.ParquetFile(man["file"][0].as_py()).schema_arrow
+        return rd.from_arrow(schema.empty_table())
+    pref = pa.scalar(prefix, pa.string())
+    return rd.read_parquet(files).map_batches(
+        lambda t: t.filter(pc.starts_with(t["surt"], pattern=prefix)),
+        batch_format="pyarrow",
+    )
+
+
+def cdx_files_for_prefix(index_dir: str, prefix: str) -> tuple:
+    """(files that a prefix lookup reads, total files) — the pruning
+    evidence hook used by tests and bench."""
+    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    man = pq.read_table(os.path.join(index_dir, "manifest.parquet"))
+    total = man.num_rows
+    n = sum(
+        1
+        for lo, hi in zip(man["lo"].to_pylist(), man["hi"].to_pylist())
+        if lo < upper and hi >= prefix
+    )
+    return n, total

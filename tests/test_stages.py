@@ -888,3 +888,58 @@ class TestSnapshotDiff:
         new = pd.DataFrame({"doc_id": [1, 2], "text": ["", None]})
         out = snapshot_diff(_ds(old), _ds(new), "doc_id", "text").to_pandas()
         assert len(out) == 0  # md5(None→"") == md5("")
+
+
+class TestCdxIndex:
+    """stages/cdx — SURT-sorted capture index with manifest pruning."""
+
+    def test_surt_key_forms(self):
+        from deepcrawl4ai_ray.stages.cdx import surt_key, surt_prefix_for_host
+
+        assert surt_key("https://a.b.example/p/1") == "example,b,a)/p/1"
+        assert surt_key("https://host.example") == "example,host)"
+        assert surt_key("http://h.x/") == "x,h)/"
+        # the ')' terminator keeps host prefixes exact
+        assert surt_key("https://host-70.example/p/0").startswith("example,host-70)")
+        assert not surt_key("https://host-70.example/p/0").startswith(
+            surt_prefix_for_host("host-7.example")
+        )
+
+    def test_lookup_matches_brute_force_and_prunes(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.cdx import (
+            build_cdx_index,
+            cdx_files_for_prefix,
+            cdx_prefix_lookup,
+            surt_key,
+            surt_prefix_for_host,
+        )
+
+        hosts = [f"h{i}.example" for i in range(40)]
+        urls = [f"https://{h}/p/{j}" for h in hosts for j in range(25)]
+        df = pd.DataFrame({"url": urls, "warc_ts": range(len(urls))})
+        idx = str(tmp_path / "cdx")
+        build_cdx_index(rd.from_pandas(df).repartition(16), idx, "url")
+
+        prefix = surt_prefix_for_host("h7.example")
+        got = sorted(cdx_prefix_lookup(idx, prefix).to_pandas()["url"])
+        exp = sorted(u for u in urls if surt_key(u).startswith(prefix))
+        assert got == exp and len(got) == 25
+        # h7 must not swallow h70-like hosts (none here) nor vice versa;
+        # and the manifest must prune: one host's range lives in few files
+        n, total = cdx_files_for_prefix(idx, prefix)
+        assert total >= 8 and n <= 2
+
+        # miss path: unknown host → empty, zero or one file touched
+        miss = cdx_prefix_lookup(idx, surt_prefix_for_host("zz.nowhere"))
+        assert miss.count() == 0
+
+    def test_empty_prefix_guard(self, tmp_path):
+        import pytest as _pytest
+
+        from deepcrawl4ai_ray.stages.cdx import cdx_prefix_lookup
+
+        with _pytest.raises(ValueError):
+            cdx_prefix_lookup(str(tmp_path), "")
