@@ -3026,6 +3026,43 @@ ORDER BY surt
 """
 
 
+def temperature_lang_sample(sf_dir: str) -> pd.DataFrame:
+    """Temperature-balanced language sampling (stages/sample
+    .temperature_sample, the mT5/XLM-R T=2 rule): per-lang targets
+    c_g = floor(frac·N·q_g) with q_g ∝ sqrt(p_g), drawn by the
+    deterministic md5-order pick.  Head languages are down-sampled,
+    tail languages kept — the multilingual-balance step of a
+    pretraining recipe."""
+    from ..stages.sample import temperature_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = temperature_sample(ds, "lang", "doc_id", frac=0.5).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_TEMPERATURE_SQL = """
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n) * 1.0 AS nt FROM cnt),
+qq AS (
+  SELECT lang, n,
+         ROUND(sqrt(n / (SELECT nt FROM tot))
+               / SUM(sqrt(n / (SELECT nt FROM tot))) OVER (), 12) AS q
+  FROM cnt),
+tgt AS (
+  SELECT lang, LEAST(n, CAST(floor(0.5 * (SELECT nt FROM tot) * q) AS BIGINT)) AS c
+  FROM qq),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN tgt t ON t.lang = r.lang
+WHERE r.rn <= t.c ORDER BY r.doc_id
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3103,6 +3140,7 @@ QUERIES = {
     "anchor_text_agg": anchor_text_agg,
     "c4_cleaned_pages": c4_cleaned_pages,
     "cdx_host_lookup": cdx_host_lookup,
+    "temperature_lang_sample": temperature_lang_sample,
 }
 
 ORACLES = {
@@ -3172,6 +3210,7 @@ ORACLES = {
     "anchor_text_agg": _anchor_sql(),
     "c4_cleaned_pages": _C4_CLEAN_SQL,
     "cdx_host_lookup": _CDX_SQL,
+    "temperature_lang_sample": _TEMPERATURE_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

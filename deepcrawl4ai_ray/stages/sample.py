@@ -124,3 +124,91 @@ def mixture_sample_sql_case(
     dthr = mixture_rate_thresholds({"_": default_rate})["_"]
     default = "TRUE" if dthr is None else f"{key} < '{dthr}'"
     return "CASE " + " ".join(arms) + f" ELSE {default} END"
+
+
+def temperature_targets(counts: dict, frac: float, tau: float = 2.0) -> dict:
+    """Per-group EXACT sample-size targets for temperature-balanced
+    sampling (the mT5/XLM-R corpus-balancing rule with T=2, i.e.
+    q_g ∝ sqrt(p_g)): c_g = floor(frac · N · q_g), capped at the group
+    size.  Only sqrt/divide/floor so the SQL oracle reproduces the same
+    integers bit-for-bit (IEEE sqrt is correctly rounded; q is rounded
+    to 12 dp in both before the floor to absorb summation-order ulps).
+    Only tau=2.0 is supported — general tau needs pow(), whose last-ulp
+    rounding differs across libms and would make the oracle flaky."""
+    if tau != 2.0:
+        raise NotImplementedError("only tau=2.0 (sqrt scaling) is oracle-reproducible")
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0,1], got {frac}")
+    n_total = float(sum(counts.values()))
+    if n_total == 0:
+        return {g: 0 for g in counts}
+    roots = {g: float(np.sqrt(n / n_total)) for g, n in counts.items()}
+    denom = sum(roots[g] for g in sorted(roots))
+    out = {}
+    for g, n in counts.items():
+        q = round(roots[g] / denom, 12)
+        out[g] = min(int(n), int(np.floor(frac * n_total * q)))
+    return out
+
+
+def stratified_targets_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    targets: dict,
+    keep_cols: Optional[List[str]] = None,
+) -> "ray.data.Dataset":
+    """stratified_sample with a PER-GROUP target count: group g keeps
+    its targets[g] smallest rows by (md5(id), id); groups absent from
+    ``targets`` are dropped.  The targets dict (one int per group — the
+    group vocabulary, KBs) is broadcast once via ray.put; the per-batch
+    prune bounds the shuffle at O(Σ targets · blocks)."""
+    import ray as _ray
+
+    cols = keep_cols or [group_col, id_col]
+    if group_col not in cols or id_col not in cols:
+        raise ValueError(f"keep_cols must include {group_col!r} and {id_col!r}")
+    tref = _ray.put({g: int(n) for g, n in targets.items()})
+
+    def prune(batch: pa.Table) -> pa.Table:
+        tgt = _ray.get(tref)
+        df = batch.select(cols).to_pandas()
+        df = df[df[group_col].map(lambda g: tgt.get(g, 0) > 0)]
+        if df.empty:
+            return pa.Table.from_pandas(df.assign(_rk=pd.Series(dtype=object)), preserve_index=False)
+        df["_rk"] = _rank_key(df[id_col].to_numpy())
+        df = df.sort_values(["_rk", id_col], kind="mergesort")
+        df = df.groupby(group_col, sort=False, group_keys=False).apply(
+            lambda g: g.head(tgt[g.name])
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        tgt = _ray.get(tref)
+        n = tgt.get(group[group_col].iloc[0], 0)
+        g = group.sort_values(["_rk", id_col], kind="mergesort").head(n)
+        return g.drop(columns=["_rk"])
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.groupby(group_col).map_groups(pick)
+
+
+def temperature_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    frac: float,
+    keep_cols: Optional[List[str]] = None,
+) -> "ray.data.Dataset":
+    """Temperature-balanced corpus sampling: one small groupby derives
+    the group sizes (K rows — the group vocabulary, driver-held by
+    design), temperature_targets turns them into exact per-group sample
+    sizes (low-resource groups up-weighted, head groups down-weighted),
+    and the deterministic md5-order pick draws them.  Two wide ops
+    total: the counting groupby and the pruned selection groupby."""
+    from ray.data.aggregate import Count
+
+    cnt_rows = ds.groupby(group_col).aggregate(Count(alias_name="n")).take_all()
+    counts = {r[group_col]: int(r["n"]) for r in cnt_rows}
+    targets = temperature_targets(counts, frac)
+    return stratified_targets_sample(ds, group_col, id_col, targets, keep_cols)

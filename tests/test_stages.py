@@ -943,3 +943,54 @@ class TestCdxIndex:
 
         with _pytest.raises(ValueError):
             cdx_prefix_lookup(str(tmp_path), "")
+
+
+class TestTemperatureSample:
+    """stages/sample — temperature-balanced (T=2) group sampling."""
+
+    def test_targets_upweight_tail_and_cap(self):
+        import numpy as np
+
+        from deepcrawl4ai_ray.stages.sample import temperature_targets
+
+        counts = {"en": 9000, "el": 100, "zh": 900}
+        tgt = temperature_targets(counts, frac=0.1)
+        # totals bounded by frac·N (floor can undershoot slightly)
+        assert sum(tgt.values()) <= 0.1 * sum(counts.values())
+        # effective keep-rate must be monotonically higher for rarer groups
+        rates = {g: tgt[g] / counts[g] for g in counts}
+        assert rates["el"] > rates["zh"] > rates["en"]
+        # cap: a tiny group can never exceed its size
+        tgt2 = temperature_targets({"a": 2, "b": 100000}, frac=1.0)
+        assert tgt2["a"] <= 2
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            temperature_targets(counts, frac=0.5, tau=3.0)
+        with _pytest.raises(ValueError):
+            temperature_targets(counts, frac=0.0)
+
+    def test_split_invariant_and_exact_counts(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.sample import temperature_sample, temperature_targets
+
+        df = pd.DataFrame(
+            {
+                "doc_id": range(1300),
+                "lang": ["en"] * 1000 + ["de"] * 250 + ["el"] * 50,
+            }
+        )
+        one = temperature_sample(rd.from_pandas(df), "lang", "doc_id", 0.4).to_pandas()
+        many = temperature_sample(
+            rd.from_pandas(df).repartition(9), "lang", "doc_id", 0.4
+        ).to_pandas()
+        key = ["doc_id", "lang"]
+        pd.testing.assert_frame_equal(
+            one.sort_values(key).reset_index(drop=True)[key],
+            many.sort_values(key).reset_index(drop=True)[key],
+        )
+        tgt = temperature_targets({"en": 1000, "de": 250, "el": 50}, 0.4)
+        got = one.groupby("lang").size().to_dict()
+        assert got == {g: n for g, n in tgt.items() if n > 0}
