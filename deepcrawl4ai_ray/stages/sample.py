@@ -175,7 +175,10 @@ def stratified_targets_sample(
         df = batch.select(cols).to_pandas()
         df = df[df[group_col].map(lambda g: tgt.get(g, 0) > 0)]
         if df.empty:
-            return pa.Table.from_pandas(df.assign(_rk=pd.Series(dtype=object)), preserve_index=False)
+            # pin _rk to string so empty blocks carry the same Arrow
+            # schema as populated ones (no null-typed column drift)
+            empty = pa.Table.from_pandas(df, preserve_index=False)
+            return empty.append_column("_rk", pa.array([], pa.string()))
         df["_rk"] = _rank_key(df[id_col].to_numpy())
         df = df.sort_values(["_rk", id_col], kind="mergesort")
         df = df.groupby(group_col, sort=False, group_keys=False).apply(
