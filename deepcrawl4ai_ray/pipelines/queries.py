@@ -1462,7 +1462,7 @@ def embedding_near_dup_pairs(sf_dir: str) -> "rd.Dataset":
     aug = ds.map_batches(widen, batch_format="pyarrow").union(
         ds.map_batches(plant, batch_format="pyarrow")
     )
-    return srp_near_dup_pairs(aug, "vec_id", "embedding", threshold=0.95, prune_payload=True)
+    return srp_near_dup_pairs(aug, "vec_id", "embedding", threshold=0.95, payload_mode="auto")
 
 
 _EMB_NEAR_DUP_SQL = """
@@ -1521,9 +1521,10 @@ def minhash_near_dups(sf_dir: str) -> "rd.Dataset":
         bands=16,
         k=3,
         verify="exact",
-        # candidates ≪ docs here, so the bloom-pruned payload join wins:
-        # measured 16.5 s → 6.9 s at sf0.1/32 cpus (identical output)
-        prune_payload=True,
+        # candidates ≪ docs here: auto picks the broadcast verify path
+        # (zero join shuffles; join-path bloom prune measured 16.5 s →
+        # 6.9 s, broadcast cuts the two remaining join sorts too)
+        payload_mode="auto",
     )
 
 
@@ -2644,7 +2645,7 @@ def delta_near_dup_docs(sf_dir: str) -> pd.DataFrame:
         bands=16,
         k=3,
         verify="exact",
-        prune_payload=True,
+        payload_mode="auto",
     )
 
     def cross_only(batch: pa.Table) -> pa.Table:

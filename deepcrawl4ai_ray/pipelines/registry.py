@@ -226,7 +226,7 @@ def _dedup_exact(ds, id_col: str, text_col: str = "text", num_buckets: int = 16)
 
 
 @register("near_dup_pairs")
-def _near_dup_pairs(ds, id_col: str, text_col: str = "text", threshold: float = 0.9, prune_payload: bool = False):
+def _near_dup_pairs(ds, id_col: str, text_col: str = "text", threshold: float = 0.9, payload_mode: str = "join"):
     """MinHash+LSH near-dup pairs with exact in-verify Jaccard — the
     dedup family as a declarative step.  TERMINAL-shaped: replaces the
     stream with Dataset(id_a, id_b, jac) (pairs stay distributed; sink
@@ -234,7 +234,7 @@ def _near_dup_pairs(ds, id_col: str, text_col: str = "text", threshold: float = 
     from ..stages.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        ds, id_col, text_col, threshold=threshold, verify="exact", prune_payload=prune_payload
+        ds, id_col, text_col, threshold=threshold, verify="exact", payload_mode=payload_mode
     )
 
 

@@ -81,31 +81,103 @@ def _dedup_pairs(pairs: "ray.data.Dataset", schema: pa.Schema, val_col: str | No
     return g.aggregate(Min(val_col, alias_name=val_col))
 
 
+#: auto mode broadcasts when the deduped pair set is at most this many
+#: pairs (≈2× as many endpoint payloads through ray.put); above it, the
+#: bloom-pruned join path runs.  2e5 pairs × ~1 KB payloads ≈ 400 MB of
+#: object store — comfortably broadcastable on one node, far below what
+#: two extra all-to-all joins would move.
+_BROADCAST_MAX_PAIRS = 200_000
+
+
+def _broadcast_payload(
+    pairs: "ray.data.Dataset",
+    payload: "ray.data.Dataset",
+    id_col: str,
+    pay_col: str,
+) -> "ray.data.Dataset":
+    """Small-pairs fast path: the candidate endpoint set is collected
+    (bounded by the caller's auto guard), the payload table is filtered
+    to those ids in one scan, and the surviving payload rows are
+    broadcast once via ``ray.put`` — verify then runs map-side with NO
+    join shuffle at all.  Eliminates the two bucketed-join sorts whose
+    fixed all-to-all launch cost dominates when candidates are rare
+    (the common case for near-dup detection: measured 2×+ on the bench
+    corpus).  Byte-identical to the join paths (tested)."""
+    import ray as _ray
+
+    from .join import _BCAST_CACHE
+
+    pairs = pairs.materialize()
+    ends: set = set()
+    for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(batch_format="pyarrow"):
+        ends.update(b["id_a"].to_pylist())
+        ends.update(b["id_b"].to_pylist())
+    idset = pa.array(sorted(int(x) for x in ends), pa.int64())
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=idset))
+
+    rows = payload.map_batches(keep, batch_format="pyarrow").to_pandas()
+    lut_ref = _ray.put(
+        dict(zip((int(x) for x in rows[id_col]), rows[pay_col]))
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        lut = _BCAST_CACHE.get(("paylut", lut_ref.hex()))
+        if lut is None:
+            lut = _ray.get(lut_ref)
+            _BCAST_CACHE[("paylut", lut_ref.hex())] = lut
+        ia = t["id_a"].to_pylist()
+        ib = t["id_b"].to_pylist()
+        return t.append_column(
+            f"{pay_col}_a", pa.array([lut[int(x)] for x in ia], pa.binary())
+        ).append_column(f"{pay_col}_b", pa.array([lut[int(x)] for x in ib], pa.binary()))
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
+
+
 def _join_payload(
     pairs: "ray.data.Dataset",
     payload: "ray.data.Dataset",
     id_col: str,
     pay_col: str,
     num_buckets: int,
-    prune: bool = False,
+    mode: str = "join",
 ):
-    """Attach a per-doc payload to BOTH pair endpoints via two bucketed
-    hash joins: (id_a, id_b) ⋈ (id_a, <pay>_a) ⋈ (id_b, <pay>_b).
-    Payload bytes are shipped once per doc — not once per (doc, band) as
-    an inline-verify would.
+    """Attach a per-doc payload to BOTH pair endpoints.
 
-    ``prune=True`` (the corpus-scale path): a Bloom filter over the
-    candidate endpoint ids (built distributed, tree-reduce-merged, never
-    O(ids) on the driver) pre-filters the payload table BEFORE the join
-    shuffle, so payload bytes move only for ~candidates×(1+FPR) docs
-    instead of every doc.  Bloom false positives merely ship a few extra
-    payload rows — the inner joins against the exact pair set drop them,
-    so the output is byte-identical (tested).  Costs two extra pipeline
-    executions (pairs materialize + bloom build); enable when payload
-    bytes ≫ candidate set, i.e. at real corpus scale."""
+    ``mode``:
+      "join":      two bucketed hash joins, (id_a, id_b) ⋈ (id_a,
+                   <pay>_a) ⋈ (id_b, <pay>_b) — payload bytes shipped
+                   once per doc, not once per (doc, band) as an
+                   inline-verify would.
+      "prune":     the corpus-scale path — a Bloom filter over the
+                   candidate endpoint ids (built distributed,
+                   tree-reduce-merged, never O(ids) on the driver)
+                   pre-filters the payload table BEFORE the join
+                   shuffle, so payload bytes move only for
+                   ~candidates×(1+FPR) docs instead of every doc.
+                   Bloom false positives merely ship a few extra
+                   payload rows — the inner joins against the exact
+                   pair set drop them, so output is byte-identical
+                   (tested).  Costs two extra pipeline executions.
+      "broadcast": the small-pairs fast path (see _broadcast_payload) —
+                   zero join shuffles; only valid when the pair set is
+                   genuinely small.
+      "auto":      count the (materialized) pairs and pick broadcast
+                   vs prune at _BROADCAST_MAX_PAIRS.
+    """
     from ..state.bloom import BloomFilter
     from .join import _BCAST_CACHE, _hash_col, build_bloom_bytes, hash_join
 
+    if mode not in ("join", "prune", "broadcast", "auto"):
+        raise ValueError(f"unknown payload mode {mode!r}")
+    if mode == "auto":
+        pairs = pairs.materialize()
+        mode = "broadcast" if pairs.count() <= _BROADCAST_MAX_PAIRS else "prune"
+    if mode == "broadcast":
+        return _broadcast_payload(pairs, payload, id_col, pay_col)
+    prune = mode == "prune"
     if prune:
         pairs = pairs.materialize()
         ends = pairs.map_batches(
@@ -243,7 +315,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     verify: str = "sig",
     num_buckets: int = 32,
-    prune_payload: bool = False,
+    payload_mode: str = "join",
 ) -> "ray.data.Dataset":
     """Near-dup pairs from LSH band candidates → Dataset(id_a, id_b, val)
     with id_a < id_b, deduped across bands distributively (the pair set
@@ -291,7 +363,7 @@ def minhash_lsh_pairs(
             cand, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]), val_col=None
         )
         sh = ds.map_batches(shingle_sets_stage(id_col, text_col, k), batch_format="pyarrow")
-        joined = _join_payload(uniq, sh, id_col, "sh", num_buckets=16, prune=prune_payload)
+        joined = _join_payload(uniq, sh, id_col, "sh", num_buckets=16, mode=payload_mode)
 
         def verify_batch(t: pa.Table) -> pa.Table:
             n = len(t)
@@ -723,7 +795,7 @@ def srp_near_dup_pairs(
     rbits: int = 6,
     seed: int = 42,
     num_buckets: int = 32,
-    prune_payload: bool = False,
+    payload_mode: str = "join",
 ) -> "ray.data.Dataset":
     """Cosine near-dup pairs → Dataset(id_a, id_b, cos_sim) with
     id_a < id_b and round(cos,4) ≥ threshold; the exact comparator is
@@ -775,7 +847,7 @@ def srp_near_dup_pairs(
         )
 
     vecs = ds.map_batches(vec_table, batch_format="pyarrow")
-    joined = _join_payload(uniq, vecs, id_col, "vecb", num_buckets=16, prune=prune_payload)
+    joined = _join_payload(uniq, vecs, id_col, "vecb", num_buckets=16, mode=payload_mode)
 
     def verify_batch(t: pa.Table) -> pa.Table:
         n = len(t)

@@ -258,29 +258,32 @@ class TestDedup:
             texts.append(" ".join(base[i].split(" ")[:-1]))
         return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "text": texts})
 
-    def test_minhash_prune_payload_identical(self):
-        """The bloom-pruned payload join (corpus-scale path) must return
-        byte-identical pairs to the unpruned join — bloom FPs only ship
-        extra payload rows, the inner joins drop them."""
+    def test_minhash_payload_modes_identical(self):
+        """All payload paths — plain join, bloom-pruned join
+        (corpus-scale), broadcast (small-pairs), and auto — must return
+        byte-identical pairs: bloom FPs only ship extra payload rows
+        (the inner joins drop them), and broadcast attaches the same
+        bytes map-side."""
         from deepcrawl4ai_ray.stages.dedup import minhash_lsh_pairs
 
         docs = self._dup_corpus()
 
-        def run(prune):
+        def run(mode):
             return (
                 minhash_lsh_pairs(
-                    _ds(docs), "doc_id", "text", threshold=0.9, verify="exact", prune_payload=prune
+                    _ds(docs), "doc_id", "text", threshold=0.9, verify="exact", payload_mode=mode
                 )
                 .to_pandas()
                 .sort_values(["id_a", "id_b"])
                 .reset_index(drop=True)
             )
 
-        a, b = run(False), run(True)
+        a = run("join")
         assert len(a) >= 20  # the plant produced real pairs
-        pd.testing.assert_frame_equal(a, b)
+        for mode in ("prune", "broadcast", "auto"):
+            pd.testing.assert_frame_equal(a, run(mode))
 
-    def test_srp_prune_payload_identical(self):
+    def test_srp_payload_modes_identical(self):
         from deepcrawl4ai_ray.stages.dedup import srp_near_dup_pairs
 
         rng = np.random.RandomState(11)
@@ -290,17 +293,18 @@ class TestDedup:
         ids = np.concatenate([np.arange(80), 1000 + np.arange(0, 80, 8)]).astype(np.int64)
         df = pd.DataFrame({"vec_id": ids, "embedding": list(np.vstack([V, dups]))})
 
-        def run(prune):
+        def run(mode):
             return (
-                srp_near_dup_pairs(_ds(df), "vec_id", "embedding", threshold=0.95, prune_payload=prune)
+                srp_near_dup_pairs(_ds(df), "vec_id", "embedding", threshold=0.95, payload_mode=mode)
                 .to_pandas()
                 .sort_values(["id_a", "id_b"])
                 .reset_index(drop=True)
             )
 
-        a, b = run(False), run(True)
+        a = run("join")
         assert len(a) >= 5
-        pd.testing.assert_frame_equal(a, b)
+        for mode in ("prune", "broadcast", "auto"):
+            pd.testing.assert_frame_equal(a, run(mode))
 
     def test_lsh_verify_payload_shuffle_reduction(self):
         """VERDICT r2 #2 done-criterion: the id-only candidate path must
