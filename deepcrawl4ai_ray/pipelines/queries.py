@@ -3064,6 +3064,75 @@ WHERE r.rn <= t.c ORDER BY r.doc_id
 """
 
 
+def recrawl_priority_plan(sf_dir: str) -> pd.DataFrame:
+    """Change-rate recrawl planner (stages/snapshot.recrawl_priority):
+    three deterministic snapshots of documents (s1 drops the last word
+    for doc_id % 5 == 0; s2 drops the last TWO words for doc_id % 3 == 0,
+    else keeps s1's text), diffed pairwise on slim md5 rows; per-doc
+    change counts bucket into hot/warm/cold.  Change detection derives
+    from md5 equality, not the perturbation predicate, on both sides."""
+    from ..stages.snapshot import recrawl_priority
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def drop_last(texts, k):
+        out = []
+        for t in texts:
+            w = (t or "").split(" ")
+            out.append(" ".join(w[: max(0, len(w) - k)]))
+        return out
+
+    def make_s1(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        d1 = drop_last(texts, 1)
+        out = [d1[i] if ids[i] % 5 == 0 else texts[i] for i in range(len(texts))]
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(out, pa.string())})
+
+    def make_s2(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        d1 = drop_last(texts, 1)
+        d2 = drop_last(texts, 2)
+        out = [
+            d2[i] if ids[i] % 3 == 0 else (d1[i] if ids[i] % 5 == 0 else texts[i])
+            for i in range(len(texts))
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(out, pa.string())})
+
+    s1 = base.map_batches(make_s1, batch_format="pyarrow")
+    s2 = base.map_batches(make_s2, batch_format="pyarrow")
+    out = recrawl_priority([base, s1, s2], "doc_id", "text").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_changes"] = out["n_changes"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_RECRAWL_SQL = """
+WITH s AS (
+  SELECT doc_id, text AS s0,
+    CASE WHEN doc_id % 5 = 0
+         THEN array_to_string((string_split(text, ' '))[1:len(string_split(text, ' '))-1], ' ')
+         ELSE text END AS s1,
+    CASE WHEN doc_id % 3 = 0
+         THEN array_to_string((string_split(text, ' '))[1:len(string_split(text, ' '))-2], ' ')
+         WHEN doc_id % 5 = 0
+         THEN array_to_string((string_split(text, ' '))[1:len(string_split(text, ' '))-1], ' ')
+         ELSE text END AS s2
+  FROM documents),
+n AS (
+  SELECT doc_id,
+         (CASE WHEN md5(s0) <> md5(s1) THEN 1 ELSE 0 END
+          + CASE WHEN md5(s1) <> md5(s2) THEN 1 ELSE 0 END) AS n_changes
+  FROM s)
+SELECT doc_id, CAST(n_changes AS BIGINT) AS n_changes,
+       CASE WHEN n_changes >= 2 THEN 'hot'
+            WHEN n_changes >= 1 THEN 'warm'
+            ELSE 'cold' END AS priority
+FROM n ORDER BY doc_id
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3142,6 +3211,7 @@ QUERIES = {
     "c4_cleaned_pages": c4_cleaned_pages,
     "cdx_host_lookup": cdx_host_lookup,
     "temperature_lang_sample": temperature_lang_sample,
+    "recrawl_priority_plan": recrawl_priority_plan,
 }
 
 ORACLES = {
@@ -3212,6 +3282,7 @@ ORACLES = {
     "c4_cleaned_pages": _C4_CLEAN_SQL,
     "cdx_host_lookup": _CDX_SQL,
     "temperature_lang_sample": _TEMPERATURE_SQL,
+    "recrawl_priority_plan": _RECRAWL_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

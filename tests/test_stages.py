@@ -998,3 +998,67 @@ class TestTemperatureSample:
         tgt = temperature_targets({"en": 1000, "de": 250, "el": 50}, 0.4)
         got = one.groupby("lang").size().to_dict()
         assert got == {g: n for g, n in tgt.items() if n > 0}
+
+
+class TestRecrawlPriority:
+    """stages/snapshot.recrawl_priority — change-rate recrawl planner."""
+
+    def _snap(self, rows):
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(rows, columns=["url", "text"]))
+
+    def test_counts_and_classes(self, ray_session):
+        from deepcrawl4ai_ray.stages.snapshot import recrawl_priority
+
+        s0 = self._snap([("a", "x"), ("b", "x"), ("c", "x")])
+        s1 = self._snap([("a", "y"), ("b", "x"), ("c", "y")])
+        s2 = self._snap([("a", "z"), ("b", "x"), ("c", "y")])
+        got = (
+            recrawl_priority([s0, s1, s2], "url", "text")
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert got.n_changes.tolist() == [2, 0, 1]
+        assert got.priority.tolist() == ["hot", "cold", "warm"]
+
+    def test_absent_keys_and_hot_min(self, ray_session):
+        from deepcrawl4ai_ray.stages.snapshot import recrawl_priority
+
+        # "d" exists only in s1+s2 (one comparable pair, changed);
+        # "e" only in s0 (no comparable pair → 0 changes)
+        s0 = self._snap([("a", "x"), ("e", "q")])
+        s1 = self._snap([("a", "x"), ("d", "1")])
+        s2 = self._snap([("a", "y"), ("d", "2")])
+        got = (
+            recrawl_priority([s0, s1, s2], "url", "text", hot_min=1)
+            .to_pandas()
+            .set_index("url")
+        )
+        assert got.loc["a", "n_changes"] == 1 and got.loc["a", "priority"] == "hot"
+        assert got.loc["d", "n_changes"] == 1
+        assert got.loc["e", "n_changes"] == 0 and got.loc["e", "priority"] == "cold"
+
+    def test_guards_and_split_invariance(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.snapshot import recrawl_priority
+
+        with _pytest.raises(ValueError):
+            recrawl_priority([self._snap([("a", "x")])], "url", "text")
+
+        rows = [(f"u{i}", f"t{i % 4}") for i in range(200)]
+        rows2 = [(f"u{i}", f"t{(i + (i % 3 == 0)) % 4}") for i in range(200)]
+        a = recrawl_priority(
+            [self._snap(rows), self._snap(rows2)], "url", "text"
+        ).to_pandas().sort_values("url").reset_index(drop=True)
+        b = recrawl_priority(
+            [self._snap(rows).repartition(7), self._snap(rows2).repartition(3)],
+            "url",
+            "text",
+        ).to_pandas().sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        got = dict(zip(a.url, a.n_changes))
+        assert got == {f"u{i}": (1 if i % 3 == 0 else 0) for i in range(200)}
