@@ -3133,6 +3133,76 @@ FROM n ORDER BY doc_id
 """
 
 
+def dup_cluster_reps(sf_dir: str) -> pd.DataFrame:
+    """Keep-policy over near-dup clusters (stages/dedup
+    .cluster_representatives): per cluster keep the member with the
+    most tokens (ties → smallest doc_id) — score-wins dedup, the real
+    training-data keep rule (vs J5's first-wins).  Composition:
+    minhash pairs → connected components → slim (id, ntok) join →
+    per-cluster argmax."""
+    from ..stages.dedup import cluster_representatives, connected_components
+
+    pairs = minhash_near_dups(sf_dir)
+    labels = connected_components(pairs)
+    aug = _augmented_docs(sf_dir)
+
+    def ntok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "ntok": pc.count_substring_regex(t["text"], pattern=r"\w+"),
+            }
+        )
+
+    scores = aug.map_batches(ntok, batch_format="pyarrow")
+    out = cluster_representatives(labels, scores, "doc_id", "ntok").to_pandas()
+    for c in ("component", "rep_doc_id", "cluster_size"):
+        out[c] = out[c].astype("int64")
+    out["rep_ntok"] = out["rep_ntok"].astype("float64")
+    return out.sort_values("component").reset_index(drop=True)
+
+
+_DUP_CLUSTER_REPS_SQL = """
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string((string_split(text, ' '))[1:len(string_split(text, ' '))-1], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w FROM aug),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM w WHERE len(w) >= 1
+),
+edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.9
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+ntok AS (SELECT doc_id, len(regexp_extract_all(lower(text), '\\w+')) AS ntok FROM aug),
+r AS (
+  SELECT c.component, c.node, t.ntok,
+         ROW_NUMBER() OVER (PARTITION BY c.component ORDER BY t.ntok DESC, c.node) AS rn,
+         COUNT(*) OVER (PARTITION BY c.component) AS sz
+  FROM comp c JOIN ntok t ON t.doc_id = c.node)
+SELECT component, node AS rep_doc_id, CAST(sz AS BIGINT) AS cluster_size,
+       CAST(ntok AS DOUBLE) AS rep_ntok
+FROM r WHERE rn = 1 ORDER BY component
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3212,6 +3282,7 @@ QUERIES = {
     "cdx_host_lookup": cdx_host_lookup,
     "temperature_lang_sample": temperature_lang_sample,
     "recrawl_priority_plan": recrawl_priority_plan,
+    "dup_cluster_reps": dup_cluster_reps,
 }
 
 ORACLES = {
@@ -3283,6 +3354,7 @@ ORACLES = {
     "cdx_host_lookup": _CDX_SQL,
     "temperature_lang_sample": _TEMPERATURE_SQL,
     "recrawl_priority_plan": _RECRAWL_SQL,
+    "dup_cluster_reps": _DUP_CLUSTER_REPS_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

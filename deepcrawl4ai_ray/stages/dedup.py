@@ -873,3 +873,50 @@ def srp_near_dup_pairs(
         )
 
     return joined.map_batches(verify_batch, batch_format="pyarrow")
+
+
+def cluster_representatives(
+    labels: "ray.data.Dataset",
+    scores: "ray.data.Dataset",
+    id_col: str,
+    score_col: str,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Keep-policy for near-dup clusters: per cluster, the member with
+    the HIGHEST score survives (ties → smallest id) — the real dedup
+    keep rule of a training-data pipeline (keep the longest / highest
+    quality copy), generalizing J5's 'first-wins' to score-wins.
+
+    ``labels`` = connected_components output (node, component);
+    ``scores`` = slim (id, score) rows — compute them in map_batches
+    from the payload, never ship the payload here.  One bucketed hash
+    join + one groupby(component); group size = cluster size.
+
+    → Dataset(component, rep_<id>, cluster_size, rep_<score>).
+    """
+    from .join import hash_join
+
+    sl = scores.map_batches(
+        lambda t: pa.table(
+            {
+                "__sid": pc.cast(t[id_col], pa.int64()),
+                "__score": pc.cast(t[score_col], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(labels, sl, on="node", right_on="__sid", num_buckets=num_buckets)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__score", "node"], ascending=[False, True], kind="mergesort")
+        top = g.iloc[0]
+        return pd.DataFrame(
+            {
+                "component": pd.Series([top["component"]], dtype="int64"),
+                f"rep_{id_col}": pd.Series([top["node"]], dtype="int64"),
+                "cluster_size": pd.Series([len(g)], dtype="int64"),
+                f"rep_{score_col}": pd.Series([top["__score"]], dtype="float64"),
+            }
+        )
+
+    return j.groupby("component").map_groups(pick, batch_format="pandas")

@@ -1062,3 +1062,37 @@ class TestRecrawlPriority:
         pd.testing.assert_frame_equal(a, b)
         got = dict(zip(a.url, a.n_changes))
         assert got == {f"u{i}": (1 if i % 3 == 0 else 0) for i in range(200)}
+
+
+class TestClusterRepresentatives:
+    def test_score_wins_with_tiebreak(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dedup import cluster_representatives
+
+        labels = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "node": pd.Series([1, 2, 3, 10, 11], dtype="int64"),
+                    "component": pd.Series([1, 1, 1, 10, 10], dtype="int64"),
+                }
+            )
+        )
+        scores = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([1, 2, 3, 10, 11, 99], dtype="int64"),
+                    "q": [0.5, 0.9, 0.9, 0.3, 0.3, 1.0],  # 99 = unclustered, ignored
+                }
+            )
+        )
+        got = (
+            cluster_representatives(labels, scores, "doc_id", "q")
+            .to_pandas()
+            .sort_values("component")
+            .reset_index(drop=True)
+        )
+        # cluster 1: max q is tied (2, 3) → min node 2; cluster 10: tie → 10
+        assert got.rep_doc_id.tolist() == [2, 10]
+        assert got.cluster_size.tolist() == [3, 2]
+        assert got.rep_q.tolist() == [0.9, 0.3]
