@@ -314,3 +314,52 @@ def _udf(ds, fn: Callable[[pa.Table], pa.Table], **kwargs):
     """Escape hatch: any callable over a pyarrow Table (the M-series
     map shape).  kwargs pass through to map_batches."""
     return ds.map_batches(fn, batch_format="pyarrow", **kwargs)
+
+
+@register("c4_clean")
+def _c4_clean(ds, id_col: str = "url", text_col: str = "text", min_words: int = 5, min_kept: int = 2):
+    """C4-style line-level cleaning (stages/c4filter): per-doc kept-line
+    counts + cleaned-text md5; docs below min_kept dropped."""
+    from ..stages.c4filter import c4_line_stats
+
+    return c4_line_stats(ds, id_col, text_col, min_words, min_kept)
+
+
+@register("anchor_stats")
+def _anchor_stats(ds):
+    """Anchor-text aggregation (stages/anchors): pages (url, html) →
+    per-target inlink anchor-term stats."""
+    from ..stages.anchors import anchor_term_stats
+
+    return anchor_term_stats(ds)
+
+
+@register("temperature_sample")
+def _temperature_sample(ds, group_col: str, id_col: str, frac: float):
+    """Temperature-balanced (T=2) group sampling (stages/sample)."""
+    from ..stages.sample import temperature_sample
+
+    return temperature_sample(ds, group_col, id_col, frac)
+
+
+@register("recrawl_priority")
+def _recrawl_priority(ds, key_col: str = "url", text_col: str = "text"):
+    """Single-snapshot convenience wrapper is meaningless — recrawl
+    planning needs a history — so this step expects ``ds`` to carry a
+    ``snap`` int column tagging K snapshots stacked in one Dataset and
+    splits on it before calling stages/snapshot.recrawl_priority."""
+    import pyarrow.compute as _pc
+
+    from ..stages.snapshot import recrawl_priority
+
+    snaps = sorted(
+        ds.select_columns(["snap"]).unique("snap")
+    )
+    parts = [
+        ds.map_batches(
+            lambda t, s=s: t.filter(_pc.equal(t["snap"], s)).drop_columns(["snap"]),
+            batch_format="pyarrow",
+        )
+        for s in snaps
+    ]
+    return recrawl_priority(parts, key_col, text_col)

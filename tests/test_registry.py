@@ -155,3 +155,36 @@ class TestNewSteps:
         for k, g in df.groupby("k"):
             assert abs(out.loc[k, "p50"] - g["v"].quantile(0.5)) < 0.05
             assert int(out.loc[k, "n"]) == len(g)
+
+
+class TestRound3Steps:
+    def test_c4_and_temperature_and_recrawl_and_anchor(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.pipelines.registry import available_steps, build_pipeline
+
+        for s in ("c4_clean", "anchor_stats", "temperature_sample", "recrawl_priority"):
+            assert s in available_steps()
+
+        df = pd.DataFrame(
+            {
+                "url": ["a", "b"],
+                "text": [
+                    "one two three four five\nsix seven eight nine ten eleven",
+                    "tiny",
+                ],
+            }
+        )
+        out = build_pipeline(rd.from_pandas(df), [{"step": "c4_clean"}]).to_pandas()
+        assert out.url.tolist() == ["a"]
+
+        rows = []
+        for s, txts in enumerate([["x", "p"], ["y", "p"], ["y", "q"]]):
+            rows += [{"url": u, "text": t, "snap": s} for u, t in zip(["u1", "u2"], txts)]
+        got = (
+            build_pipeline(rd.from_pandas(pd.DataFrame(rows)), [{"step": "recrawl_priority"}])
+            .to_pandas()
+            .sort_values("url")
+        )
+        assert got.n_changes.tolist() == [1, 1]
