@@ -42,7 +42,11 @@ def normalize_url(url: str) -> str:
     if rest.endswith("/") and rest.count("/") == 1:
         # exactly "scheme://host/" → strip the root slash
         rest = rest[:-1]
-    return scheme.lower() + sep + rest
+    # final trim: root-slash removal can expose trailing whitespace that
+    # the entry strip() would eat on a SECOND pass (e.g. "0\r/" →
+    # "https://0\r") — idempotency requires stripping it now
+    # (property-tested)
+    return (scheme.lower() + sep + rest).strip()
 
 
 def url_to_slug(url: str) -> str:

@@ -3203,6 +3203,81 @@ FROM r WHERE rn = 1 ORDER BY component
 """
 
 
+def link_degree_stats(sf_dir: str) -> pd.DataFrame:
+    """Link-graph degree rollup per target host: distinct link targets,
+    total inlinks, and the max indegree of any single page — the
+    graph-shape report that sizes frontier salting and PageRank skew.
+    HTML reduces to slim DISTINCT (src, dst) edges in map_batches (the
+    same extract_links the crawler runs, parity pinned by
+    crawl_reachability); one groupby(dst) count + one per-host rollup."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..functions.extract import extract_links
+    from ..functions.urlnorm import host_of
+    from ..sources.corpus import ensure
+
+    corpus = ensure("tiny")
+    pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs: list = []
+        dsts: list = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            for link in extract_links(h, u):
+                srcs.append(u)
+                dsts.append(link)
+        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
+
+    indeg = (
+        pages.map_batches(edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="__dup"))  # distinct (src,dst)
+        .groupby("dst")
+        .aggregate(Count(alias_name="indegree"))
+    )
+
+    def add_host(t: pa.Table) -> pa.Table:
+        hosts = [host_of(u) for u in t["dst"].to_pylist()]
+        return t.append_column("host", pa.array(hosts, pa.string()))
+
+    out = (
+        indeg.map_batches(add_host, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Count(alias_name="n_targets"),
+            Sum("indegree", alias_name="total_inlinks"),
+            Max("indegree", alias_name="max_indegree"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_targets", "total_inlinks", "max_indegree"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+_LINK_DEGREE_SQL = rf"""
+WITH pages AS (
+  SELECT url, decode(html) AS html,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+),
+links AS (
+  SELECT DISTINCT p.url AS src,
+         CASE WHEN href LIKE 'http%' THEN href
+              WHEN href = '/' THEN 'https://' || p.host
+              ELSE 'https://' || p.host || href END AS dst
+  FROM pages p, UNNEST(regexp_extract_all(p.html,
+       '<a\s[^>]*?href\s*=\s*["'']([^"''<>]+)["'']', 1)) AS u(href)
+),
+indeg AS (SELECT dst, COUNT(*) AS indegree FROM links GROUP BY dst)
+SELECT regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS host,
+       COUNT(*) AS n_targets,
+       CAST(SUM(indegree) AS BIGINT) AS total_inlinks,
+       MAX(indegree) AS max_indegree
+FROM indeg GROUP BY host ORDER BY host
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3283,6 +3358,7 @@ QUERIES = {
     "temperature_lang_sample": temperature_lang_sample,
     "recrawl_priority_plan": recrawl_priority_plan,
     "dup_cluster_reps": dup_cluster_reps,
+    "link_degree_stats": link_degree_stats,
 }
 
 ORACLES = {
@@ -3355,6 +3431,7 @@ ORACLES = {
     "temperature_lang_sample": _TEMPERATURE_SQL,
     "recrawl_priority_plan": _RECRAWL_SQL,
     "dup_cluster_reps": _DUP_CLUSTER_REPS_SQL,
+    "link_degree_stats": _LINK_DEGREE_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash
