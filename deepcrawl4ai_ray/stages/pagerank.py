@@ -37,6 +37,12 @@ from ray.data.aggregate import Count, Sum
 from .join import hash_join
 
 
+#: rank_mode="auto" broadcasts the per-round rank table when the node
+#: count is at most this (strings + floats ≈ 100 B/node → ≤ ~200 MB in
+#: the object store); beyond it, the per-round hash_join path runs.
+_BROADCAST_MAX_NODES = 2_000_000
+
+
 def pagerank(
     edges: "ray.data.Dataset",
     src: str = "src",
@@ -44,6 +50,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     num_buckets: int = 32,
+    rank_mode: str = "auto",
 ) -> "ray.data.Dataset":
     """PageRank with uniform teleport and dangling-mass redistribution
     over the DISTINCT edge set → Dataset(node, pr), Σpr = 1.
@@ -51,9 +58,21 @@ def pagerank(
     Node set = every url appearing as src or dst.  ``iters`` power
     iterations of  pr(v) = (1−d)/N + d·(Σ_{u→v} pr(u)/deg(u) + D/N)
     where D is the total rank of dangling nodes.
+
+    ``rank_mode``: "join" is the 10^10-edge shape documented above (the
+    rank table is itself too big to hold anywhere — one hash_join + one
+    groupby per round).  "broadcast" exploits the common mid-size case
+    (rank table ≤ _BROADCAST_MAX_NODES, edge table still arbitrarily
+    large): per-round out-shares ship once via ``ray.put``, each round
+    is ONE groupby(dst) over the edge table, and the (small, by guard)
+    contribution vector returns to the driver — 3× fewer all-to-alls
+    per round, identical math (same share/Sum/base formula; equality
+    property-tested).  "auto" counts nodes once and picks.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if rank_mode not in ("join", "broadcast", "auto"):
+        raise ValueError(f"unknown rank_mode {rank_mode!r}")
 
     # distinct edges, once (multi-links from one page count once)
     edges_d = (
@@ -83,6 +102,13 @@ def pagerank(
     if n_nodes == 0:
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.string()), "pr": pa.array([], pa.float64())})
+        )
+
+    if rank_mode == "auto":
+        rank_mode = "broadcast" if n_nodes <= _BROADCAST_MAX_NODES else "join"
+    if rank_mode == "broadcast":
+        return _pagerank_broadcast(
+            edges_d, nodes, n_nodes, src, dst, iters, damping
         )
 
     # (src, dst, deg): built once, re-joined every round by the same key
@@ -178,3 +204,59 @@ def pagerank(
             .materialize()
         )
     return ranks
+
+
+def _pagerank_broadcast(
+    edges_d: "ray.data.Dataset",
+    nodes: "ray.data.Dataset",
+    n_nodes: int,
+    src: str,
+    dst: str,
+    iters: int,
+    damping: float,
+) -> "ray.data.Dataset":
+    """Broadcast-ranks power iteration (see pagerank rank_mode docs):
+    the edge table stays distributed and is the ONLY thing shuffled
+    (one groupby(dst) per round); the rank/out-degree tables are small
+    by the caller's guard and live as a broadcast dict + driver
+    vectors.  Same formula as the join path — share = pr/deg per edge,
+    Sum per dst, base = (1−d)/N + d·D/N."""
+    from .join import _BCAST_CACHE
+
+    deg_df = (
+        edges_d.groupby(src).aggregate(Count(alias_name="deg")).to_pandas()
+    )
+    node_arr = nodes.to_pandas()["node"].to_numpy(dtype=object)
+    node_idx = pd.Index(node_arr)
+    pr = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
+    deg_pos = node_idx.get_indexer(deg_df[src].to_numpy(dtype=object))
+    deg_vals = deg_df["deg"].to_numpy(dtype=np.float64)
+    teleport = (1.0 - damping) / n_nodes
+
+    for _ in range(iters):
+        shares = dict(zip(deg_df[src], pr[deg_pos] / deg_vals))
+        ref = ray.put(shares)
+
+        def share_batch(t: pa.Table, _ref=ref) -> pa.Table:
+            lut = _BCAST_CACHE.get(("prshare", _ref.hex()))
+            if lut is None:
+                lut = ray.get(_ref)
+                _BCAST_CACHE[("prshare", _ref.hex())] = lut
+            vals = pd.Series(t[src].to_pylist(), dtype=object).map(lut).to_numpy(np.float64)
+            return pa.table({dst: t[dst], "share": pa.array(vals, pa.float64())})
+
+        contrib = (
+            edges_d.map_batches(share_batch, batch_format="pyarrow")
+            .groupby(dst)
+            .aggregate(Sum("share", alias_name="in_pr"))
+            .to_pandas()  # ≤ n_nodes rows — small by the caller's guard
+        )
+        nd_mass = float(contrib["in_pr"].sum()) if len(contrib) else 0.0
+        base = teleport + damping * (1.0 - nd_mass) / n_nodes
+        pr = np.full(n_nodes, base, dtype=np.float64)
+        pos = node_idx.get_indexer(contrib[dst].to_numpy(dtype=object))
+        pr[pos] += damping * contrib["in_pr"].to_numpy(dtype=np.float64)
+
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(node_arr, pa.string()), "pr": pa.array(pr, pa.float64())})
+    )

@@ -1096,3 +1096,26 @@ class TestClusterRepresentatives:
         assert got.rep_doc_id.tolist() == [2, 10]
         assert got.cluster_size.tolist() == [3, 2]
         assert got.rep_q.tolist() == [0.9, 0.3]
+
+
+class TestPagerankBroadcast:
+    def test_modes_equal_and_guarded(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.pagerank import pagerank
+
+        rng = np.random.RandomState(7)
+        e = pd.DataFrame(
+            {
+                "src": [f"n{i}" for i in rng.randint(0, 120, 800)],
+                "dst": [f"n{i}" for i in rng.randint(0, 120, 800)],
+            }
+        )
+        ds = rd.from_pandas(e)
+        a = pagerank(ds, iters=2, rank_mode="join").to_pandas().sort_values("node").reset_index(drop=True)
+        b = pagerank(ds, iters=2, rank_mode="broadcast").to_pandas().sort_values("node").reset_index(drop=True)
+        assert (a.node == b.node).all()
+        assert np.abs(a.pr.to_numpy() - b.pr.to_numpy()).max() < 1e-12
+        assert abs(b.pr.sum() - 1.0) < 1e-9
+        with pytest.raises(ValueError):
+            pagerank(ds, rank_mode="gossip")
