@@ -75,7 +75,8 @@ def make_c4_line_filter_fn(
         kept_parents = parents[keep]
         joined = kept_flat.groupby(kept_parents).agg("\n".join)
         doc_idx = np.nonzero(doc_keep)[0]
-        texts = joined.reindex(doc_idx).to_numpy(dtype=object)
+        # min_kept=0 admits docs with no kept lines → empty cleaned text
+        texts = joined.reindex(doc_idx).fillna("").to_numpy(dtype=object)
         return pa.table(
             {
                 id_col: batch[id_col].take(pa.array(doc_idx)),

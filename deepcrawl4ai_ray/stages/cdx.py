@@ -122,7 +122,6 @@ def cdx_prefix_lookup(index_dir: str, prefix: str) -> "ray.data.Dataset":
     if not files:
         schema = pq.ParquetFile(man["file"][0].as_py()).schema_arrow
         return rd.from_arrow(schema.empty_table())
-    pref = pa.scalar(prefix, pa.string())
     return rd.read_parquet(files).map_batches(
         lambda t: t.filter(pc.starts_with(t["surt"], pattern=prefix)),
         batch_format="pyarrow",
