@@ -91,6 +91,11 @@ class CrawlConfig:
     # cuckoo dedup stays exact); each shard's politeness bucket refills
     # at 1/factor of the host rate so the aggregate budget is preserved
     hot_hosts: Dict[str, int] = field(default_factory=dict)
+    # alternative seed list (url, priority) — e.g. the recrawl planner's
+    # output (stages/snapshot.recrawl_priority mapped to priority ints)
+    # replacing the corpus seeds: the feedback loop of a continuous
+    # crawler.  Defaults to <corpus_dir>/seeds.parquet.
+    seeds_path: Optional[str] = None
     extra: dict = field(default_factory=dict)
 
 
@@ -309,7 +314,7 @@ class Crawler:
 
     # ------------------------------------------------------------------ seeds
     def offer_seeds(self) -> None:
-        t = pq.read_table(os.path.join(self.corpus_dir, "seeds.parquet"))
+        t = pq.read_table(self.cfg.seeds_path or os.path.join(self.corpus_dir, "seeds.parquet"))
         urls = [normalize_url(u) for u in t.column("url").to_pylist()]
         prios = t.column("priority").to_pylist()
         arr = np.asarray(urls, dtype=object)

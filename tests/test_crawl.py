@@ -496,3 +496,69 @@ class TestDiskLocality:
             f"cache={len(cache_reads)} (== {len(distinct_buckets)} buckets)"
         )
         assert len(plain_reads) >= len(cache_reads)
+
+
+class TestRecrawlFeedback:
+    """The continuous-crawl feedback loop: recrawl_priority classes from
+    two snapshots become the next crawl's seed priorities
+    (cfg.seeds_path), and the fetch order respects them — hot pages
+    refetched before cold within each (round, shard)."""
+
+    def test_priority_seeds_drive_refetch_order(self, ray_session, tiny_corpus, tmp_path):
+        import numpy as np
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.snapshot import recrawl_priority
+
+        pages = pq.read_table(
+            sorted(glob.glob(os.path.join(tiny_corpus, "pages", "*.parquet")))[0],
+            columns=["url", "text"],
+        )
+        # snapshot 2: every 3rd url's text changed
+        urls = pages.column("url").to_pylist()
+        texts = pages.column("text").to_pylist()
+        texts2 = [t + " changed" if i % 3 == 0 else t for i, t in enumerate(texts)]
+        s0 = rd.from_arrow(pa.table({"url": urls, "text": texts}))
+        s1 = rd.from_arrow(pa.table({"url": urls, "text": pa.array(texts2, pa.string())}))
+        plan = recrawl_priority([s0, s1], "url", "text").to_pandas()
+        prio_map = {"hot": 0, "warm": 0, "cold": 5}
+        seeds = pa.table(
+            {
+                "url": pa.array(plan["url"].tolist(), pa.string()),
+                "priority": pa.array(
+                    [prio_map[p] for p in plan["priority"]], pa.int32()
+                ),
+            }
+        )
+        seeds_path = str(tmp_path / "reseeds.parquet")
+        pq.write_table(seeds, seeds_path)
+
+        out_dir = str(tmp_path / "recrawl_out")
+        _, out = _run(
+            tiny_corpus,
+            out_dir,
+            seeds_path=seeds_path,
+            max_rounds=1,
+            per_shard_budget=100_000,
+            exclude_external=True,
+        )
+        df = out.select(["fetch_seq", "round", "priority", "url"]).to_pandas()
+        # every seeded url fetched exactly once in the single round
+        assert sorted(df.url) == sorted(plan["url"])
+        # planner classes arrived as priorities
+        want = dict(zip(plan["url"], (prio_map[p] for p in plan["priority"])))
+        assert dict(zip(df.url, df.priority)) == want
+        # crawl-order spec: within the round, fetch_seq is ordered by
+        # (shard, priority, host, url) — so priority must be
+        # NON-DECREASING along fetch_seq within each contiguous shard
+        # segment; globally, each url's seq of a hot (0) url in the same
+        # shard+host must precede every cold (5) url of that shard+host
+        df = df.sort_values("fetch_seq")
+        from deepcrawl4ai_ray.functions.urlnorm import host_of
+
+        df["host"] = [host_of(u) for u in df.url]
+        for host, g in df.groupby("host"):
+            hot_seqs = g.loc[g.priority == 0, "fetch_seq"]
+            cold_seqs = g.loc[g.priority == 5, "fetch_seq"]
+            if len(hot_seqs) and len(cold_seqs):
+                assert hot_seqs.max() < cold_seqs.min(), host
