@@ -352,6 +352,10 @@ def _recrawl_priority(ds, key_col: str = "url", text_col: str = "text"):
 
     from ..stages.snapshot import recrawl_priority
 
+    # materialize once: unique() + one filter pass per snapshot would
+    # otherwise re-execute the (possibly expensive) upstream lineage
+    # K+1 times
+    ds = ds.materialize()
     snaps = sorted(
         ds.select_columns(["snap"]).unique("snap")
     )

@@ -70,6 +70,7 @@ def build_cdx_index(
     per-file range manifest.  Pass only the lookup columns in
     ``keep_cols`` (url + timestamps/digests) — never page payloads."""
     cols = keep_cols or [url_col]
+    in_schema = ds.schema()  # captured up front: an empty ds reports None post-execution
     slim = ds.select_columns(cols).map_batches(make_surt_fn(url_col), batch_format="pyarrow")
     out = os.path.join(index_dir, "captures")
     slim.sort("surt").write_parquet(out)
@@ -79,15 +80,18 @@ def build_cdx_index(
     hi: List[str] = []
     keep: List[str] = []
     for f in files:
-        md = pq.ParquetFile(f).metadata
-        if md.num_rows == 0:
+        # range from the actual key column, NOT parquet row-group
+        # statistics: parquet truncates/empties string stats above
+        # max_statistics_size (4 KB default), so a file containing one
+        # long SURT would record hi="" and silently vanish from every
+        # lookup.  One pruned single-column read per file at build time.
+        surts = pq.read_table(f, columns=["surt"])["surt"]
+        if len(surts) == 0:
             continue
-        si = next(i for i in range(md.num_columns) if md.schema.column(i).name == "surt")
-        mins = [md.row_group(g).column(si).statistics.min for g in range(md.num_row_groups)]
-        maxs = [md.row_group(g).column(si).statistics.max for g in range(md.num_row_groups)]
+        mm = pc.min_max(surts)
         keep.append(f)
-        lo.append(min(mins))
-        hi.append(max(maxs))
+        lo.append(mm["min"].as_py())
+        hi.append(mm["max"].as_py())
     pq.write_table(
         pa.table(
             {
@@ -98,6 +102,14 @@ def build_cdx_index(
         ),
         os.path.join(index_dir, "manifest.parquet"),
     )
+    # empty-index lookups need a schema even when no capture file exists
+    from .join import _arrow_type
+
+    types = {n: _arrow_type(t) for n, t in zip(in_schema.names, in_schema.types)}
+    arrow_schema = pa.schema(
+        [(c, types[c]) for c in cols] + [("surt", pa.string())]
+    )
+    pq.write_table(arrow_schema.empty_table(), os.path.join(index_dir, "_schema.parquet"))
     return index_dir
 
 
@@ -120,7 +132,7 @@ def cdx_prefix_lookup(index_dir: str, prefix: str) -> "ray.data.Dataset":
     import ray.data as rd
 
     if not files:
-        schema = pq.ParquetFile(man["file"][0].as_py()).schema_arrow
+        schema = pq.read_table(os.path.join(index_dir, "_schema.parquet")).schema
         return rd.from_arrow(schema.empty_table())
     return rd.read_parquet(files).map_batches(
         lambda t: t.filter(pc.starts_with(t["surt"], pattern=prefix)),

@@ -102,36 +102,47 @@ def _broadcast_payload(
     join shuffle at all.  Eliminates the two bucketed-join sorts whose
     fixed all-to-all launch cost dominates when candidates are rare
     (the common case for near-dup detection: measured 2×+ on the bench
-    corpus).  Byte-identical to the join paths (tested)."""
+    corpus).  Byte-identical to the join paths (tested), including the
+    inner-join semantics for pair endpoints ABSENT from the payload
+    table (such pairs are dropped, not crashed on).  Like the join
+    paths, ids are int-keyed (pair ids are int64 by construction of
+    _dedup_pairs)."""
     import ray as _ray
 
-    from .join import _BCAST_CACHE
+    from .join import cached_get
+
+    pay_type = dict(zip(payload.schema().names, payload.schema().types))[pay_col]
 
     pairs = pairs.materialize()
     ends: set = set()
     for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(batch_format="pyarrow"):
         ends.update(b["id_a"].to_pylist())
         ends.update(b["id_b"].to_pylist())
-    idset = pa.array(sorted(int(x) for x in ends), pa.int64())
+    # ship the candidate id set via the object store, not the task
+    # closure (at the 2e5-pair guard it is ~MBs pickled per task
+    # submission otherwise)
+    ids_ref = _ray.put(pa.array(sorted(int(x) for x in ends), pa.int64()))
 
     def keep(t: pa.Table) -> pa.Table:
+        idset = cached_get(ids_ref, "dedup.payload_ids")
         return t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=idset))
 
     rows = payload.map_batches(keep, batch_format="pyarrow").to_pandas()
-    lut_ref = _ray.put(
-        dict(zip((int(x) for x in rows[id_col]), rows[pay_col]))
-    )
+    lut_ref = _ray.put(dict(zip((int(x) for x in rows[id_col]), rows[pay_col])))
 
     def attach(t: pa.Table) -> pa.Table:
-        lut = _BCAST_CACHE.get(("paylut", lut_ref.hex()))
-        if lut is None:
-            lut = _ray.get(lut_ref)
-            _BCAST_CACHE[("paylut", lut_ref.hex())] = lut
+        lut = cached_get(lut_ref, "dedup.paylut")
+        ia = t["id_a"].to_pylist()
+        ib = t["id_b"].to_pylist()
+        # inner-join semantics: a pair whose endpoint has no payload row
+        # (e.g. a zero-shingle doc) is dropped, as the join paths do
+        have = pa.array([int(a) in lut and int(b) in lut for a, b in zip(ia, ib)])
+        t = t.filter(have)
         ia = t["id_a"].to_pylist()
         ib = t["id_b"].to_pylist()
         return t.append_column(
-            f"{pay_col}_a", pa.array([lut[int(x)] for x in ia], pa.binary())
-        ).append_column(f"{pay_col}_b", pa.array([lut[int(x)] for x in ib], pa.binary()))
+            f"{pay_col}_a", pa.array([lut[int(x)] for x in ia], pay_type)
+        ).append_column(f"{pay_col}_b", pa.array([lut[int(x)] for x in ib], pay_type))
 
     return pairs.map_batches(attach, batch_format="pyarrow")
 

@@ -33,6 +33,22 @@ import ray.data
 _BCAST_CACHE: dict = {}
 
 
+def cached_get(ref, slot: str):
+    """Per-worker cached ray.get with a BOUNDED one-entry-per-slot
+    policy: iterating callers (pagerank rounds, successive dedup runs)
+    put a NEW large object each round — keying the cache by ref would
+    retain every round's ~100s-of-MB object for the worker's lifetime.
+    A slot holds only the latest (ref, value); a changed ref evicts the
+    previous entry."""
+    ent = _BCAST_CACHE.get(slot)
+    hx = ref.hex()
+    if ent is not None and ent[0] == hx:
+        return ent[1]
+    val = ray.get(ref)
+    _BCAST_CACHE[slot] = (hx, val)
+    return val
+
+
 def broadcast_filter(
     ds: "ray.data.Dataset",
     column: str,

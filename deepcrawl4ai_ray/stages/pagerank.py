@@ -221,7 +221,7 @@ def _pagerank_broadcast(
     by the caller's guard and live as a broadcast dict + driver
     vectors.  Same formula as the join path — share = pr/deg per edge,
     Sum per dst, base = (1−d)/N + d·D/N."""
-    from .join import _BCAST_CACHE
+    from .join import cached_get
 
     deg_df = (
         edges_d.groupby(src).aggregate(Count(alias_name="deg")).to_pandas()
@@ -238,10 +238,9 @@ def _pagerank_broadcast(
         ref = ray.put(shares)
 
         def share_batch(t: pa.Table, _ref=ref) -> pa.Table:
-            lut = _BCAST_CACHE.get(("prshare", _ref.hex()))
-            if lut is None:
-                lut = ray.get(_ref)
-                _BCAST_CACHE[("prshare", _ref.hex())] = lut
+            # slot cache: each round's dict EVICTS the previous round's
+            # (~n_nodes entries) — no per-worker accumulation over iters
+            lut = cached_get(_ref, "pagerank.prshare")
             vals = pd.Series(t[src].to_pylist(), dtype=object).map(lut).to_numpy(np.float64)
             return pa.table({dst: t[dst], "share": pa.array(vals, pa.float64())})
 

@@ -172,19 +172,20 @@ def stratified_targets_sample(
 
     def prune(batch: pa.Table) -> pa.Table:
         tgt = _ray.get(tref)
+        # pin EVERY column's Arrow type from the input block so empty or
+        # partially-pruned blocks can't emit null-typed columns (pandas
+        # infers all-NaN object columns as null on conversion)
+        schema = batch.select(cols).schema.append(pa.field("_rk", pa.string()))
         df = batch.select(cols).to_pandas()
         df = df[df[group_col].map(lambda g: tgt.get(g, 0) > 0)]
         if df.empty:
-            # pin _rk to string so empty blocks carry the same Arrow
-            # schema as populated ones (no null-typed column drift)
-            empty = pa.Table.from_pandas(df, preserve_index=False)
-            return empty.append_column("_rk", pa.array([], pa.string()))
+            return schema.empty_table()
         df["_rk"] = _rank_key(df[id_col].to_numpy())
         df = df.sort_values(["_rk", id_col], kind="mergesort")
         df = df.groupby(group_col, sort=False, group_keys=False).apply(
             lambda g: g.head(tgt[g.name])
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False, schema=schema)
 
     def pick(group: pd.DataFrame) -> pd.DataFrame:
         tgt = _ray.get(tref)

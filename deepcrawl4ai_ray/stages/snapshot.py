@@ -144,7 +144,11 @@ def recrawl_priority(
         import pandas as pd
 
         df = g if isinstance(g, pd.DataFrame) else g.to_pandas()
-        p = df.pivot_table(index=key_col, columns="snap", values="h", aggfunc="first")
+        # aggfunc=min: a key captured more than once within ONE snapshot
+        # collapses to its min(md5) deterministically (row order inside a
+        # shuffled group is not stable, so "first" would flip classes
+        # between runs)
+        p = df.pivot_table(index=key_col, columns="snap", values="h", aggfunc="min")
         p = p.reindex(columns=range(K))
         arr = p.to_numpy(dtype=object)
         present = ~pd.isna(p).to_numpy()  # pivot fills absences with NaN

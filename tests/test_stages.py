@@ -1119,3 +1119,41 @@ class TestPagerankBroadcast:
         assert abs(b.pr.sum() - 1.0) < 1e-9
         with pytest.raises(ValueError):
             pagerank(ds, rank_mode="gossip")
+
+
+class TestCdxEdgeCases:
+    def test_long_surt_beyond_stats_cap_still_found(self, ray_session, tmp_path):
+        """Parquet truncates/empties string statistics above 4 KB; the
+        manifest must come from the data, not the stats, or files with
+        one long SURT vanish from every lookup (review find)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.cdx import (
+            build_cdx_index,
+            cdx_prefix_lookup,
+            surt_prefix_for_host,
+        )
+
+        long_path = "/p/" + "x" * 5000  # SURT > 4 KB statistics cap
+        urls = [f"https://zz.example{long_path}"] + [
+            f"https://zz.example/p/{j}" for j in range(10)
+        ] + [f"https://aa.example/p/{j}" for j in range(10)]
+        df = pd.DataFrame({"url": urls, "warc_ts": range(len(urls))})
+        idx = str(tmp_path / "cdx_long")
+        build_cdx_index(rd.from_pandas(df).repartition(4), idx, "url")
+        got = cdx_prefix_lookup(idx, surt_prefix_for_host("zz.example")).to_pandas()
+        assert len(got) == 11  # the long URL AND its short siblings all found
+
+    def test_empty_index_lookup(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.cdx import build_cdx_index, cdx_prefix_lookup
+
+        df = pd.DataFrame({"url": pd.Series(dtype=str), "warc_ts": pd.Series(dtype="int64")})
+        idx = str(tmp_path / "cdx_empty")
+        build_cdx_index(rd.from_pandas(df), idx, "url")
+        out = cdx_prefix_lookup(idx, "nowhere)")
+        assert out.count() == 0
+        assert "surt" in out.schema().names
