@@ -3278,6 +3278,130 @@ FROM indeg GROUP BY host ORDER BY host
 """
 
 
+#: Gopher-style quality-gate thresholds (Rae et al. 2021, Table A1,
+#: adapted to this corpus's scale): token count window, mean-word-length
+#: window, repetition caps, minimum stopword occurrences.
+_GOPHER_RULES = dict(min_tok=30, max_tok=100_000, min_wl=3.0, max_wl=10.0, max_rep=0.2, min_stop=2)
+_GOPHER_STOPWORDS = ("the", "a")
+
+
+def gopher_quality_gate(sf_dir: str) -> pd.DataFrame:
+    """The composed Gopher-style quality GATE (Rae et al. 2021): five
+    rules per doc — token-count window, mean-word-length window,
+    top-2-gram coverage cap, duplicate-3-gram cap, minimum stopword
+    count — rolled up per lang with per-rule failure counts.  Entirely
+    map-side + one partial-agg groupby; every rule is a pure function
+    of the text so the whole multi-rule gate is hash-checked in SQL."""
+    import re as _re
+
+    from ..functions.repetition import repetition_stats
+    from ..stages.agg import partial_grouped_sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    word_re = _re.compile(r"\w+")
+    R = _GOPHER_RULES
+    stops = set(_GOPHER_STOPWORDS)
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        st = repetition_stats(texts)
+        n = len(texts)
+        fail_len = np.zeros(n, dtype=np.int64)
+        fail_wl = np.zeros(n, dtype=np.int64)
+        fail_rep = np.zeros(n, dtype=np.int64)
+        fail_stop = np.zeros(n, dtype=np.int64)
+        kept = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = word_re.findall((t or "").lower())
+            ntok = len(toks)
+            mwl = (sum(len(x) for x in toks) / ntok) if ntok else 0.0
+            nstop = sum(1 for x in toks if x in stops)
+            f_len = not (R["min_tok"] <= ntok <= R["max_tok"])
+            f_wl = not (R["min_wl"] <= mwl <= R["max_wl"])
+            f_rep = st["top2_frac"][i] > R["max_rep"] or st["dup3_frac"][i] > R["max_rep"]
+            f_stop = nstop < R["min_stop"]
+            fail_len[i], fail_wl[i] = f_len, f_wl
+            fail_rep[i], fail_stop[i] = f_rep, f_stop
+            kept[i] = not (f_len or f_wl or f_rep or f_stop)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "kept": pa.array(kept),
+                "f_len": pa.array(fail_len),
+                "f_wl": pa.array(fail_wl),
+                "f_rep": pa.array(fail_rep),
+                "f_stop": pa.array(fail_stop),
+            }
+        )
+
+    out = partial_grouped_sum(
+        ds.map_batches(metrics, batch_format="pyarrow"),
+        ["lang"],
+        sums=["kept", "f_len", "f_wl", "f_rep", "f_stop"],
+        count_alias="n_docs",
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "lang": out["lang"],
+            "n_docs": out["n_docs"].astype("int64"),
+            "n_kept": out["sum_kept"].astype("int64"),
+            "n_fail_len": out["sum_f_len"].astype("int64"),
+            "n_fail_wordlen": out["sum_f_wl"].astype("int64"),
+            "n_fail_rep": out["sum_f_rep"].astype("int64"),
+            "n_fail_stop": out["sum_f_stop"].astype("int64"),
+        }
+    )
+    # no rounded ratio column: n_kept/n_docs can land exactly on a .5
+    # rounding boundary (e.g. 0.78125) where numpy half-even and DuckDB
+    # half-away disagree; the exact integers carry the information
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+def _gopher_sql() -> str:
+    R = _GOPHER_RULES
+    stop_list = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '\\w+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, lang, len(w) AS n_tok,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE length(array_to_string(w, '')) * 1.0 / len(w) END AS mwl,
+         len(list_filter(w, x -> x IN ({stop_list}))) AS n_stop,
+         [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS g2,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)] AS g3
+  FROM tok
+),
+t2 AS (
+  SELECT doc_id, MAX(c) AS maxc FROM (
+    SELECT doc_id, gram, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+),
+t3 AS (
+  SELECT doc_id, 1.0 - COUNT(DISTINCT gram) * 1.0 / COUNT(*) AS dup3
+  FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY doc_id
+),
+rules AS (
+  SELECT g.lang,
+    CASE WHEN g.n_tok BETWEEN {R["min_tok"]} AND {R["max_tok"]} THEN 0 ELSE 1 END AS f_len,
+    CASE WHEN g.mwl >= {R["min_wl"]} AND g.mwl <= {R["max_wl"]} THEN 0 ELSE 1 END AS f_wl,
+    CASE WHEN (CASE WHEN g.n_tok >= 2 THEN 2.0 * t2.maxc / g.n_tok ELSE 0.0 END) > {R["max_rep"]}
+           OR COALESCE(t3.dup3, 0.0) > {R["max_rep"]} THEN 1 ELSE 0 END AS f_rep,
+    CASE WHEN g.n_stop >= {R["min_stop"]} THEN 0 ELSE 1 END AS f_stop
+  FROM g LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f_len + f_wl + f_rep + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(f_len) AS BIGINT) AS n_fail_len,
+       CAST(SUM(f_wl) AS BIGINT) AS n_fail_wordlen,
+       CAST(SUM(f_rep) AS BIGINT) AS n_fail_rep,
+       CAST(SUM(f_stop) AS BIGINT) AS n_fail_stop
+FROM rules GROUP BY lang ORDER BY lang
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3359,6 +3483,7 @@ QUERIES = {
     "recrawl_priority_plan": recrawl_priority_plan,
     "dup_cluster_reps": dup_cluster_reps,
     "link_degree_stats": link_degree_stats,
+    "gopher_quality_gate": gopher_quality_gate,
 }
 
 ORACLES = {
@@ -3432,6 +3557,7 @@ ORACLES = {
     "recrawl_priority_plan": _RECRAWL_SQL,
     "dup_cluster_reps": _DUP_CLUSTER_REPS_SQL,
     "link_degree_stats": _LINK_DEGREE_SQL,
+    "gopher_quality_gate": _gopher_sql(),
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

@@ -526,3 +526,35 @@ class TestC4LineFilter:
         )
         pd.testing.assert_frame_equal(one, many)
         assert len(one) == 5  # blank docs dropped, no crash on empty blocks
+
+
+class TestGopherGate:
+    def test_rules_fire_individually(self, ray_session, monkeypatch, tmp_path):
+        """Each rule must be decidable from a constructed doc."""
+        import re
+
+        from deepcrawl4ai_ray.functions.repetition import repetition_stats
+        from deepcrawl4ai_ray.pipelines.queries import _GOPHER_RULES as R
+        from deepcrawl4ai_ray.pipelines.queries import _GOPHER_STOPWORDS
+
+        word_re = re.compile(r"\w+")
+        stops = set(_GOPHER_STOPWORDS)
+
+        def classify(t):
+            toks = word_re.findall(t.lower())
+            ntok = len(toks)
+            mwl = (sum(map(len, toks)) / ntok) if ntok else 0.0
+            st = repetition_stats([t])
+            return {
+                "len": not (R["min_tok"] <= ntok <= R["max_tok"]),
+                "wl": not (R["min_wl"] <= mwl <= R["max_wl"]),
+                "rep": st["top2_frac"][0] > R["max_rep"] or st["dup3_frac"][0] > R["max_rep"],
+                "stop": sum(1 for x in toks if x in stops) < R["min_stop"],
+            }
+
+        good = "the a " + " ".join(f"word{i:02d}" for i in range(38))  # 40 distinct-ish tokens
+        assert not any(classify(good).values())
+        assert classify("the a short")["len"]
+        assert classify(("ab " * 40) + "the a")["wl"]  # mean word len 2
+        assert classify(("same gram " * 25) + "the a")["rep"]
+        assert classify("quick brown foxes jump high " * 8)["stop"]
