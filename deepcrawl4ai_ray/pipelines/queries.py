@@ -3402,6 +3402,81 @@ FROM rules GROUP BY lang ORDER BY lang
 """
 
 
+def hits_corpus(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs & authorities over the tiny-corpus link graph
+    (stages/pagerank.hits): the second classic link-analysis ranking
+    (Kleinberg 1999) next to PageRank — hub-ness finds link directories,
+    authority-ness finds link targets.  Two L2-normalized power
+    iterations, oracle-reproduced as unrolled CTEs."""
+    from ..functions.extract import extract_links
+    from ..sources.corpus import ensure
+    from ..stages.pagerank import hits
+
+    corpus = ensure("tiny")
+    pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs: list = []
+        dsts: list = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            for link in extract_links(h, u):
+                srcs.append(u)
+                dsts.append(link)
+        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
+
+    out = hits(pages.map_batches(edges, batch_format="pyarrow"), iters=2).to_pandas()
+    out = out.rename(columns={"node": "url"})
+    out["hub"] = out["hub"].round(6)
+    out["authority"] = out["authority"].round(6)
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _hits_sql(iters: int = 2) -> str:
+    parts = [
+        rf"""
+WITH pages AS (
+  SELECT url, decode(html) AS html,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+), links AS (
+  SELECT DISTINCT p.url AS src,
+         CASE WHEN href LIKE 'http%' THEN href
+              WHEN href = '/' THEN 'https://' || p.host
+              ELSE 'https://' || p.host || href END AS dst
+  FROM pages p, UNNEST(regexp_extract_all(p.html,
+       '<a\s[^>]*?href\s*=\s*["'']([^"''<>]+)["'']', 1)) AS u(href)
+), nodes AS (
+  SELECT src AS node FROM links UNION SELECT dst FROM links
+), h0 AS (SELECT node, 1.0 AS v FROM nodes)"""
+    ]
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+a{k}r AS (
+  SELECT l.dst AS node, SUM(p.v) AS v FROM links l JOIN {prev_h} p ON p.node = l.src GROUP BY l.dst
+),
+a{k} AS (
+  SELECT n.node, COALESCE(r.v, 0) / sqrt((SELECT SUM(v*v) FROM a{k}r)) AS v
+  FROM nodes n LEFT JOIN a{k}r r USING (node)
+),
+h{k}r AS (
+  SELECT l.src AS node, SUM(a.v) AS v FROM links l JOIN a{k} a ON a.node = l.dst GROUP BY l.src
+),
+h{k} AS (
+  SELECT n.node, COALESCE(r.v, 0) / sqrt((SELECT SUM(v*v) FROM h{k}r)) AS v
+  FROM nodes n LEFT JOIN h{k}r r USING (node)
+)"""
+        )
+        prev_h = f"h{k}"
+    parts.append(
+        f"""
+SELECT h{iters}.node AS url, ROUND(h{iters}.v, 6) AS hub, ROUND(a{iters}.v, 6) AS authority
+FROM h{iters} JOIN a{iters} ON a{iters}.node = h{iters}.node ORDER BY url"""
+    )
+    return "".join(parts)
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3484,6 +3559,7 @@ QUERIES = {
     "dup_cluster_reps": dup_cluster_reps,
     "link_degree_stats": link_degree_stats,
     "gopher_quality_gate": gopher_quality_gate,
+    "hits_corpus": hits_corpus,
 }
 
 ORACLES = {
@@ -3558,6 +3634,7 @@ ORACLES = {
     "dup_cluster_reps": _DUP_CLUSTER_REPS_SQL,
     "link_degree_stats": _LINK_DEGREE_SQL,
     "gopher_quality_gate": _gopher_sql(),
+    "hits_corpus": _hits_sql(2),
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

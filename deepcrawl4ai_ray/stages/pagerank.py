@@ -259,3 +259,195 @@ def _pagerank_broadcast(
     return ray.data.from_arrow(
         pa.table({"node": pa.array(node_arr, pa.string()), "pr": pa.array(pr, pa.float64())})
     )
+
+
+def hits(
+    edges: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    num_buckets: int = 32,
+    rank_mode: str = "auto",
+) -> "ray.data.Dataset":
+    """HITS hubs & authorities (Kleinberg 1999) over the DISTINCT edge
+    set → Dataset(node, hub, authority), each vector L2-normalized.
+
+    Iteration k:  a(v) = Σ_{u→v} h(u), normalize ‖a‖₂ = 1;
+                  h(u) = Σ_{u→v} a(v), normalize ‖h‖₂ = 1.
+    Same mode split as :func:`pagerank`: "join" = one hash_join + one
+    groupby per HALF-round (the 10^10-edge shape, rank tables never
+    leave the cluster); "broadcast" = per-half-round rank dict via
+    ``ray.put`` + one groupby over the distributed edge table, contrib
+    vector (≤ nodes, small by guard) normalized driver-side; "auto"
+    picks by node count.  Fixed-iteration so the unrolled-CTE SQL
+    oracle reproduces it exactly; mode equality is property-tested.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if rank_mode not in ("join", "broadcast", "auto"):
+        raise ValueError(f"unknown rank_mode {rank_mode!r}")
+
+    edges_d = (
+        edges.groupby([src, dst])
+        .aggregate(Count(alias_name="__c"))
+        .select_columns([src, dst])
+        .materialize()
+    )
+
+    def _as_node(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t[col]})
+
+        return fn
+
+    nodes_ds = (
+        edges_d.map_batches(_as_node(src), batch_format="pyarrow")
+        .union(edges_d.map_batches(_as_node(dst), batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Count(alias_name="__c"))
+        .select_columns(["node"])
+        .repartition(4)
+        .materialize()
+    )
+    n_nodes = nodes_ds.count()
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.string()),
+            "hub": pa.array([], pa.float64()),
+            "authority": pa.array([], pa.float64()),
+        }
+    )
+    if n_nodes == 0:
+        return ray.data.from_arrow(empty)
+    if rank_mode == "auto":
+        rank_mode = "broadcast" if n_nodes <= _BROADCAST_MAX_NODES else "join"
+    if rank_mode == "join":
+        return _hits_join(edges_d, nodes_ds, src, dst, iters, num_buckets)
+
+    from .join import cached_get
+
+    node_arr = nodes_ds.to_pandas()["node"].to_numpy(dtype=object)
+    node_idx = pd.Index(node_arr)
+    h = np.ones(n_nodes, dtype=np.float64)
+    a = np.zeros(n_nodes, dtype=np.float64)
+
+    def _propagate(vec: np.ndarray, key_col: str, out_col: str, slot: str) -> np.ndarray:
+        """sum vec[key] over edges grouped by the OTHER endpoint."""
+        lut_ref = ray.put(dict(zip(node_arr, vec)))
+
+        def contrib_batch(t: pa.Table, _ref=lut_ref) -> pa.Table:
+            lut = cached_get(_ref, slot)
+            vals = pd.Series(t[key_col].to_pylist(), dtype=object).map(lut).to_numpy(np.float64)
+            return pa.table({out_col: t[out_col], "c": pa.array(vals, pa.float64())})
+
+        cont = (
+            edges_d.map_batches(contrib_batch, batch_format="pyarrow")
+            .groupby(out_col)
+            .aggregate(Sum("c", alias_name="s"))
+            .to_pandas()
+        )
+        out = np.zeros(n_nodes, dtype=np.float64)
+        pos = node_idx.get_indexer(cont[out_col].to_numpy(dtype=object))
+        out[pos] = cont["s"].to_numpy(dtype=np.float64)
+        nrm = np.sqrt(float(np.sum(out * out)))
+        return out / nrm if nrm > 0 else out
+
+    for _ in range(iters):
+        a = _propagate(h, src, dst, "hits.h")
+        h = _propagate(a, dst, src, "hits.a")
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(node_arr, pa.string()),
+                "hub": pa.array(h, pa.float64()),
+                "authority": pa.array(a, pa.float64()),
+            }
+        )
+    )
+
+
+def _hits_join(edges_d, nodes_ds, src, dst, iters, num_buckets):
+    """Join-mode HITS: rank tables stay Datasets; each half-round is one
+    bucketed hash_join (edges ⋈ ranks on the propagating endpoint) + one
+    groupby(other endpoint) + a scalar sum-of-squares normalize."""
+
+    def _const(val: float):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": t["node"], "r": pa.array(np.full(len(t), val), pa.float64())}
+            )
+
+        return fn
+
+    def _propagate(ranks, key_col, out_col):
+        j = hash_join(
+            edges_d,
+            ranks.map_batches(
+                lambda t, k=key_col: t.rename_columns(
+                    [k if c == "node" else c for c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            ),
+            on=key_col,
+            num_buckets=num_buckets,
+        )
+        cont = (
+            j.map_batches(
+                lambda t, o=out_col: pa.table({"node": t[o], "c": t["r"]}),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="s"))
+            .materialize()
+        )
+        sq = cont.map_batches(
+            lambda t: pa.table({"q": pc.multiply(t["s"], t["s"])}), batch_format="pyarrow"
+        ).sum("q")
+        nrm = float(np.sqrt(sq or 0.0))
+
+        def norm_batch(t: pa.Table, _n=nrm) -> pa.Table:
+            r = pc.divide(t["s"], pa.scalar(_n, pa.float64())) if _n > 0 else t["s"]
+            return pa.table({"node": t["node"], "r": r})
+
+        cont_n = cont.map_batches(norm_batch, batch_format="pyarrow")
+        # nodes with no contribution get 0 (needed as join input next
+        # half-round): left join nodes onto contributions
+        filled = hash_join(
+            nodes_ds, cont_n.map_batches(
+                lambda t: t.rename_columns(["__n" if c == "node" else c for c in t.column_names]),
+                batch_format="pyarrow",
+            ),
+            on="node",
+            right_on="__n",
+            how="left",
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "r": pc.coalesce(t["r"], pa.scalar(0.0, pa.float64())),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return filled.repartition(4).materialize()
+
+    h = nodes_ds.map_batches(_const(1.0), batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(iters):
+        a = _propagate(h, src, dst)
+        h = _propagate(a, dst, src)
+
+    ha = hash_join(
+        h.map_batches(
+            lambda t: pa.table({"node": t["node"], "hub": t["r"]}), batch_format="pyarrow"
+        ),
+        a.map_batches(
+            lambda t: pa.table({"__n": t["node"], "authority": t["r"]}), batch_format="pyarrow"
+        ),
+        on="node",
+        right_on="__n",
+        num_buckets=num_buckets,
+    )
+    return ha.select_columns(["node", "hub", "authority"])

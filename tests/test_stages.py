@@ -1157,3 +1157,53 @@ class TestCdxEdgeCases:
         out = cdx_prefix_lookup(idx, "nowhere)")
         assert out.count() == 0
         assert "surt" in out.schema().names
+
+
+class TestHits:
+    def test_modes_equal_and_match_dense_reference(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.pagerank import hits
+
+        rng = np.random.RandomState(5)
+        e = pd.DataFrame(
+            {
+                "src": [f"n{i}" for i in rng.randint(0, 60, 300)],
+                "dst": [f"n{i}" for i in rng.randint(0, 60, 300)],
+            }
+        )
+        ds = rd.from_pandas(e)
+        b = hits(ds, iters=2, rank_mode="broadcast").to_pandas().sort_values("node").reset_index(drop=True)
+        j = hits(ds, iters=2, rank_mode="join").to_pandas().sort_values("node").reset_index(drop=True)
+        assert (b.node == j.node).all()
+        assert np.abs(b.hub - j.hub).max() < 1e-12
+        assert np.abs(b.authority - j.authority).max() < 1e-12
+
+        # dense numpy reference
+        nodes = sorted(set(e.src) | set(e.dst))
+        ix = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for s, d in set(zip(e.src, e.dst)):
+            A[ix[s], ix[d]] = 1
+        h = np.ones(len(nodes))
+        for _ in range(2):
+            a = A.T @ h
+            a /= np.linalg.norm(a)
+            h = A @ a
+            h /= np.linalg.norm(h)
+        assert np.abs(b.hub.to_numpy() - h).max() < 1e-12
+        assert np.abs(b.authority.to_numpy() - a).max() < 1e-12
+        # unit norms
+        assert abs(np.linalg.norm(b.hub) - 1) < 1e-9
+        assert abs(np.linalg.norm(b.authority) - 1) < 1e-9
+
+    def test_guards(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.pagerank import hits
+
+        ds = rd.from_pandas(pd.DataFrame({"src": ["a"], "dst": ["b"]}))
+        with pytest.raises(ValueError):
+            hits(ds, iters=0)
+        with pytest.raises(ValueError):
+            hits(ds, rank_mode="gossip")
