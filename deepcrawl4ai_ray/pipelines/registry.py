@@ -316,6 +316,22 @@ def _udf(ds, fn: Callable[[pa.Table], pa.Table], **kwargs):
     return ds.map_batches(fn, batch_format="pyarrow", **kwargs)
 
 
+@register("hits")
+def _hits(ds, src: str = "src", dst: str = "dst", iters: int = 2):
+    """HITS hubs/authorities over an edge Dataset (stages/pagerank.hits)."""
+    from ..stages.pagerank import hits
+
+    return hits(ds, src, dst, iters=iters)
+
+
+@register("pagerank")
+def _pagerank(ds, src: str = "src", dst: str = "dst", iters: int = 3):
+    """PageRank over an edge Dataset (stages/pagerank.pagerank)."""
+    from ..stages.pagerank import pagerank
+
+    return pagerank(ds, src, dst, iters=iters)
+
+
 @register("c4_clean")
 def _c4_clean(ds, id_col: str = "url", text_col: str = "text", min_words: int = 5, min_kept: int = 2):
     """C4-style line-level cleaning (stages/c4filter): per-doc kept-line
