@@ -3477,6 +3477,64 @@ FROM h{iters} JOIN a{iters} ON a{iters}.node = h{iters}.node ORDER BY url"""
     return "".join(parts)
 
 
+def boilerplate_removed_docs(sf_dir: str) -> pd.DataFrame:
+    """Cross-document boilerplate line removal (stages/c4filter
+    .boilerplate_line_dedup — the C4/WET rule: a line verbatim in >5
+    docs is template chrome).  Deterministic template injection gives
+    the rule real work: every doc gains a per-source footer line (each
+    source has ~25 docs, so every footer crosses the threshold and is
+    stripped; each doc's own unique text line survives).  One slim
+    line-md5 groupby + a broadcast strip pass."""
+    from ..stages.c4filter import boilerplate_line_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        texts = [
+            f"{t}\nsubscribe to the {s} newsletter for updates"
+            for t, s in zip(batch["text"].to_pylist(), batch["source"].to_pylist())
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(texts, pa.string())})
+
+    out = boilerplate_line_dedup(
+        ds.map_batches(inject, batch_format="pyarrow"), "doc_id", "text", min_docs=5
+    ).to_pandas()
+    for c in ("doc_id", "n_lines", "n_boiler_removed"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_BOILERPLATE_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || 'subscribe to the ' || source || ' newsletter for updates' AS t2
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(t2, chr(10)),
+                 x -> regexp_matches(x, '\S')))) AS line
+  FROM aug
+),
+cnt AS (SELECT line, COUNT(*) AS df FROM l GROUP BY line),
+boiler AS (SELECT COALESCE(list(line), []) AS bl FROM cnt WHERE df > 5),
+nb AS (
+  SELECT a.doc_id,
+         list_filter(string_split(a.t2, chr(10)), x -> regexp_matches(x, '\S')) AS nbl
+  FROM aug a
+),
+kept AS (
+  SELECT n.doc_id, n.nbl,
+         list_filter(n.nbl, x -> NOT list_contains(b.bl, x)) AS kl
+  FROM nb n CROSS JOIN boiler b
+)
+SELECT doc_id,
+       CAST(len(nbl) AS BIGINT) AS n_lines,
+       CAST(len(nbl) - len(kl) AS BIGINT) AS n_boiler_removed,
+       md5(COALESCE(list_aggregate(kl, 'string_agg', chr(10)), '')) AS clean_md5
+FROM kept ORDER BY doc_id
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3560,6 +3618,7 @@ QUERIES = {
     "link_degree_stats": link_degree_stats,
     "gopher_quality_gate": gopher_quality_gate,
     "hits_corpus": hits_corpus,
+    "boilerplate_removed_docs": boilerplate_removed_docs,
 }
 
 ORACLES = {
@@ -3635,6 +3694,7 @@ ORACLES = {
     "link_degree_stats": _LINK_DEGREE_SQL,
     "gopher_quality_gate": _gopher_sql(),
     "hits_corpus": _hits_sql(2),
+    "boilerplate_removed_docs": _BOILERPLATE_SQL,
     # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
     # knn_pq_top10 (approximate by design; indexed==unindexed,
     # refine≥N==brute-force, and recall-bound pytests), simhash

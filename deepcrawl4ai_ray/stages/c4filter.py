@@ -101,3 +101,88 @@ def c4_line_stats(
         make_c4_line_filter_fn(id_col, text_col, min_words, min_kept),
         batch_format="pyarrow",
     )
+
+
+def boilerplate_line_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "url",
+    text_col: str = "text",
+    min_docs: int = 5,
+    max_boiler: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Cross-document boilerplate LINE removal (the C4/WET cleaning rule:
+    a line occurring verbatim in many documents is template chrome —
+    nav, footers, cookie banners — not content): any non-blank line
+    appearing in more than ``min_docs`` DISTINCT documents is stripped
+    from every document.
+
+    Scale shape: documents reduce to slim DISTINCT (line_md5) rows per
+    doc inside map_batches (one md5 per distinct line — text never
+    shuffles), ONE groupby counts document frequency, and the
+    boilerplate set — tiny by construction (a line repeated across
+    >min_docs docs is template vocabulary, not content; guarded by
+    ``max_boiler``) — broadcasts via ray.put for the shuffle-free
+    per-doc strip pass.
+
+    → Dataset(id, n_lines, n_boiler_removed, clean_md5): non-blank line
+    count, lines stripped, md5 of the surviving text (kept lines joined
+    by newline, blank lines dropped).
+    """
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    from .join import cached_get
+
+    def doc_lines(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(batch[text_col], pattern="\n")
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        wc = pc.count_substring_regex(flat, pattern=r"\S+").to_numpy(zero_copy_only=False)
+        keep = wc > 0
+        fl = flat.to_pandas()[keep]
+        par = parents[keep]
+        # distinct per doc: one (doc, line_md5) row per distinct line
+        df = pd.DataFrame({"p": par, "h": md5_hex_many(list(fl))}).drop_duplicates()
+        return pa.table({"h": pa.array(df["h"].to_numpy(dtype=object), pa.string())})
+
+    freq = (
+        ds.map_batches(doc_lines, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="df"))
+    )
+    boiler_rows = freq.map_batches(
+        lambda t, m=min_docs: t.filter(pc.greater(t["df"], m)).select(["h"]),
+        batch_format="pyarrow",
+    ).take_all()
+    if len(boiler_rows) > max_boiler:
+        raise ValueError(
+            f"boilerplate set {len(boiler_rows)} exceeds max_boiler={max_boiler}; "
+            "raise min_docs (the set should be template vocabulary, not content)"
+        )
+    boiler_ref = _ray.put(frozenset(r["h"] for r in boiler_rows))
+
+    def strip(batch: pa.Table) -> pa.Table:
+        boiler = cached_get(boiler_ref, "c4.boiler")
+        lines = pc.split_pattern(batch[text_col], pattern="\n")
+        flat = lines.to_pylist() if not hasattr(lines, "to_pylist") else lines.to_pylist()
+        n = len(batch)
+        n_lines = np.zeros(n, dtype=np.int64)
+        n_rm = np.zeros(n, dtype=np.int64)
+        out = np.empty(n, dtype=object)
+        for i, ls in enumerate(flat):
+            nb = [l for l in (ls or []) if l.strip()]
+            hs = md5_hex_many(nb)
+            kept = [l for l, h in zip(nb, hs) if h not in boiler]
+            n_lines[i] = len(nb)
+            n_rm[i] = len(nb) - len(kept)
+            out[i] = "\n".join(kept)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_lines": pa.array(n_lines),
+                "n_boiler_removed": pa.array(n_rm),
+                "clean_md5": pa.array(md5_hex_many(list(out)), pa.string()),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow")

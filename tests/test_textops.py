@@ -558,3 +558,53 @@ class TestGopherGate:
         assert classify(("ab " * 40) + "the a")["wl"]  # mean word len 2
         assert classify(("same gram " * 25) + "the a")["rep"]
         assert classify("quick brown foxes jump high " * 8)["stop"]
+
+
+class TestBoilerplateLineDedup:
+    def test_strips_repeated_lines_keeps_unique(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.c4filter import boilerplate_line_dedup
+
+        footer = "all rights reserved contact us"
+        texts = [f"unique content line {i}\n{footer}" for i in range(10)]
+        texts.append("only unique here")
+        df = pd.DataFrame({"url": [f"u{i:02d}" for i in range(11)], "text": texts})
+        out = (
+            boilerplate_line_dedup(rd.from_pandas(df), "url", "text", min_docs=5)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert out.n_boiler_removed.tolist() == [1] * 10 + [0]
+        assert out.n_lines.tolist() == [2] * 10 + [1]
+        assert (
+            out.clean_md5.iloc[0]
+            == hashlib.md5(b"unique content line 0").hexdigest()
+        )
+
+    def test_threshold_boundary_and_dup_within_doc(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.c4filter import boilerplate_line_dedup
+
+        # line in EXACTLY min_docs docs is NOT boilerplate (> is strict);
+        # a line repeated inside one doc counts that doc once
+        texts = ["shared\nshared\nown0", "shared\nown1", "shared\nown2"]
+        df = pd.DataFrame({"url": ["a", "b", "c"], "text": texts})
+        out = boilerplate_line_dedup(rd.from_pandas(df), "url", "text", min_docs=3).to_pandas()
+        assert out.n_boiler_removed.sum() == 0  # df('shared') == 3, not > 3
+        out2 = boilerplate_line_dedup(rd.from_pandas(df), "url", "text", min_docs=2).to_pandas()
+        assert out2.sort_values("url").n_boiler_removed.tolist() == [2, 1, 1]
+
+    def test_max_boiler_guard(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.c4filter import boilerplate_line_dedup
+
+        df = pd.DataFrame({"url": list("abcdef"), "text": ["x"] * 6})
+        with _pytest.raises(ValueError, match="max_boiler"):
+            boilerplate_line_dedup(rd.from_pandas(df), "url", "text", min_docs=2, max_boiler=0)
