@@ -341,6 +341,14 @@ def _c4_clean(ds, id_col: str = "url", text_col: str = "text", min_words: int = 
     return c4_line_stats(ds, id_col, text_col, min_words, min_kept)
 
 
+@register("boilerplate_dedup")
+def _boilerplate_dedup(ds, id_col: str = "url", text_col: str = "text", min_docs: int = 5):
+    """Cross-document boilerplate line removal (stages/c4filter)."""
+    from ..stages.c4filter import boilerplate_line_dedup
+
+    return boilerplate_line_dedup(ds, id_col, text_col, min_docs)
+
+
 @register("anchor_stats")
 def _anchor_stats(ds):
     """Anchor-text aggregation (stages/anchors): pages (url, html) →
