@@ -164,7 +164,7 @@ def boilerplate_line_dedup(
     def strip(batch: pa.Table) -> pa.Table:
         boiler = cached_get(boiler_ref, "c4.boiler")
         lines = pc.split_pattern(batch[text_col], pattern="\n")
-        flat = lines.to_pylist() if not hasattr(lines, "to_pylist") else lines.to_pylist()
+        flat = lines.to_pylist()
         n = len(batch)
         n_lines = np.zeros(n, dtype=np.int64)
         n_rm = np.zeros(n, dtype=np.int64)

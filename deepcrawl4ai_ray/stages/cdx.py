@@ -42,14 +42,17 @@ def surt_key(url: str) -> str:
     if not sep:
         rest = url
     host, slash, path = rest.partition("/")
-    rev = ",".join(reversed(host.split(".")))
+    # archive SURT convention lowercases the host (DNS is case-insensitive)
+    # so a capture of https://Host.Example and a lowercase prefix lookup
+    # land on the same key; the path stays case-sensitive.
+    rev = ",".join(reversed(host.lower().split(".")))
     return rev + ")" + (("/" + path) if slash else "")
 
 
 def surt_prefix_for_host(host: str) -> str:
     """The SURT prefix covering every URL of ``host`` (exact-host
     match, subdomains excluded — they sort under a longer prefix)."""
-    return ",".join(reversed(host.split("."))) + ")"
+    return ",".join(reversed(host.lower().split("."))) + ")"
 
 
 def make_surt_fn(url_col: str = "url"):

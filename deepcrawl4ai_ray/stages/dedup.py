@@ -88,13 +88,22 @@ def _dedup_pairs(pairs: "ray.data.Dataset", schema: pa.Schema, val_col: str | No
 #: two extra all-to-all joins would move.
 _BROADCAST_MAX_PAIRS = 200_000
 
+#: auto mode additionally bounds the broadcast by the MEASURED bytes of
+#: the endpoint-filtered payload rows (pair COUNT alone under-estimates
+#: fat payloads — shingle sets of long docs can be 100s of KB/row, so
+#: 2×200k rows could be tens of GB through the driver).  The filtered
+#: payload is materialized in the object store first; if it exceeds this
+#: budget auto falls back to the prune path.
+_BROADCAST_MAX_PAYLOAD_BYTES = 512 * 2**20
+
 
 def _broadcast_payload(
     pairs: "ray.data.Dataset",
     payload: "ray.data.Dataset",
     id_col: str,
     pay_col: str,
-) -> "ray.data.Dataset":
+    byte_budget: int | None = None,
+) -> "ray.data.Dataset | None":
     """Small-pairs fast path: the candidate endpoint set is collected
     (bounded by the caller's auto guard), the payload table is filtered
     to those ids in one scan, and the surviving payload rows are
@@ -127,7 +136,12 @@ def _broadcast_payload(
         idset = cached_get(ids_ref, "dedup.payload_ids")
         return t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=idset))
 
-    rows = payload.map_batches(keep, batch_format="pyarrow").to_pandas()
+    filtered = payload.map_batches(keep, batch_format="pyarrow").materialize()
+    if byte_budget is not None and (filtered.size_bytes() or 0) > byte_budget:
+        # fat payloads: the broadcast LUT would stream this through the
+        # driver — signal the caller to fall back to the prune join.
+        return None
+    rows = filtered.to_pandas()
     lut_ref = _ray.put(dict(zip((int(x) for x in rows[id_col]), rows[pay_col])))
 
     def attach(t: pa.Table) -> pa.Table:
@@ -176,7 +190,10 @@ def _join_payload(
                    zero join shuffles; only valid when the pair set is
                    genuinely small.
       "auto":      count the (materialized) pairs and pick broadcast
-                   vs prune at _BROADCAST_MAX_PAIRS.
+                   vs prune at _BROADCAST_MAX_PAIRS, with a measured
+                   payload-byte budget (_BROADCAST_MAX_PAYLOAD_BYTES)
+                   as the second gate — fat payloads fall back to prune
+                   even when the pair count is small.
     """
     from ..state.bloom import BloomFilter
     from .join import _BCAST_CACHE, _hash_col, build_bloom_bytes, hash_join
@@ -185,7 +202,13 @@ def _join_payload(
         raise ValueError(f"unknown payload mode {mode!r}")
     if mode == "auto":
         pairs = pairs.materialize()
-        mode = "broadcast" if pairs.count() <= _BROADCAST_MAX_PAIRS else "prune"
+        if pairs.count() <= _BROADCAST_MAX_PAIRS:
+            out = _broadcast_payload(
+                pairs, payload, id_col, pay_col, byte_budget=_BROADCAST_MAX_PAYLOAD_BYTES
+            )
+            if out is not None:
+                return out
+        mode = "prune"
     if mode == "broadcast":
         return _broadcast_payload(pairs, payload, id_col, pay_col)
     prune = mode == "prune"

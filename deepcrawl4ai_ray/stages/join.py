@@ -284,19 +284,7 @@ def hash_join(
     lk = list(dict.fromkeys(l_cols))
     rk = list(dict.fromkeys(r_cols))
 
-    def merge(group: pa.Table) -> pa.Table:
-        # Operate on the ARROW group and only convert each side to pandas
-        # AFTER selecting its own columns: the union's null-padding would
-        # otherwise promote every int column to float64 in a whole-group
-        # pandas frame — silently corrupting int keys > 2^53 and hashing
-        # chained-join keys inconsistently (int modulo path vs float
-        # object-hash path), which drops matches.
-        mask = pc.equal(group["__side"], "l")
-        lg = group.filter(mask).select(lk).to_pandas()
-        rg = group.filter(pc.invert(mask)).select(rk).to_pandas()
-        # merge on empty inputs still yields the full merged column set
-        # with dtypes — never a column-less frame (schema stability)
-        m = lg.merge(rg, left_on=on, right_on=right_on, how=how)
+    def _pin_schema(m: "pd.DataFrame") -> pa.Table:
         if how != "inner":
             # unmatched right columns arrive as float NaN; restore nullable
             # ints so the output schema matches the inner-join groups
@@ -312,4 +300,30 @@ def hash_join(
         )
         return pa.Table.from_pandas(m, preserve_index=False, schema=schema)
 
-    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+    def merge(group: pa.Table) -> pa.Table:
+        # Operate on the ARROW group and only convert each side to pandas
+        # AFTER selecting its own columns: the union's null-padding would
+        # otherwise promote every int column to float64 in a whole-group
+        # pandas frame — silently corrupting int keys > 2^53 and hashing
+        # chained-join keys inconsistently (int modulo path vs float
+        # object-hash path), which drops matches.
+        mask = pc.equal(group["__side"], "l")
+        lg = group.filter(mask).select(lk).to_pandas()
+        rg = group.filter(pc.invert(mask)).select(rk).to_pandas()
+        # merge on empty inputs still yields the full merged column set
+        # with dtypes — never a column-less frame (schema stability)
+        m = lg.merge(rg, left_on=on, right_on=right_on, how=how)
+        return _pin_schema(m)
+
+    joined = both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+    # Seed the output with a schema-pinned EMPTY block: when every group's
+    # merge is empty Ray drops the empty blocks entirely and the dataset
+    # loses its schema (to_pandas → a column-less (0,0) frame).  The seed
+    # block is produced by the exact same empty-frame merge + schema pin,
+    # so it is always schema-identical to the live groups and costs one
+    # zero-row block.
+    empty_l = pa.table({c: pa.array([], type=l_types[c]) for c in lk}).to_pandas()
+    empty_r = pa.table({c: pa.array([], type=r_types[c]) for c in rk}).to_pandas()
+    seed = _pin_schema(empty_l.merge(empty_r, left_on=on, right_on=right_on, how=how))
+    return ray.data.from_arrow(seed).union(joined)

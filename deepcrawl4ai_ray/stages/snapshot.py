@@ -130,7 +130,9 @@ def recrawl_priority(
                 {
                     key_col: batch[key_col],
                     "h": pa.array(h, pa.string()),
-                    "snap": pa.array(np.full(len(batch), idx, dtype=np.int8)),
+                    # int32: with int8, >127 snapshots wraps the index
+                    # negative and the pivot reindex silently drops them
+                    "snap": pa.array(np.full(len(batch), idx, dtype=np.int32)),
                     "__b": pa.array(_key_buckets(batch[key_col], num_buckets)),
                 }
             )

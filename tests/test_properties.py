@@ -181,9 +181,10 @@ class TestHashJoinRandomized:
             {"k2": rng.integers(0, 40, size=rng.integers(1, 120)).astype(np.int64)}
         )
         right["b"] = np.arange(len(right), dtype=np.int64)
-        got = (
+        from deepcrawl4ai_ray.convert import to_pandas
+
+        got = to_pandas(
             hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="k2", how=how, num_buckets=8)
-            .to_pandas()
         )
         want = left.merge(right, left_on="k", right_on="k2", how=how)
         key = ["k", "a", "b"]

@@ -97,6 +97,32 @@ class TestHashJoin:
         got = hash_join(_ds(left), _ds(right), on="k", right_on="k2", num_buckets=4).to_pandas()
         assert sorted(got["k"]) == sorted(ks[::2])
 
+    def test_zero_overlap_preserves_schema(self):
+        """Regression (r3 verdict #1, hypothesis seed 233): a join whose
+        result is EMPTY must keep the merged column set + dtypes.  Ray
+        drops zero-row blocks, so without the schema-pinned seed block an
+        all-empty join came back as a column-less (0, 0) frame and any
+        downstream select/filter crashed."""
+        from deepcrawl4ai_ray.convert import to_pandas
+        from deepcrawl4ai_ray.stages.join import hash_join
+
+        left = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64), "a": ["x", "y", "z"]})
+        right = pd.DataFrame({"k2": np.array([10, 20], dtype=np.int64), "b": [1.5, 2.5]})
+        for how, want_rows in (("inner", 0), ("left", 3), ("outer", 5)):
+            ds = hash_join(_ds(left), _ds(right), on="k", right_on="k2", how=how, num_buckets=8)
+            sch = dict(zip(ds.schema().names, ds.schema().types))
+            assert sch == {"k": pa.int64(), "a": pa.string(), "k2": pa.int64(), "b": pa.float64()}, how
+            got = to_pandas(ds)
+            assert list(got.columns) == ["k", "a", "k2", "b"], how
+            assert len(got) == want_rows, how
+            # downstream ops on the (possibly empty) result must not crash
+            assert ds.select_columns(["k", "b"]).count() == want_rows
+        # same-name key, all-empty inner join
+        ds = hash_join(_ds(left), _ds(pd.DataFrame({"k": np.array([9], dtype=np.int64), "b": [0.0]})), on="k", num_buckets=4)
+        got = to_pandas(ds)
+        assert list(got.columns) == ["k", "a", "b"] and len(got) == 0
+        assert got.dtypes["k"].kind == "i" and got.dtypes["b"].kind == "f"
+
     def test_overlapping_columns_rejected(self):
         from deepcrawl4ai_ray.stages.join import hash_join
 
@@ -904,6 +930,11 @@ class TestCdxIndex:
         assert surt_key("https://host.example") == "example,host)"
         assert surt_key("http://h.x/") == "x,h)/"
         # the ')' terminator keeps host prefixes exact
+        # SURT lowercases the host (archive convention): a mixed-case
+        # capture must be found by a lowercase-host prefix lookup; the
+        # path stays case-sensitive.
+        assert surt_key("https://Host.Example/Path/X") == "example,host)/Path/X"
+        assert surt_key("https://HOST.example/p").startswith(surt_prefix_for_host("host.EXAMPLE"))
         assert surt_key("https://host-70.example/p/0").startswith("example,host-70)")
         assert not surt_key("https://host-70.example/p/0").startswith(
             surt_prefix_for_host("host-7.example")
