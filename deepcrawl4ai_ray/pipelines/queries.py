@@ -2587,10 +2587,18 @@ def quality_model_scores(sf_dir: str) -> pd.DataFrame:
     the fastText/logreg doc-filter pattern with a deterministic kernel
     so the full inference pass is oracle-checkable.  Per-lang rollup of
     kept docs (score > 1.8) via per-batch partial aggregation."""
-    from ..stages.modelscore import quality_model_stage
+    import os
+
+    from ..stages.modelscore import DEFAULT_WEIGHTS, quality_model_stage, save_linear_model
 
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
-    scored = quality_model_stage(ds, text_col="text", concurrency=4)
+    # exercise the real model-artifact plumbing: weights round-trip
+    # through an on-disk model file (parsed once driver-side, broadcast
+    # via ray.put) — output identical to in-memory weights by format.
+    model_dir = "/tmp/dc4r_models"
+    os.makedirs(model_dir, exist_ok=True)
+    model_path = save_linear_model(os.path.join(model_dir, "linear_default.bin"), DEFAULT_WEIGHTS)
+    scored = quality_model_stage(ds, text_col="text", concurrency=4, model_path=model_path)
 
     def partials(batch: pa.Table) -> pa.Table:
         keep = pc.cast(pc.greater(batch["score"], 1.8), pa.int64())

@@ -23,6 +23,7 @@ pass/fail cut and all downstream aggregates bit-stable across engines).
 
 from __future__ import annotations
 
+import struct
 from typing import Dict, Sequence
 
 import pyarrow as pa
@@ -31,6 +32,35 @@ import pyarrow.compute as pc
 import ray
 
 DEFAULT_WEIGHTS = (0.10, 0.35, -2.00, 1.50)  # (w0, w1_len, w2_space, w3_digit)
+
+#: on-disk linear-model format (fastText-style single artifact, minimal):
+#: magic ``DC4RLIN1`` | uint32 LE n_weights | n×float64 LE.  The file is
+#: parsed ONCE on the driver and the weights broadcast via ``ray.put`` —
+#: workers never need the path to exist locally (object-store broadcast
+#: is the multi-node-safe model-distribution channel, not a shared FS).
+MODEL_MAGIC = b"DC4RLIN1"
+
+
+def save_linear_model(path: str, weights: Sequence[float] = DEFAULT_WEIGHTS) -> str:
+    """Serialize a linear scorer to ``path`` (see MODEL_MAGIC format)."""
+    w = [float(x) for x in weights]
+    with open(path, "wb") as f:
+        f.write(MODEL_MAGIC)
+        f.write(struct.pack("<I", len(w)))
+        f.write(struct.pack(f"<{len(w)}d", *w))
+    return path
+
+
+def load_linear_model(path: str) -> tuple:
+    """Parse a model file written by :func:`save_linear_model`."""
+    with open(path, "rb") as f:
+        magic = f.read(len(MODEL_MAGIC))
+        if magic != MODEL_MAGIC:
+            raise ValueError(f"{path}: bad model magic {magic!r} (want {MODEL_MAGIC!r})")
+        (n,) = struct.unpack("<I", f.read(4))
+        if not 1 <= n <= 1_000_000:
+            raise ValueError(f"{path}: implausible weight count {n}")
+        return struct.unpack(f"<{n}d", f.read(8 * n))
 
 
 class LinearScoreStage:
@@ -83,8 +113,16 @@ def quality_model_stage(
     weights: Sequence[float] = DEFAULT_WEIGHTS,
     concurrency: int = 4,
     batch_size: int = 1024,
+    model_path: str | None = None,
 ) -> "ray.data.Dataset":
-    """Attach a ``score`` column via the broadcast-weights actor pool."""
+    """Attach a ``score`` column via the broadcast-weights actor pool.
+
+    ``model_path`` exercises the real model-distribution plumbing: the
+    file is parsed once driver-side (:func:`load_linear_model`) and the
+    weights broadcast — identical output to passing ``weights`` directly.
+    """
+    if model_path is not None:
+        weights = load_linear_model(model_path)
     ref = ray.put(tuple(float(x) for x in weights))
     return ds.map_batches(
         LinearScoreStage,

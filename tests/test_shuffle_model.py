@@ -129,6 +129,78 @@ class TestLinearScoreStage:
         with pytest.raises(ValueError):
             LinearScoreStage((1.0, 2.0))
 
+    def test_model_file_roundtrip_exact(self, tmp_path):
+        from deepcrawl4ai_ray.stages.modelscore import load_linear_model, save_linear_model
+
+        w = (0.1, -2.5e-7, 3.14159265358979, 1e300)
+        p = save_linear_model(str(tmp_path / "m.bin"), w)
+        assert load_linear_model(p) == w  # bit-exact float64 round-trip
+
+    def test_model_file_bad_magic_rejected(self, tmp_path):
+        from deepcrawl4ai_ray.stages.modelscore import load_linear_model
+
+        p = tmp_path / "bad.bin"
+        p.write_bytes(b"NOTMODEL" + b"\x00" * 16)
+        with pytest.raises(ValueError, match="magic"):
+            load_linear_model(str(p))
+
+    def test_model_path_equals_in_memory_weights(self, ray_session, tmp_path):
+        """The file→parse→broadcast path must be output-identical to
+        passing weights directly (oracle unchanged)."""
+        from deepcrawl4ai_ray.stages.modelscore import quality_model_stage, save_linear_model
+
+        texts = self._texts()
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        w = (0.2, 0.4, -1.0, 2.0)
+        p = save_linear_model(str(tmp_path / "m.bin"), w)
+        a = quality_model_stage(_ds(df, blocks=2), weights=w, concurrency=2).to_pandas().sort_values("doc_id")
+        b = quality_model_stage(_ds(df, blocks=2), model_path=p, concurrency=2).to_pandas().sort_values("doc_id")
+        assert a["score"].tolist() == b["score"].tolist()
+
+    def test_weights_resolved_once_per_actor_process(self, ray_session):
+        """Setup-once discipline: across many batches the weights ref is
+        resolved in __init__ only — every batch a process scores reports
+        the SAME init generation (1 per actor process)."""
+        import os
+
+        import pyarrow as pa
+        import ray
+
+        from deepcrawl4ai_ray.stages.modelscore import LinearScoreStage
+
+        class CountingStage(LinearScoreStage):
+            def __init__(self, weights_ref):
+                import deepcrawl4ai_ray.stages.modelscore as m
+
+                m._TEST_INITS = getattr(m, "_TEST_INITS", 0) + 1
+                super().__init__(weights_ref)
+                self._gen = m._TEST_INITS
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                out = super().__call__(batch)
+                n = len(batch)
+                return out.append_column("pid", pa.array([os.getpid()] * n)).append_column(
+                    "gen", pa.array([self._gen] * n)
+                )
+
+        df = pd.DataFrame({"doc_id": range(64), "text": ["x y 1"] * 64})
+        ref = ray.put((0.0, 1.0, 0.0, 0.0))
+        out = (
+            _ds(df, blocks=8)
+            .map_batches(
+                CountingStage,
+                fn_constructor_kwargs={"weights_ref": ref},
+                batch_format="pyarrow",
+                concurrency=2,
+                batch_size=8,
+            )
+            .to_pandas()
+        )
+        # each actor process constructed the stage exactly once, however
+        # many batches it scored
+        assert (out.groupby("pid")["gen"].nunique() == 1).all()
+        assert (out.groupby("pid")["gen"].max() == 1).all()
+
 
 class TestMixtureSample:
     def _df(self, n=300):
