@@ -2779,6 +2779,72 @@ ORDER BY s.id_a, s.id_b
 """
 
 
+def span_removed_docs(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-span REMOVAL (stages/dupspans.remove_duplicate_spans):
+    the Lee et al. / RefinedWeb exact-substring cleaning step — every
+    token covered by a word 13-gram appearing in ≥2 distinct documents
+    is deleted; output is the md5 of the cleaned token stream per doc
+    (byte-level oracle check) plus the kept-token count.  Over the same
+    augmented corpus as dup_span_pairs so the planted copies make the
+    removal non-trivial."""
+    from ..functions.hashing import md5_hex
+    from ..stages.dupspans import remove_duplicate_spans
+
+    out = remove_duplicate_spans(
+        _augmented_docs(sf_dir), "doc_id", "text", n=13, min_df=2
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cleaned = batch["cleaned"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "cleaned_md5": pa.array([md5_hex(c) for c in cleaned], pa.string()),
+                "n_kept": pa.array(
+                    [0 if not c else c.count(" ") + 1 for c in cleaned], pa.int64()
+                ),
+            }
+        )
+
+    df = out.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# token-level removal oracle over the same augmented corpus: positions
+# covered by any df>=2 13-gram window are dropped, survivors rejoined
+# with single spaces (array_to_string([]) is NULL in DuckDB — coalesce
+# to '' so fully-covered docs hash like the engine's empty string).
+_SPAN_REMOVED_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string((string_split(text, ' '))[1:len(string_split(text, ' '))-1], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM aug),
+g AS (
+  SELECT doc_id,
+         UNNEST([i for i in range(1, len(w) - 11)]) AS i,
+         UNNEST([array_to_string(w[i:i+12], ' ') for i in range(1, len(w) - 11)]) AS gram
+  FROM w WHERE len(w) >= 13
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+cov0 AS (SELECT g.doc_id, UNNEST([p for p in range(g.i, g.i + 13)]) AS p FROM g JOIN dup USING (gram)),
+covl AS (SELECT doc_id, list(DISTINCT p) AS ps FROM cov0 GROUP BY doc_id),
+clean AS (
+  SELECT w.doc_id,
+         [w.w[p] for p in range(1, len(w.w) + 1)
+          if NOT list_contains(coalesce(c.ps, CAST([] AS BIGINT[])), p)] AS kept
+  FROM w LEFT JOIN covl c USING (doc_id)
+)
+SELECT doc_id,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5,
+       len(kept) AS n_kept
+FROM clean ORDER BY doc_id
+"""
+
+
 def chunked_docs(sf_dir: str) -> pd.DataFrame:
     """Fixed-size chunk splitter (stages/chunk): the reference's
     4096-char result chunker (utils.py:345-358, chunk_index /
@@ -3615,6 +3681,7 @@ QUERIES = {
     "delta_near_dup_docs": delta_near_dup_docs,
     "mixture_sampled_docs": mixture_sampled_docs,
     "dup_span_pairs": dup_span_pairs,
+    "span_removed_docs": span_removed_docs,
     "chunked_docs": chunked_docs,
     "crawl_snapshot_diff": crawl_snapshot_diff,
     "anchor_text_agg": anchor_text_agg,
@@ -3691,6 +3758,7 @@ ORACLES = {
     "delta_near_dup_docs": _DELTA_NEAR_DUP_SQL,
     "mixture_sampled_docs": _mixture_sql(),
     "dup_span_pairs": _DUP_SPANS_SQL,
+    "span_removed_docs": _SPAN_REMOVED_SQL,
     "chunked_docs": _CHUNKED_DOCS_SQL,
     "crawl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "anchor_text_agg": _anchor_sql(),

