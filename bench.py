@@ -30,6 +30,39 @@ def _pages_count(corpus: str) -> int:
     return sum(pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(corpus, "pages", "*.parquet")))
 
 
+def _wet_one(args):
+    import pyarrow.parquet as pq
+
+    from deepcrawl4ai_ray.sources.warc import write_wet_file
+
+    src, dst = args
+    t = pq.read_table(src, columns=["url", "text"])
+    write_wet_file(dst, t["url"].to_pylist(), t["text"].to_pylist())
+    return dst
+
+
+def _ensure_wet_corpus(corpus: str) -> str:
+    """pages parquet → one .warc.wet.gz per parquet file, cached by the
+    corpus signature (mtime+size of every pages file)."""
+    import hashlib
+    from multiprocessing import Pool
+
+    files = sorted(glob.glob(os.path.join(corpus, "pages", "*.parquet")))
+    sig = "|".join(f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}" for f in files)
+    out = f"/tmp/dc4r_wet_bench/{hashlib.md5(sig.encode()).hexdigest()[:12]}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        jobs = [
+            (f, os.path.join(out, f"part-{i:04d}.warc.wet.gz")) for i, f in enumerate(files)
+        ]
+        with Pool(min(16, len(jobs) or 1)) as p:
+            p.map(_wet_one, jobs)
+        open(done, "w").close()
+    return out
+
+
 def run_bench(num_cpus: int, sf_dir: str) -> dict:
     import ray
 
@@ -111,6 +144,23 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     t_extract = time.time() - t0
     results["extract_pages_per_sec"] = round(n_pages * repeat / t_extract, 1)
     results["queries"]["extract_pipeline"] = round(t_extract, 3)
+
+    # ---- WET ingestion (the Common-Crawl source path) --------------------
+    # corpus pages re-serialized once (cached) as multi-member-gzip WET
+    # archives; measures the from-scratch WARC datasource's parallel
+    # read+parse throughput (one task per archive, the 100-TB shape).
+    if not os.environ.get("DCR_BENCH_SKIP_QUERIES"):
+        from deepcrawl4ai_ray.sources.warc import read_wet
+
+        wet_dir = _ensure_wet_corpus(corpus)
+        t0 = time.time()
+        wet_ds = read_wet(wet_dir)
+        n_wet = wet_ds.count()
+        mb = wet_ds.sum("content_length") / 1e6
+        t_wet = time.time() - t0
+        results["queries"]["wet_read"] = round(t_wet, 3)
+        results["wet_pages_per_sec"] = round(n_wet / t_wet, 1)
+        results["wet_mb_per_sec"] = round(mb / t_wet, 1)
 
     # ---- crawl loop (politeness-free throughput mode) -------------------
     crawl_out = "/tmp/dc4r_bench/crawl_out"

@@ -2779,6 +2779,73 @@ ORDER BY s.id_a, s.id_b
 """
 
 
+def _ensure_wet_fixture(sf_dir: str, n_files: int = 8) -> str:
+    """documents.parquet → a directory of spec-conformant multi-member
+    .warc.wet.gz files (one gzip member per record, Common-Crawl
+    layout), deterministic and cached by the parquet's mtime+size."""
+    import hashlib
+    import os as _os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..sources.warc import write_wet_file
+
+    doc_path = _p(sf_dir, "documents")
+    st = _os.stat(doc_path)
+    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    out_dir = f"/tmp/dc4r_wet/{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    done = f"{out_dir}/_DONE"
+    if not _os.path.exists(done):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        _os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(doc_path, columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        for k in range(n_files):
+            sel = [(i, tx) for i, tx in zip(ids, texts) if i % n_files == k]
+            write_wet_file(
+                f"{out_dir}/part-{k:02d}.warc.wet.gz",
+                [f"https://docs.example/{i}" for i, _ in sel],
+                [tx for _, tx in sel],
+            )
+        open(done, "w").close()
+    return out_dir
+
+
+def wet_extract(sf_dir: str) -> pd.DataFrame:
+    """Common-Crawl WET ingestion (sources/warc): the corpus serialized
+    as multi-member-gzip WARC/1.0 conversion records is read back by
+    the from-scratch Ray datasource (one read task per archive, records
+    streamed into bounded Arrow batches) — per-record byte identity
+    proven by md5 + utf-8 byte length against the source parquet."""
+    from ..functions.hashing import md5_hex_many
+    from ..sources.warc import read_wet
+
+    wet_dir = _ensure_wet_fixture(sf_dir)
+    ds = read_wet(wet_dir)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "text_md5": pa.array(md5_hex_many(batch["text"].to_pylist()), pa.string()),
+                "n_bytes": batch["content_length"],
+            }
+        )
+
+    df = ds.map_batches(fin, batch_format="pyarrow").to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+_WET_EXTRACT_SQL = """
+SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+       md5(text) AS text_md5,
+       octet_length(encode(text)) AS n_bytes
+FROM documents ORDER BY url
+"""
+
+
 def span_removed_docs(sf_dir: str) -> pd.DataFrame:
     """Duplicate-span REMOVAL (stages/dupspans.remove_duplicate_spans):
     the Lee et al. / RefinedWeb exact-substring cleaning step — every
@@ -3682,6 +3749,7 @@ QUERIES = {
     "mixture_sampled_docs": mixture_sampled_docs,
     "dup_span_pairs": dup_span_pairs,
     "span_removed_docs": span_removed_docs,
+    "wet_extract": wet_extract,
     "chunked_docs": chunked_docs,
     "crawl_snapshot_diff": crawl_snapshot_diff,
     "anchor_text_agg": anchor_text_agg,
@@ -3759,6 +3827,7 @@ ORACLES = {
     "mixture_sampled_docs": _mixture_sql(),
     "dup_span_pairs": _DUP_SPANS_SQL,
     "span_removed_docs": _SPAN_REMOVED_SQL,
+    "wet_extract": _WET_EXTRACT_SQL,
     "chunked_docs": _CHUNKED_DOCS_SQL,
     "crawl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "anchor_text_agg": _anchor_sql(),
