@@ -51,6 +51,25 @@ def token_hashes(text: str) -> np.ndarray:
     return pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False)
 
 
+def token_hashes_md5(text: str) -> np.ndarray:
+    """uint64 hash per word token via md5 — the ORACLE-CHECKABLE variant.
+
+    Matches DuckDB ``md5_number_lower(tok)`` exactly (digest bytes
+    [8:16], little-endian), so SimHash signatures built on it can be
+    verified by a pure-SQL oracle.  Slower than token_hashes (one
+    hashlib call per token vs one C pass per doc) — use for the
+    oracle-backed query surface; keep token_hashes for hot paths.
+    """
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    h = hashlib.md5
+    return np.array(
+        [int.from_bytes(h(t.encode("utf-8")).digest()[8:16], "little") for t in toks],
+        dtype=np.uint64,
+    )
+
+
 # odd multipliers for positional shingle combination (splitmix64-style)
 _SHINGLE_C = np.array(
     [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93, 0xA5A3564DCF569DE3],

@@ -1319,19 +1319,76 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
-def knn_ivf_top10(sf_dir: str) -> pd.DataFrame:
-    """IVF-bucketed approximate top-k (scale path; rows-only check —
-    recall vs brute force is asserted in tests, not by the oracle)."""
+def _seed_centroids(sf_dir: str, nlist: int = 16) -> np.ndarray:
+    """Deterministic coarse quantizer for the ORACLE-BACKED query
+    surface: centroids = L2-normalized embeddings of vec_ids 1..nlist
+    (data rows as seeds, no training).  Because cosine against a
+    normalized copy of row j equals cosine against row j itself, the
+    whole IVF plan (assign → probe → in-bucket exact scan) is
+    re-expressible in SQL via list_cosine_similarity — a real oracle for
+    the approximate plan, not just a happens-to-equal-brute-force check.
+    The trained k-means quantizer (train_ivf_centroids) remains the
+    library scale path and is pytest-pinned (tests/test_stages.py)."""
     import pyarrow.parquet as pq
 
     from ..stages.knn import _to_matrix
 
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    t = t.filter(pc.and_(pc.greater_equal(t["vec_id"], 1), pc.less_equal(t["vec_id"], nlist)))
+    t = t.sort_by("vec_id")
+    C = _to_matrix(t["embedding"])
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
+def knn_ivf_top10(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k.  Oracle-backed (r4, was
+    rows-only): seeded centroids (_seed_centroids) make the plan —
+    nearest-centroid assignment, nprobe-list probe, exact scoring of the
+    probed lists — byte-reproducible in DuckDB SQL (_IVF_SQL).  The
+    result is honestly approximate (it may differ from brute force; the
+    oracle mirrors the PLAN, not the exhaustive answer)."""
     q = _load_query_vec(sf_dir)
-    sample = pq.read_table(_p(sf_dir, "embeddings"), columns=["embedding"])
-    M = _to_matrix(sample["embedding"].slice(0, 2048))
-    cents = train_ivf_centroids(M, nlist=16, iters=5)
+    cents = _seed_centroids(sf_dir, nlist=16)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ivf_topk(ds, "vec_id", "embedding", q, cents, k=10, nprobe=4, exclude_id=0)
+
+
+# SQL mirror of the seeded-centroid IVF plan: assignment = argmax cosine
+# vs seed rows 1..16 (ties → smaller list id, same as np.argmax first-
+# max), probed lists = top-4 by query·seed cosine, then exact top-10
+# inside the probed lists with the standard (round(cos,4) DESC, vec_id)
+# comparator.
+_IVF_SQL = """
+WITH seeds AS (
+  SELECT vec_id AS list_id, embedding FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, s.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, s.embedding) DESC, s.list_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT list_id FROM (
+    SELECT s.list_id,
+           ROW_NUMBER() OVER (
+             ORDER BY list_cosine_similarity(s.embedding, (SELECT q FROM qv)) DESC, s.list_id
+           ) AS rn
+    FROM seeds s
+  ) WHERE rn <= 4
+)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(e.embedding, (SELECT q FROM qv)), 4) AS cos_sim
+FROM embeddings e
+JOIN assigned a USING (vec_id)
+WHERE a.list_id IN (SELECT list_id FROM probed) AND e.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
 
 def knn_ivf_indexed_top10(sf_dir: str) -> pd.DataFrame:
@@ -1339,29 +1396,26 @@ def knn_ivf_indexed_top10(sf_dir: str) -> pd.DataFrame:
     written as parquet partitioned by ivf_list (stages/knn.build_ivf_index);
     the query prunes the read to its nprobe probed partitions — the
     build/query split the r1 review asked for (assignment no longer
-    recomputed per query).  Rows-only (approximate by design); pytest
-    asserts equality with the non-indexed IVF plan."""
+    recomputed per query).  Oracle-backed (r4, was rows-only): same
+    seeded-centroid plan as knn_ivf_top10, so the same _IVF_SQL oracle
+    applies; pytest additionally asserts equality with the non-indexed
+    plan."""
     import hashlib
     import shutil
 
     from ..stages.knn import build_ivf_index, ivf_topk_indexed
 
     q = _load_query_vec(sf_dir)
-    import pyarrow.parquet as pq
-
-    from ..stages.knn import _to_matrix
-
-    sample = pq.read_table(_p(sf_dir, "embeddings"), columns=["embedding"])
-    M = _to_matrix(sample["embedding"].slice(0, 2048))
-    cents = train_ivf_centroids(M, nlist=16, iters=5)
+    cents = _seed_centroids(sf_dir, nlist=16)
 
     # cache key includes the embeddings file's mtime+size so a regenerated
-    # parquet at the same path invalidates the persisted index
+    # parquet at the same path invalidates the persisted index (and the
+    # centroid spec so a quantizer change rebuilds it)
     import os as _os
 
     emb_path = _p(sf_dir, "embeddings")
     st = _os.stat(emb_path)
-    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|seeded16"
     idx_dir = f"/tmp/dc4r_ivf_index/{hashlib.md5(key.encode()).hexdigest()[:12]}"
     done = f"{idx_dir}/_DONE"
 
@@ -1395,6 +1449,26 @@ def knn_pq_top10(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     codes = pq_encode(ds, "vec_id", "embedding", books)
     return pq_topk(codes, ds, "vec_id", "embedding", q, books, k=10, refine=256, exclude_id=0)
+
+
+def knn_pq_refine_all(sf_dir: str) -> pd.DataFrame:
+    """PQ with refine ≥ N: the ADC prescreen keeps every id, so the
+    exact float64 re-rank IS the brute-force answer — the oracle-backed
+    twin of knn_pq_top10 (r4, per the r3 verdict): the whole
+    encode→ADC-scan→refine machinery runs and is hash-checked against
+    the brute-force SQL; knn_pq_top10 (refine=256) stays rows-only as
+    the honestly-approximate configuration."""
+    import pyarrow.parquet as pq
+
+    from ..stages.knn import _to_matrix, pq_encode, pq_topk, train_pq
+
+    q = _load_query_vec(sf_dir)
+    sample = pq.read_table(_p(sf_dir, "embeddings"), columns=["embedding"])
+    M = _to_matrix(sample["embedding"].slice(0, 2048))
+    books = train_pq(M, m=8, k=64, iters=5)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    codes = pq_encode(ds, "vec_id", "embedding", books)
+    return pq_topk(codes, ds, "vec_id", "embedding", q, books, k=10, refine=1 << 31, exclude_id=0)
 
 
 def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
@@ -1644,24 +1718,85 @@ def simhash_near_dups(sf_dir: str) -> pd.DataFrame:
     """SimHash Hamming-ball near-dup pairs over documents ∪ perturbed
     copies (the same planted population as minhash_near_dups).  Banded
     candidates (4×16-bit chunks, 100 % recall for hamming ≤ 3), exact
-    XOR+popcount verify.  Rows-only: the siphash-based signature isn't
-    SQL-expressible; the operator is pinned by an all-pairs brute-force
-    equality test (tests/test_stages.py::TestSimhashNearDup) and the
-    signature spec by a frozen fixture."""
+    XOR+popcount verify.  Oracle-backed (r4, was rows-only): the query
+    surface uses the md5 token-hash spec (token_hashes_md5 ≡ DuckDB
+    md5_number_lower), so an all-pairs SQL simhash recomputation is the
+    exactness reference; the banded plan itself is additionally pinned
+    by a brute-force equality test (tests/test_stages.py)."""
     from ..stages.dedup import simhash_near_dup_pairs
 
-    out = simhash_near_dup_pairs(_augmented_docs(sf_dir), "doc_id", "text", max_hamming=3).to_pandas()
+    out = simhash_near_dup_pairs(
+        _augmented_docs(sf_dir), "doc_id", "text", max_hamming=3, token_hasher=H.token_hashes_md5
+    ).to_pandas()
     out["hamming"] = out["hamming"].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def simhash_signatures(sf_dir: str) -> pd.DataFrame:
-    """SimHash64 per doc (rows-only; deterministic)."""
+    """SimHash64 per doc as a hex string, md5 token-hash spec —
+    oracle-backed (r4, was rows-only): DuckDB rebuilds the identical
+    signature from md5_number_lower per token + bit-vote SQL.  The fast
+    siphash spec (H.token_hashes) remains the hot-path default in
+    stages/dedup.simhash_stage."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(simhash_stage("doc_id", "text"), batch_format="pyarrow").to_pandas()
+    out = ds.map_batches(
+        simhash_stage("doc_id", "text", token_hasher=H.token_hashes_md5), batch_format="pyarrow"
+    ).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
-    out["simhash"] = out["simhash"].astype("uint64")
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out["simhash_hex"] = out["simhash"].astype("uint64").map(lambda v: f"{v:016x}")
+    return out[["doc_id", "simhash_hex"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# SimHash in SQL: per-token 64-bit hash = md5_number_lower(tok) (engine
+# side: functions/hashing.token_hashes_md5 — digest bytes [8:16] LE,
+# verified byte-identical), per-bit ±1 vote over all token occurrences,
+# bit set iff vote > 0 (strict majority — ties clear the bit, matching
+# simhash64's ones*2 > n).  \\w+ on lower(text) tokenizes identically on
+# this ASCII corpus (see _MINHASH_PAIRS_SQL note).
+_SIMHASH_SIG_CTE = """
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok FROM {src}),
+th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+bits AS (
+  SELECT doc_id, b AS bit, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th, (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS s
+  FROM bits GROUP BY doc_id
+)
+"""
+
+_SIMHASH_SIG_SQL = (
+    "WITH " + _SIMHASH_SIG_CTE.format(src="documents") + """
+SELECT d.doc_id, lpad(lower(hex(COALESCE(s, 0)::UBIGINT)), 16, '0') AS simhash_hex
+FROM documents d LEFT JOIN sig USING (doc_id) ORDER BY doc_id
+"""
+)
+
+# all-pairs Hamming over the augmented population — O(N²) SQL by design
+# (exactness reference at gate scale); engine side stays O(banded
+# candidates).
+_SIMHASH_PAIRS_SQL = (
+    """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string((string_split(text, ' '))[1:len(string_split(text, ' '))-1], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+"""
+    + _SIMHASH_SIG_CTE.format(src="aug")
+    + """,
+full_sig AS (
+  SELECT a.doc_id, COALESCE(s, 0)::UBIGINT AS s FROM aug a LEFT JOIN sig USING (doc_id)
+)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b, bit_count(xor(x.s, y.s))::BIGINT AS hamming
+FROM full_sig x JOIN full_sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= 3
+ORDER BY id_a, id_b
+"""
+)
 
 
 # =========================================================================
@@ -3712,6 +3847,7 @@ QUERIES = {
     "knn_ivf_top10": knn_ivf_top10,
     "knn_ivf_indexed_top10": knn_ivf_indexed_top10,
     "knn_pq_top10": knn_pq_top10,
+    "knn_pq_refine_all": knn_pq_refine_all,
     "embedding_label_stats": embedding_label_stats,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "minhash_near_dups": minhash_near_dups,
@@ -3792,6 +3928,9 @@ ORACLES = {
     "doc_fingerprints": _FINGERPRINT_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "knn_cosine_top10": _KNN_SQL,
+    "knn_ivf_top10": _IVF_SQL,
+    "knn_ivf_indexed_top10": _IVF_SQL,
+    "knn_pq_refine_all": _KNN_SQL,
     "embedding_label_stats": _EMB_STATS_SQL,
     "image_decode_meta": _IMAGE_DECODE_SQL,
     "llm_extract_stub": _LLM_STUB_SQL,
@@ -3840,11 +3979,12 @@ ORACLES = {
     "gopher_quality_gate": _gopher_sql(),
     "hits_corpus": _hits_sql(2),
     "boilerplate_removed_docs": _BOILERPLATE_SQL,
-    # rows-only (non-SQL-expressible): knn_ivf_top10 / knn_ivf_indexed /
-    # knn_pq_top10 (approximate by design; indexed==unindexed,
-    # refine≥N==brute-force, and recall-bound pytests), simhash
-    # signatures + near-dup pairs (siphash not in SQL; frozen-fixture +
-    # all-pairs brute-force pytest), crawl_tiny_e2e (fetch_seq ORDER is
-    # engine-defined; the SEEN SET + statuses are hash-checked by
-    # crawl_reachability, order by byte-frozen fixtures)
+    "simhash_signatures": _SIMHASH_SIG_SQL,
+    "simhash_near_dups": _SIMHASH_PAIRS_SQL,
+    # rows-only (non-SQL-expressible): knn_pq_top10 (approximate by
+    # design; refine≥N==brute-force and recall-bound pytests — the
+    # exact-refine twin knn_pq_refine_all IS oracle-backed),
+    # crawl_tiny_e2e (fetch_seq ORDER is engine-defined; the SEEN SET +
+    # statuses are hash-checked by crawl_reachability, order by
+    # byte-frozen fixtures)
 }

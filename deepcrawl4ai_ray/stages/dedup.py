@@ -626,9 +626,14 @@ def connected_components(
     return labels
 
 
-def simhash_stage(id_col: str, text_col: str):
+def simhash_stage(id_col: str, text_col: str, token_hasher=None):
+    """token_hasher: text -> uint64[] (default H.token_hashes, the fast
+    siphash path; pass H.token_hashes_md5 for the SQL-oracle-checkable
+    md5 spec — matches DuckDB md5_number_lower per token)."""
+    th = token_hasher or H.token_hashes
+
     def fn(batch: pa.Table) -> pa.Table:
-        sigs = [H.simhash64(t) for t in batch[text_col].to_pylist()]
+        sigs = [H.simhash64(th(t)) for t in batch[text_col].to_pylist()]
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -646,6 +651,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     num_buckets: int = 32,
+    token_hasher=None,
 ) -> "ray.data.Dataset":
     """Hamming-ball near-dup pairs over 64-bit SimHash signatures →
     Dataset(id_a, id_b, hamming), id_a < id_b.
@@ -661,10 +667,11 @@ def simhash_near_dup_pairs(
     if max_hamming > bands - 1:
         raise ValueError(f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} for full recall")
     chunk_bits = 64 // bands
+    th = token_hasher or H.token_hashes
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sigs = np.array([H.simhash64(t) for t in batch[text_col].to_pylist()], dtype=np.uint64)
+        sigs = np.array([H.simhash64(th(t)) for t in batch[text_col].to_pylist()], dtype=np.uint64)
         n = len(ids)
         out_ids = np.repeat(ids, bands)
         out_sigs = np.repeat(sigs, bands)
