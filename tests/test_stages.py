@@ -309,6 +309,30 @@ class TestDedup:
         for mode in ("prune", "broadcast", "auto"):
             pd.testing.assert_frame_equal(a, run(mode))
 
+    def test_dedup_pairs_small_guard_equality(self, monkeypatch):
+        """The guarded driver-side pair dedup (small candidate sets) must
+        be byte-identical to the distributed groupby path, for both the
+        exact-verify (no val) and sig-verify (Min val) shapes."""
+        from deepcrawl4ai_ray.stages import dedup as D
+
+        docs = self._dup_corpus()
+
+        def run(verify):
+            return (
+                D.minhash_lsh_pairs(_ds(docs), "doc_id", "text", threshold=0.9, verify=verify)
+                .to_pandas()
+                .sort_values(["id_a", "id_b"])
+                .reset_index(drop=True)
+            )
+
+        for verify in ("exact", "sig"):
+            fast = run(verify)  # guard active: driver-side dedup
+            monkeypatch.setattr(D, "_BROADCAST_MAX_PAIRS", 0)
+            slow = run(verify)  # guard off: distributed groupby dedup
+            monkeypatch.undo()
+            assert len(fast) >= 20
+            pd.testing.assert_frame_equal(fast, slow)
+
     def test_srp_payload_modes_identical(self):
         from deepcrawl4ai_ray.stages.dedup import srp_near_dup_pairs
 
