@@ -63,6 +63,10 @@ TIERS = {
     # per-round fixed pipeline-launch cost is amortized the way a real
     # cluster's multi-minute rounds amortize it (BASELINE.md protocol)
     "benchx3": CorpusSpec("benchx3", num_hosts=2000, pages_per_host_base=5400, hot_host_pages=120000, num_seeds=2000),
+    # 10× scale-proof corpus (~2.05M pages / 8000 hosts, hot host ~10%):
+    # the r3-verdict empirical check that no hidden driver-side
+    # materialization survives past sf0.1 (scripts/scale_proof.py)
+    "sf1": CorpusSpec("sf1", num_hosts=8000, pages_per_host_base=10500, hot_host_pages=200000, num_seeds=8000),
 }
 
 NUM_HOST_BUCKETS = 64  # corpus partition count (hash(host) % 64)
@@ -104,33 +108,41 @@ def _page_html(rng: np.random.RandomState, host: str, page_id: int, links: list[
     )
 
 
-def generate(out_dir: str, tier: str = "tiny", force: bool = False) -> str:
-    """Write pages/, seeds.parquet, robots.parquet under out_dir; returns out_dir.
+#: files per bucket are split into ≤ this many rows per part so no single
+#: file (e.g. the hot host's bucket) becomes a straggler read task
+ROWS_PER_FILE = 4096
 
-    Idempotent: skips generation when the done-marker exists (unless
-    ``force``).  Pages are written one parquet file per host_bucket so
-    fetch actors can prune reads to a single bucket file.
+
+def _gen_host_range(tier: str, chunk: int, h0: int, h1: int, pages_dir: str) -> int:
+    """Generate hosts [h0, h1) of ``tier`` and write their per-bucket
+    parquet parts; returns rows written.  Deterministic and
+    range-independent: per-host RNG streams are keyed by host index, the
+    per-host language and timestamp base are recomputed from the spec —
+    so any partition of [0, num_hosts) into ranges yields the same row
+    set as the single-range call (pinned by
+    tests/test_crawl_fixtures.py::test_parallel_generation_row_identical).
     """
-    spec = TIERS[tier]
-    marker = os.path.join(out_dir, "_DONE")
-    if os.path.exists(marker) and not force:
-        return out_dir
-    os.makedirs(os.path.join(out_dir, "pages"), exist_ok=True)
+    import pyarrow.compute as pc
 
+    spec = TIERS[tier]
     counts = _host_page_counts(spec)
     hosts = [f"host-{h}.example" for h in range(spec.num_hosts)]
-    total = int(counts.sum())
+    rng = np.random.RandomState(spec.seed)
+    lang_of_host = [(_LANGS[int(x)]) for x in rng.randint(0, len(_LANGS), spec.num_hosts)]
+    # global row index of each host's first page (host-major row order)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    base_ts = np.int64(1_700_000_000_000_000)  # fixed epoch µs
 
     urls: list[str] = []
     htmls: list[bytes] = []
     texts: list[str] = []
     langs: list[str] = []
     host_col: list[str] = []
-    rng = np.random.RandomState(spec.seed)
-    lang_of_host = [(_LANGS[int(x)]) for x in rng.randint(0, len(_LANGS), spec.num_hosts)]
+    ts: list[int] = []
 
     # page url: https://host-{h}.example/p/{i}
-    for h, host in enumerate(hosts):
+    for h in range(h0, h1):
+        host = hosts[h]
         n = int(counts[h])
         prng = np.random.RandomState(spec.seed * 1_000_003 + h)
         for i in range(n):
@@ -154,15 +166,13 @@ def generate(out_dir: str, tier: str = "tiny", force: bool = False) -> str:
             texts.append(extract_text(html))  # the oracle column
             langs.append(lang_of_host[h])
             host_col.append(host)
+            ts.append(int(base_ts) + (int(offsets[h]) + i) * 1_000_000)
 
-    base_ts = np.int64(1_700_000_000_000_000)  # fixed epoch µs
-    ts = base_ts + np.arange(total, dtype=np.int64) * 1_000_000
     buckets = host_buckets(np.asarray(host_col, dtype=object), NUM_HOST_BUCKETS)
-
     tbl = pa.table(
         {
             "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "warc_ts": pa.array(np.asarray(ts, dtype=np.int64), pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
@@ -170,19 +180,73 @@ def generate(out_dir: str, tier: str = "tiny", force: bool = False) -> str:
         },
         schema=PAGES_SCHEMA,
     )
-    # files per bucket, split into ≤ ROWS_PER_FILE-row parts so no single
-    # file (e.g. the hot host's bucket) becomes a straggler read task
-    import pyarrow.compute as pc
-
-    ROWS_PER_FILE = 4096
-    for b in range(NUM_HOST_BUCKETS):
-        sub = tbl.filter(pc.equal(tbl["host_bucket"], b))
+    for b in np.unique(buckets):
+        sub = tbl.filter(pc.equal(tbl["host_bucket"], int(b)))
         for part, off in enumerate(range(0, sub.num_rows, ROWS_PER_FILE)):
             pq.write_table(
                 sub.slice(off, ROWS_PER_FILE),
-                os.path.join(out_dir, "pages", f"bucket={b:03d}-p{part:03d}.parquet"),
+                os.path.join(pages_dir, f"bucket={int(b):03d}-c{chunk:04d}-p{part:03d}.parquet"),
                 compression="zstd",  # reference stores markdown zstd-3 (storage.py:101)
             )
+    return tbl.num_rows
+
+
+def _host_chunks(counts: np.ndarray, target_chunks: int) -> list[tuple[int, int]]:
+    """Partition [0, num_hosts) into ranges of ≈equal PAGE totals (the
+    hot host 0 dominates, so equal-host ranges would straggle)."""
+    total = int(counts.sum())
+    per = max(1, total // max(1, target_chunks))
+    ranges: list[tuple[int, int]] = []
+    acc, start = 0, 0
+    for h, c in enumerate(counts):
+        acc += int(c)
+        if acc >= per:
+            ranges.append((start, h + 1))
+            start, acc = h + 1, 0
+    if start < len(counts):
+        ranges.append((start, len(counts)))
+    return ranges
+
+
+def generate(
+    out_dir: str, tier: str = "tiny", force: bool = False, parallel: int | None = None
+) -> str:
+    """Write pages/, seeds.parquet, robots.parquet under out_dir; returns out_dir.
+
+    Idempotent: skips generation when the done-marker exists (unless
+    ``force``).  Pages are written one parquet file per host_bucket so
+    fetch actors can prune reads to a single bucket file.
+
+    ``parallel``: worker processes for page generation (host-range
+    chunked; row-identical to the serial path — see _gen_host_range).
+    Default: serial for ≲200k-page tiers, cpu-count workers above, so
+    the 2M-page sf1 tier generates in minutes with flat per-worker
+    memory instead of one driver-side multi-GB row build.
+    """
+    spec = TIERS[tier]
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    pages_dir = os.path.join(out_dir, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+    for f in os.listdir(pages_dir):  # force=True: no stale parts
+        os.unlink(os.path.join(pages_dir, f))
+
+    counts = _host_page_counts(spec)
+    hosts = [f"host-{h}.example" for h in range(spec.num_hosts)]
+    total = int(counts.sum())
+
+    if parallel is None:
+        parallel = 1 if total <= 250_000 else min(32, os.cpu_count() or 1)
+    if parallel <= 1:
+        _gen_host_range(tier, 0, 0, spec.num_hosts, pages_dir)
+    else:
+        from multiprocessing import get_context
+
+        ranges = _host_chunks(counts, target_chunks=parallel * 4)
+        jobs = [(tier, c, h0, h1, pages_dir) for c, (h0, h1) in enumerate(ranges)]
+        with get_context("spawn").Pool(parallel) as pool:
+            pool.starmap(_gen_host_range, jobs)
 
     # seeds: first page of the first num_seeds hosts + 2 dead URLs
     seed_urls = [f"https://{hosts[h % spec.num_hosts]}/p/0" for h in range(spec.num_seeds)]

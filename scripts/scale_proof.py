@@ -1,0 +1,214 @@
+"""10× scale proof (r3 verdict #9): run the 5 headline pipelines over
+the ~2M-page sf1 corpus at 32 cpus with driver peak-RSS tracking — the
+empirical check that no hidden driver-side materialization survives
+past the sf0.1 / 200k-page bench scale.
+
+The driver's peak RSS after each stage is the tell: a pipeline that
+secretly collects pages / pairs / rank tables to the driver would step
+its RSS by O(data); a streaming pipeline steps it by O(metadata).
+
+Usage: python scripts/scale_proof.py [--tier sf1] [--cpus 32]
+Writes one JSON line to stdout and SCALE_PROOF_r4.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import resource
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def rss_mb() -> float:
+    """Driver peak RSS so far (ru_maxrss is KiB on Linux, monotonic)."""
+    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tier", default="sf1")
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    from deepcrawl4ai_ray.sources.corpus import ensure
+
+    t0 = time.time()
+    corpus = ensure(args.tier)  # parallel multiprocess generation, cached
+    t_gen = time.time() - t0
+
+    import pyarrow.parquet as pq_
+
+    n_pages = sum(
+        pq_.read_metadata(f).num_rows for f in glob.glob(os.path.join(corpus, "pages", "*.parquet"))
+    )
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=args.cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.target_max_block_size = 8 * 1024 * 1024
+
+    out: dict = {
+        "metric": "scale_proof",
+        "tier": args.tier,
+        "num_cpus": args.cpus,
+        "pages": n_pages,
+        "gen_sec": round(t_gen, 1),
+        "stages": {},
+        "rss_mb": {"start": rss_mb()},
+    }
+
+    def record(name: str, secs: float, **kw) -> None:
+        out["stages"][name] = {"sec": round(secs, 1), **{k: round(v, 1) for k, v in kw.items()}}
+        out["rss_mb"][name] = rss_mb()
+        print(f"[scale_proof] {name}: {secs:.1f}s {kw} driver_peak_rss={rss_mb()} MB", file=sys.stderr)
+
+    pages_path = os.path.join(corpus, "pages")
+
+    # ---- 1. extract+enrich (the compute headline): html → text →
+    # tokens/quality/minhash/simhash → parquet -----------------------------
+    def enrich_batch(batch: pa.Table) -> pa.Table:
+        from deepcrawl4ai_ray.functions import hashing as H
+        from deepcrawl4ai_ray.functions.extract import extract_text
+        from deepcrawl4ai_ray.functions.textstats import quality_batch
+
+        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        t = pa.array(texts, pa.string())
+        n_tok = pc.cast(pc.add(pc.count_substring(t, " "), 1), pa.int64())
+        ths = [H.token_hashes(x) for x in texts]
+        sigs = [H.minhash_signature_fast(H.shingles(th), 64).tobytes() for th in ths]
+        simh = np.array([H.simhash64(th) for th in ths], dtype=np.uint64)
+        q = quality_batch(texts)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "text": t,
+                "n_tokens": n_tok,
+                "minhash": pa.array(sigs, pa.binary()),
+                "simhash": pa.array(simh),
+                "stopword_ratio": pa.array(q["stopword_ratio"]),
+                "alpha_ratio": pa.array(q["alpha_ratio"]),
+            }
+        )
+
+    extract_out = "/tmp/dc4r_scale/extract_out"
+    shutil.rmtree(extract_out, ignore_errors=True)
+    t0 = time.time()
+    (
+        rd.read_parquet(pages_path, columns=["url", "html"])
+        .map_batches(enrich_batch, batch_format="pyarrow", batch_size=512)
+        .write_parquet(extract_out)
+    )
+    dt = time.time() - t0
+    record("extract", dt, pages_per_sec=n_pages / dt)
+
+    # ---- 2. crawl loop (politeness-free, budget sized to the corpus) ----
+    from deepcrawl4ai_ray.frontier.crawler import CrawlConfig, Crawler
+
+    crawl_out = "/tmp/dc4r_scale/crawl_out"
+    shutil.rmtree(crawl_out, ignore_errors=True)
+    cfg = CrawlConfig(
+        num_shards=8,
+        fetch_concurrency=max(2, args.cpus // 4),
+        per_shard_budget=400_000,
+        max_rounds=6,
+        round_ms=10_000_000,
+        checkpoint=False,
+    )
+    t0 = time.time()
+    c = Crawler(corpus, crawl_out, cfg)
+    crawl_res = c.run()
+    dt = time.time() - t0
+    c.kill_shards()
+    record("crawl", dt, pages_per_sec=crawl_res["total_fetched"] / dt, fetched=crawl_res["total_fetched"])
+
+    # ---- 3. minhash near-dup over the extracted corpus ------------------
+    # doc ids = stable 63-bit url hashes (collision odds ~N²/2⁶³ ≈ 1e-6);
+    # the extract output already carries text, so this measures the LSH
+    # explode→bucket→dedup→verify chain at 2M docs, not re-extraction.
+    import pandas as pd
+
+    from deepcrawl4ai_ray.stages.dedup import minhash_lsh_pairs
+
+    def with_ids(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(batch["url"].to_pylist(), dtype=object), categorize=False
+        )
+        ids = (h >> np.uint64(1)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": batch["text"]})
+
+    docs = rd.read_parquet(extract_out, columns=["url", "text"]).map_batches(
+        with_ids, batch_format="pyarrow"
+    )
+    mh_out = "/tmp/dc4r_scale/minhash_out"
+    shutil.rmtree(mh_out, ignore_errors=True)
+    t0 = time.time()
+    minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.9, num_perm=64, bands=16, k=3,
+        verify="exact", payload_mode="auto",
+    ).write_parquet(mh_out)
+    dt = time.time() - t0
+    n_pairs = sum(pq_.read_metadata(f).num_rows for f in glob.glob(f"{mh_out}/*.parquet"))
+    record("minhash", dt, docs_per_sec=n_pages / dt, pairs=float(n_pairs))
+
+    # ---- 4. PageRank over the full link graph ---------------------------
+    from deepcrawl4ai_ray.functions.extract import extract_links
+    from deepcrawl4ai_ray.stages.pagerank import pagerank
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs: list = []
+        dsts: list = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            for link in extract_links(h, u):
+                srcs.append(u)
+                dsts.append(link)
+        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
+
+    pr_out = "/tmp/dc4r_scale/pagerank_out"
+    shutil.rmtree(pr_out, ignore_errors=True)
+    t0 = time.time()
+    edge_ds = rd.read_parquet(pages_path, columns=["url", "html"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    pagerank(edge_ds, iters=3).write_parquet(pr_out)
+    dt = time.time() - t0
+    n_nodes = sum(pq_.read_metadata(f).num_rows for f in glob.glob(f"{pr_out}/*.parquet"))
+    record("pagerank", dt, nodes=float(n_nodes))
+
+    # ---- 5. anchor-text aggregation --------------------------------------
+    from deepcrawl4ai_ray.stages.anchors import anchor_term_stats
+
+    an_out = "/tmp/dc4r_scale/anchors_out"
+    shutil.rmtree(an_out, ignore_errors=True)
+    t0 = time.time()
+    anchor_term_stats(rd.read_parquet(pages_path, columns=["url", "html"])).write_parquet(an_out)
+    dt = time.time() - t0
+    n_tgt = sum(pq_.read_metadata(f).num_rows for f in glob.glob(f"{an_out}/*.parquet"))
+    record("anchors", dt, pages_per_sec=n_pages / dt, targets=float(n_tgt))
+
+    out["rss_mb"]["end"] = rss_mb()
+    ray.shutdown()
+    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(__file__), "..", "SCALE_PROOF_r4.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,7 @@ import hashlib
 import json
 import os
 
+import pandas as pd
 import pytest
 
 FIXTURE_PATH = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_crawl.json")
@@ -54,3 +55,27 @@ def test_status_counts_frozen(replay, fixture):
     status = replay.column("status").to_pylist()
     got = {s: status.count(s) for s in sorted(set(status))}
     assert got == fixture["status_counts"]
+
+
+def test_parallel_generation_row_identical(tmp_path):
+    """The chunked multi-process corpus generator must produce the exact
+    row set of the serial path (per-host RNG streams are range-
+    independent) — the invariant the sf1 scale-proof corpus rests on."""
+    import pyarrow.parquet as pq
+
+    from deepcrawl4ai_ray.sources.corpus import generate
+
+    a = generate(str(tmp_path / "serial"), "tiny", force=True, parallel=1)
+    b = generate(str(tmp_path / "par"), "tiny", force=True, parallel=4)
+
+    def rows(d):
+        t = pq.read_table(f"{d}/pages")
+        return (
+            t.to_pandas()
+            .sort_values("url", kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    ra, rb = rows(a), rows(b)
+    assert len(ra) == len(rb) and len(ra) > 0
+    pd.testing.assert_frame_equal(ra, rb)
