@@ -72,6 +72,26 @@ def main(argv=None):
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    # multi-job registry surface (jobs.JobManager; reference job.py API)
+    j = sub.add_parser("jobs", help="job registry: status/list/cancel by id; run a batch")
+    jsub = j.add_subparsers(dest="jobs_cmd", required=True)
+    js = jsub.add_parser("status", help="print one job's job.json + live progress")
+    js.add_argument("--root", required=True)
+    js.add_argument("job_id")
+    jl = jsub.add_parser("list", help="list all jobs in a registry")
+    jl.add_argument("--root", required=True)
+    jc = jsub.add_parser("cancel", help="cancel a job by id (touches the crawl cancel token)")
+    jc.add_argument("--root", required=True)
+    jc.add_argument("job_id")
+    jr = jsub.add_parser(
+        "run-batch",
+        help="enqueue jobs from a JSON file ([{kind, spec}, ...]) and wait for all",
+        parents=[common],
+    )
+    jr.add_argument("--root", required=True)
+    jr.add_argument("--max-workers", type=int, default=4)
+    jr.add_argument("batch_file")
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen-corpus":
@@ -140,6 +160,34 @@ def main(argv=None):
             out = out.to_pandas()
         print(out.to_string() if hasattr(out, "to_string") else out)
         return 0
+
+    if args.cmd == "jobs":
+        from .jobs import JobManager
+
+        if args.jobs_cmd in ("status", "list", "cancel"):
+            # registry-only operations: no Ray session needed (the cancel
+            # token is a file the running crawl polls — cross-process)
+            from .jobs import JobRegistry
+
+            reg = JobRegistry(args.root)
+            if args.jobs_cmd == "list":
+                print(json.dumps(reg.list_jobs(), default=str))
+            elif args.jobs_cmd == "status":
+                print(json.dumps(reg.status(args.job_id), default=str))
+            else:
+                print(json.dumps(reg.cancel(args.job_id), default=str))
+            return 0
+
+        # run-batch owns a Ray session + a live manager
+        _ensure_ray(args.num_cpus)
+        with open(args.batch_file) as f:
+            batch = json.load(f)
+        mgr = JobManager(args.root, max_workers=args.max_workers)
+        ids = [mgr.submit(item["kind"], item["spec"], job_id=item.get("id")) for item in batch]
+        out = [mgr.wait(jid, timeout=3600) for jid in ids]
+        mgr.shutdown()
+        print(json.dumps(out, default=str))
+        return 0 if all(m["state"] == "succeeded" for m in out) else 1
 
     return 2
 

@@ -498,7 +498,12 @@ class Crawler:
             },
             schema=MANIFEST_SCHEMA,
         )
-        pq.write_table(man, os.path.join(self.out_dir, "manifest", f"round={r:05d}.parquet"))
+        # atomic publish: live tails (iter_progress, jobs.iter_events)
+        # read this partition concurrently — a direct write lets a reader
+        # see a footer-less half-file (found by test_jobs event-stream)
+        man_final = os.path.join(self.out_dir, "manifest", f"round={r:05d}.parquet")
+        pq.write_table(man, man_final + ".tmp")
+        os.replace(man_final + ".tmp", man_final)
         if cfg.checkpoint:
             self._write_checkpoint(r)
             phases["checkpoint"] = time.perf_counter() - t0 - sum(phases.values())

@@ -95,6 +95,8 @@ def _dedup_pairs(
         pairs = pairs.materialize()
         if pairs.count() <= small_guard:
             df = pairs.to_pandas()
+            if "id_a" not in df.columns:  # all-empty blocks dropped by Ray
+                df = schema.empty_table().to_pandas()
             if val_col is None:
                 df = df.drop_duplicates(["id_a", "id_b"])
             else:
@@ -102,11 +104,33 @@ def _dedup_pairs(
             df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
             return rd.from_arrow(pa.Table.from_pandas(df, schema=schema, preserve_index=False))
 
+    # two-level distributed dedup: hash-bucket the pair into 64 groups,
+    # then ONE pandas dedup per group — a groupby on the raw (id_a,
+    # id_b) key would carry per-group aggregate state for every distinct
+    # pair (millions of groups at corpus scale; measured ~10 s/1M pairs
+    # vs ~1.5 s for this shape on the sf1 proof corpus)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = (((a * mult) ^ b) % np.uint64(64)).astype(np.int32)
+        return t.append_column("pb", pa.array(pb))
+
+    def dedup_group(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if val_col is None:
+            df = df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+        else:
+            df = df.groupby(["id_a", "id_b"], as_index=False)[val_col].min()
+        return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+
     seeded = pairs.union(rd.from_arrow(schema.empty_table()))
-    g = seeded.groupby(["id_a", "id_b"])
-    if val_col is None:
-        return g.aggregate(Count(alias_name="__nb")).drop_columns(["__nb"])
-    return g.aggregate(Min(val_col, alias_name=val_col))
+    return (
+        seeded.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedup_group, batch_format="pyarrow")
+    )
 
 
 #: auto mode broadcasts when the deduped pair set is at most this many
@@ -827,8 +851,7 @@ def simhash_near_dup_pairs(
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())])
-    seeded = pairs.union(ray.data.from_arrow(schema.empty_table()))
-    return seeded.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return _dedup_pairs(pairs, schema, val_col="hamming", small_guard=_BROADCAST_MAX_PAIRS)
 
 
 # ---------------------------------------------------------------------------

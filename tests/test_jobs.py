@@ -1,0 +1,117 @@
+"""Multi-job service surface (jobs.JobManager): enqueue/status/cancel
+by id over a shared Ray session — reference job.py:211-331 semantics
+minus the Redis/Celery transport."""
+
+import json
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from deepcrawl4ai_ray.jobs import JobManager
+from deepcrawl4ai_ray.sources.corpus import ensure
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def mgr(tmp_path, ray_session):
+    m = JobManager(str(tmp_path / "jobs"), max_workers=2)
+    yield m
+    m.shutdown(wait=False)
+
+
+class TestJobLifecycle:
+    def test_query_job_succeeds(self, mgr):
+        jid = mgr.submit("query", {"name": "q1_lineitem_agg", "sf_dir": SF})
+        meta = mgr.wait(jid, timeout=120)
+        assert meta["state"] == "succeeded"
+        assert meta["result"]["rows"] > 0
+        out = pd.read_parquet(meta["result"]["out_dir"])
+        assert len(out) == meta["result"]["rows"]
+        # status readable cross-"process" (fresh manager over same root)
+        other = JobManager(mgr.root)
+        assert other.status(jid)["state"] == "succeeded"
+        other.shutdown(wait=False)
+
+    def test_concurrent_jobs_and_list(self, mgr):
+        a = mgr.submit("query", {"name": "q1_lineitem_agg", "sf_dir": SF})
+        b = mgr.submit("crawl", {"corpus": ensure("tiny"), "config": {"num_shards": 2}})
+        assert {j["id"] for j in mgr.list_jobs()} == {a, b}
+        ma, mb = mgr.wait(a, timeout=120), mgr.wait(b, timeout=180)
+        assert ma["state"] == "succeeded" and mb["state"] == "succeeded"
+        st = mgr.status(b)
+        assert st["progress"]["pages_fetched"] > 0
+        assert st["progress"]["complete_marker"]
+
+    def test_failed_job_records_error(self, mgr):
+        jid = mgr.submit("query", {"name": "q1_lineitem_agg", "sf_dir": "/nonexistent"})
+        meta = mgr.wait(jid, timeout=60)
+        assert meta["state"] == "failed"
+        assert meta["error"]
+
+    def test_bad_kind_rejected(self, mgr):
+        with pytest.raises(ValueError):
+            mgr.submit("nonsense", {})
+
+    def test_duplicate_id_rejected(self, mgr):
+        jid = mgr.submit("query", {"name": "q1_lineitem_agg", "sf_dir": SF}, job_id="fixed")
+        with pytest.raises(ValueError):
+            mgr.submit("query", {"name": "q1_lineitem_agg", "sf_dir": SF}, job_id="fixed")
+        mgr.wait(jid, timeout=120)
+
+
+class TestCancel:
+    def test_cancel_queued_job_never_runs(self, tmp_path, ray_session):
+        # 1 worker: first job occupies it; the second stays queued
+        m = JobManager(str(tmp_path / "jobs"), max_workers=1)
+        try:
+            a = m.submit("crawl", {"corpus": ensure("tiny"), "config": {"num_shards": 2}})
+            b = m.submit("query", {"name": "q1_lineitem_agg", "sf_dir": SF})
+            meta_b = m.cancel(b)
+            assert meta_b["state"] == "cancelled"
+            m.wait(a, timeout=180)
+            meta_b = m.status(b)
+            assert meta_b["state"] == "cancelled"
+            assert meta_b["started_at"] is None  # never ran
+            assert not os.path.exists(os.path.join(meta_b["out_dir"]))
+        finally:
+            m.shutdown(wait=False)
+
+    def test_cancel_running_crawl_graceful(self, mgr):
+        # many tiny rounds so the stop token lands mid-crawl
+        jid = mgr.submit(
+            "crawl",
+            {
+                "corpus": ensure("small"),
+                "config": {"num_shards": 2, "per_shard_budget": 40, "max_rounds": 60},
+            },
+        )
+        # wait until running and at least one round published
+        t0 = time.time()
+        while time.time() - t0 < 120:
+            st = mgr.status(jid)
+            if st["state"] == "running" and st.get("progress", {}).get("rounds_published", 0) >= 1:
+                break
+            time.sleep(0.1)
+        mgr.cancel(jid)
+        meta = mgr.wait(jid, timeout=180)
+        assert meta["state"] == "cancelled"
+        # graceful: published rounds are intact and resumable state exists
+        st = mgr.status(jid)
+        assert st["progress"]["pages_fetched"] > 0
+        # the crawl stopped early (small corpus full crawl needs ~>8 rounds
+        # at budget 40; cancellation must have cut it short of max_rounds)
+        assert st["progress"]["rounds_published"] < 60
+
+    def test_events_stream_terminates(self, mgr):
+        jid = mgr.submit("crawl", {"corpus": ensure("tiny"), "config": {"num_shards": 2}})
+        events = list(mgr.iter_events(jid, poll_s=0.1))
+        kinds = [e["event"] for e in events]
+        assert kinds.count("state") >= 2  # queued/running... → terminal
+        assert any(e["event"] == "progress" for e in events)
+        assert events[-1]["event"] == "state" or any(
+            e["event"] == "state" and e["state"] == "succeeded" for e in events
+        )
+        assert json.dumps(events[0])  # events are json-able (the SSE contract)
