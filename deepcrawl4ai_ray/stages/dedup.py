@@ -459,6 +459,18 @@ def minhash_lsh_pairs(
     The band-bucket groupby and the pair-dedup groupby are the wide
     steps; the payload join ships each candidate doc's shingle set once
     per endpoint.
+
+    Tuning (bands, rows=num_perm/bands) — the candidate-volume knob:
+    per-band collision prob is j^rows, so few rows per band maximizes
+    recall but explodes candidates on template-heavy web text (shared
+    boilerplate phrases).  Measured on the 2M-page sf1 proof corpus at
+    threshold 0.9: bands=16 (r=4) → 1.54M candidates, ALL rejected by
+    exact verify, 296 s dominated by the payload join; bands=8 (r=8) →
+    candidates collapse to the broadcast path, 62 s, same output.
+    Keep r=4 when the corpus is clean and recall is paramount (the
+    oracle-gate configuration: miss prob ≈ 4e-8/pair at j=0.9); use
+    r=8 for production web corpora (miss ≤ 1e-2 at exactly j=0.9,
+    ≤ 6e-6 for j ≥ 0.97 near-dups).
     """
     if verify == "exact":
         exploded = ds.map_batches(

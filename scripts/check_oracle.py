@@ -3,6 +3,8 @@ entry and its oracle SQL side-by-side, compare row-count / schema /
 values (order-insensitive, column-name-sorted — like the driver).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Set DCR_ORACLE_JSON=<path> to also write the per-query record as JSON
+(the committed CORRECTNESS_local_r{N}.json round artifacts).
 """
 
 import sys
@@ -58,6 +60,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = []
+    records = []
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -69,11 +72,13 @@ def main():
 
             traceback.print_exc()
             failures.append(name)
+            records.append({"query": name, "status": "error", "error": f"{type(e).__name__}: {e}"})
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             continue
         dt = time.time() - t0
         sql = ORACLES.get(name)
         if sql is None:
+            records.append({"query": name, "status": "no_oracle", "rows": len(mine), "sec": round(dt, 2)})
             print(f"ok?  {name}: rows-only ({len(mine)} rows, {dt:.1f}s)")
             continue
         oracle = normalize(con.execute(sql).fetchdf())
@@ -96,12 +101,30 @@ def main():
                     idx = np.nonzero(np.asarray(diff))[0][:3]
                     status.append(f"VALUES[{c}] e.g. rows {idx.tolist()}: {a.iloc[idx].tolist()} vs {b.iloc[idx].tolist()}")
             if eq:
+                records.append({"query": name, "status": "pass", "rows": len(mine), "sec": round(dt, 2)})
                 print(f"PASS {name} ({len(mine)} rows, {dt:.1f}s)")
                 continue
         failures.append(name)
+        records.append({"query": name, "status": "fail", "detail": "; ".join(status)})
         print(f"FAIL {name}: {'; '.join(status)}")
 
     print(f"\n{len(failures)} failures: {failures}")
+    import json as _json
+    import os as _os
+
+    out_path = _os.environ.get("DCR_ORACLE_JSON")
+    if out_path:
+        summary = {
+            "sf_dir": sf_dir,
+            "total": len(records),
+            "pass": sum(r["status"] == "pass" for r in records),
+            "no_oracle": sum(r["status"] == "no_oracle" for r in records),
+            "fail": len(failures),
+            "queries": records,
+        }
+        with open(out_path, "w") as f:
+            _json.dump(summary, f, indent=1)
+        print(f"wrote {out_path}")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
