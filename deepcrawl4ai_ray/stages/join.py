@@ -231,6 +231,66 @@ def _key_buckets(k: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def bucketed_distinct(
+    ds: "ray.data.Dataset", cols: list, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """DISTINCT over ``cols`` as a two-level plan: hash-bucket rows into
+    ``num_buckets`` groups, then ONE pandas drop_duplicates per group.
+    Ray's groupby(cols).aggregate carries per-DISTINCT-key aggregate
+    state — measured ~80 s at 2M string groups / 8M rows vs ~seconds for
+    this shape (sf1 proof, BASELINE.md r4).  Output columns = cols."""
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for c in cols:
+            h = h * np.uint64(1099511628211) ^ _hash_col(t[c])
+        return t.select(cols).append_column("__pb", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    def dg(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(cols)[cols]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.map_batches(add_pb, batch_format="pyarrow").groupby("__pb").map_groups(
+        dg, batch_format="pyarrow"
+    )
+
+
+def bucketed_sum(
+    ds: "ray.data.Dataset",
+    key_cols: list,
+    val_col: str,
+    out_col: str,
+    num_buckets: int = 64,
+    count: bool = False,
+) -> "ray.data.Dataset":
+    """Per-key SUM (or COUNT with ``count=True``) as the same two-level
+    plan as :func:`bucketed_distinct` — for aggregations whose DISTINCT
+    key count is O(rows) (per-node rank mass, out-degrees), where Ray's
+    per-group aggregate state dominates.  Output = key_cols + [out_col].
+    """
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for c in key_cols:
+            h = h * np.uint64(1099511628211) ^ _hash_col(t[c])
+        keep = key_cols + ([] if count else [val_col])
+        return t.select(keep).append_column("__pb", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    def agg(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if count:
+            out = df.groupby(key_cols, as_index=False, sort=False).size().rename(columns={"size": out_col})
+        else:
+            out = df.groupby(key_cols, as_index=False, sort=False)[val_col].sum().rename(
+                columns={val_col: out_col}
+            )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(add_pb, batch_format="pyarrow").groupby("__pb").map_groups(
+        agg, batch_format="pyarrow"
+    )
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -31,9 +31,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
 
-from .join import hash_join
+from .join import bucketed_distinct, bucketed_sum, hash_join
 
 
 #: rank_mode="auto" broadcasts the per-round rank table when the node
@@ -100,14 +99,11 @@ def pagerank(
             pa.table({"node": pa.array(node_arr.tolist(), pa.string())})
         ).repartition(4)
 
-    # distinct edges, once (multi-links from one page count once)
-    edges_d = (
-        edges.groupby([src, dst])
-        .aggregate(Count(alias_name="__c"))
-        .select_columns([src, dst])
-        .materialize()
-    )
-    outdeg = edges_d.groupby(src).aggregate(Count(alias_name="deg"))
+    # distinct edges, once (multi-links from one page count once) — and
+    # per-src out-degrees: both via the two-level bucket shape (Ray's
+    # per-DISTINCT-key aggregates pay O(groups) state, BASELINE.md r4)
+    edges_d = bucketed_distinct(edges, [src, dst], num_buckets=num_buckets).materialize()
+    outdeg = bucketed_sum(edges_d, [src], "", "deg", num_buckets=num_buckets, count=True)
 
     # (src, dst, deg): built once, re-joined every round by the same key
     edges_w = (
@@ -144,18 +140,8 @@ def pagerank(
             {"node": t["node"], "__in": pa.array(np.ones(len(t), dtype=np.int8))}
         )
 
-    def _as_node(col: str):
-        def fn(t: pa.Table) -> pa.Table:
-            # per-block unique combiner before the groupby
-            return pa.table({"node": pc.unique(t[col])})
-
-        return fn
-
-    dst_nodes = (
-        edges_d.map_batches(_as_node(dst), batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="__c"))
-        .select_columns(["node"])
+    dst_nodes = bucketed_distinct(edges_d, [dst], num_buckets=num_buckets).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
     )
     no_in = (
         hash_join(
@@ -183,8 +169,9 @@ def pagerank(
                 num_buckets=num_buckets,
             )
             .map_batches(_share, batch_format="pyarrow")
-            .groupby(dst)
-            .aggregate(Sum("share", alias_name="in_pr"))
+        )
+        contrib = (
+            bucketed_sum(contrib, [dst], "share", "in_pr", num_buckets=num_buckets)
             .repartition(4)
             .materialize()
         )
@@ -252,9 +239,7 @@ def _node_set(
             return u.to_numpy(zero_copy_only=False), None
 
     nodes = (
-        parts.groupby("node")
-        .aggregate(Count(alias_name="__c"))
-        .select_columns(["node"])
+        bucketed_distinct(parts, ["node"], num_buckets=64)
         .repartition(4)
         .materialize()
     )
@@ -421,12 +406,7 @@ def hits(
     if rank_mode == "auto":
         rank_mode = "broadcast" if n_nodes <= _BROADCAST_MAX_NODES else "join"
     if rank_mode == "join":
-        edges_d = (
-            edges.groupby([src, dst])
-            .aggregate(Count(alias_name="__c"))
-            .select_columns([src, dst])
-            .materialize()
-        )
+        edges_d = bucketed_distinct(edges, [src, dst], num_buckets=num_buckets).materialize()
         if nodes_ds is None:
             nodes_ds = ray.data.from_arrow(
                 pa.table({"node": pa.array(node_arr.tolist(), pa.string())})
@@ -503,15 +483,11 @@ def _hits_join(edges_d, nodes_ds, src, dst, iters, num_buckets):
             on=key_col,
             num_buckets=num_buckets,
         )
-        cont = (
-            j.map_batches(
-                lambda t, o=out_col: pa.table({"node": t[o], "c": t["r"]}),
-                batch_format="pyarrow",
-            )
-            .groupby("node")
-            .aggregate(Sum("c", alias_name="s"))
-            .materialize()
+        cont = j.map_batches(
+            lambda t, o=out_col: pa.table({"node": t[o], "c": t["r"]}),
+            batch_format="pyarrow",
         )
+        cont = bucketed_sum(cont, ["node"], "c", "s", num_buckets=num_buckets).materialize()
         sq = cont.map_batches(
             lambda t: pa.table({"q": pc.multiply(t["s"], t["s"])}), batch_format="pyarrow"
         ).sum("q")
