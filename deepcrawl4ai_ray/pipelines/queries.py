@@ -3678,6 +3678,172 @@ FROM rules GROUP BY lang ORDER BY lang
 """
 
 
+def training_data_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The composed end-to-end training-data pipeline — what a user of
+    this engine actually runs over a crawl, as ONE oracle-checked query:
+
+      documents
+        → Gopher-style quality gate (the 5 rules of gopher_quality_gate,
+          applied as a per-doc KEEP filter)
+        → exact dedup, first-wins by content md5 (J5 semantics)
+        → near-dup removal: minhash-LSH pairs with exact in-bucket
+          Jaccard ≥ 0.9, greedy keep-smallest-id (drop every id_b —
+          the standard keep-first-in-corpus-order policy; chains drop
+          conservatively, matching the SQL EXISTS semantics exactly)
+        → sequence packing at seq_len=128 (two-phase distributed
+          prefix sum; stages/pack)
+
+    Every stage is the already-oracle-green component; this entry pins
+    their COMPOSITION (filters feeding dedups feeding the pack scan) —
+    the integration surface where column/ordering bugs would hide.
+    Output: (doc_id, n_tokens, tok_start, seq_first, seq_last) for the
+    surviving corpus."""
+    import re as _re
+
+    from ..functions.repetition import repetition_stats
+    from ..stages.dedup import add_md5_column, exact_dedup_stats, minhash_lsh_pairs
+    from ..stages.join import bucketed_distinct, hash_join
+    from ..stages.pack import pack_sequences
+
+    word_re = _re.compile(r"\w+")
+    R = _GOPHER_RULES
+    stops = set(_GOPHER_STOPWORDS)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        st = repetition_stats(texts)
+        keep = np.zeros(len(texts), dtype=bool)
+        for i, t in enumerate(texts):
+            toks = word_re.findall((t or "").lower())
+            ntok = len(toks)
+            mwl = (sum(len(x) for x in toks) / ntok) if ntok else 0.0
+            nstop = sum(1 for x in toks if x in stops)
+            keep[i] = (
+                R["min_tok"] <= ntok <= R["max_tok"]
+                and R["min_wl"] <= mwl <= R["max_wl"]
+                and not (st["top2_frac"][i] > R["max_rep"] or st["dup3_frac"][i] > R["max_rep"])
+                and nstop >= R["min_stop"]
+            )
+        return batch.filter(pa.array(keep))
+
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+
+    # exact first-wins: join the (text_hash → keep_doc_id) table back and
+    # keep only the winning row per content hash
+    hashed = gated.map_batches(add_md5_column("doc_id", "text"), batch_format="pyarrow")
+    winners = exact_dedup_stats(gated, "doc_id", "text").select_columns(
+        ["text_hash", "keep_doc_id"]
+    )
+    exact_docs = (
+        hash_join(hashed, winners, on="text_hash", num_buckets=16)
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["doc_id"], t["keep_doc_id"])).select(
+                ["doc_id", "text"]
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed twice: pair mining + the anti-join left side
+    )
+
+    pairs = minhash_lsh_pairs(
+        exact_docs, "doc_id", "text", threshold=0.9, num_perm=64, bands=16, k=3,
+        verify="exact", payload_mode="auto",
+    )
+    drops = bucketed_distinct(
+        pairs.map_batches(
+            lambda t: pa.table({"doc_id": pc.cast(t["id_b"], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+        num_buckets=16,
+    ).map_batches(
+        lambda t: t.append_column("__dup", pa.array(np.ones(len(t), dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    survivors = hash_join(exact_docs, drops, on="doc_id", how="left", num_buckets=16).map_batches(
+        lambda t: t.filter(pc.is_null(t["__dup"])).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+
+    out = pack_sequences(survivors, "doc_id", "text", seq_len=128)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_tokens", "tok_start", "seq_first", "seq_last"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def _training_pipeline_sql() -> str:
+    R = _GOPHER_RULES
+    stop_list = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\\w+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, text, w, len(w) AS n_tok,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE length(array_to_string(w, '')) * 1.0 / len(w) END AS mwl,
+         len(list_filter(w, x -> x IN ({stop_list}))) AS n_stop,
+         [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS g2,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)] AS g3
+  FROM w0
+),
+t2 AS (
+  SELECT doc_id, MAX(c) AS maxc FROM (
+    SELECT doc_id, gram, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+),
+t3 AS (
+  SELECT doc_id, 1.0 - COUNT(DISTINCT gram) * 1.0 / COUNT(*) AS dup3
+  FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY doc_id
+),
+gated AS (
+  SELECT g.doc_id, g.text, g.w FROM g
+  LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+  WHERE g.n_tok BETWEEN {R["min_tok"]} AND {R["max_tok"]}
+    AND g.mwl >= {R["min_wl"]} AND g.mwl <= {R["max_wl"]}
+    AND NOT ((CASE WHEN g.n_tok >= 2 THEN 2.0 * t2.maxc / g.n_tok ELSE 0.0 END) > {R["max_rep"]}
+             OR COALESCE(t3.dup3, 0.0) > {R["max_rep"]})
+    AND g.n_stop >= {R["min_stop"]}
+),
+exact AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, w, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM exact WHERE len(w) >= 1
+),
+drops AS (
+  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.9
+),
+keep AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM exact
+  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+  FROM keep WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // 128                    AS seq_first,
+       (tok_start + n_tokens - 1) // 128   AS seq_last
+FROM s ORDER BY doc_id
+"""
+
+
 def hits_corpus(sf_dir: str) -> pd.DataFrame:
     """HITS hubs & authorities over the tiny-corpus link graph
     (stages/pagerank.hits): the second classic link-analysis ranking
@@ -3896,6 +4062,7 @@ QUERIES = {
     "dup_cluster_reps": dup_cluster_reps,
     "link_degree_stats": link_degree_stats,
     "gopher_quality_gate": gopher_quality_gate,
+    "training_data_pipeline": training_data_pipeline,
     "hits_corpus": hits_corpus,
     "boilerplate_removed_docs": boilerplate_removed_docs,
 }
@@ -3977,6 +4144,7 @@ ORACLES = {
     "dup_cluster_reps": _DUP_CLUSTER_REPS_SQL,
     "link_degree_stats": _LINK_DEGREE_SQL,
     "gopher_quality_gate": _gopher_sql(),
+    "training_data_pipeline": _training_pipeline_sql(),
     "hits_corpus": _hits_sql(2),
     "boilerplate_removed_docs": _BOILERPLATE_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
