@@ -33,7 +33,12 @@ from ..stages.dedup import (
 )
 from ..stages.join import bloom_semi_anti, broadcast_filter, hash_join
 from ..stages.knn import brute_force_topk, ivf_topk, train_ivf_centroids
-from ..stages.multimodal import FrameSampleStage, ImageDecodeStage
+from ..stages.multimodal import (
+    AudioFeatureStage,
+    FrameSampleStage,
+    ImageDecodeStage,
+    ImageResizeStage,
+)
 from ..stages.windows import ready_queue, session_counts, tumbling_window_agg
 
 
@@ -1875,6 +1880,84 @@ def frame_samples(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+def image_resize_meta(sf_dir: str) -> pd.DataFrame:
+    """Resize stage over binary 'image' payloads: the resized BINARY
+    column flows through the pipeline (real payload plumbing); the query
+    returns the byte-identity metadata so the oracle pins the transform
+    (md5 of the resized payload) exactly."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pc.cast(batch["text"], pa.binary())}
+        )
+
+    out = (
+        ds.map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            ImageResizeStage,
+            fn_constructor_args=("payload", "doc_id", 64, 64),
+            batch_format="pyarrow",
+            batch_size=256,  # small batches: binary payload discipline
+            concurrency=(1, 4),
+        )
+        .select_columns(["doc_id", "out_w", "out_h", "n_bytes_in", "n_bytes_out", "resized_md5"])
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_IMAGE_RESIZE_SQL = """
+SELECT doc_id,
+       64::BIGINT AS out_w,
+       64::BIGINT AS out_h,
+       octet_length(encode(text)) AS n_bytes_in,
+       octet_length(encode(substring(text, 1, 256))) AS n_bytes_out,
+       md5(substring(text, 1, 256)) AS resized_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+def audio_window_features(sf_dir: str) -> pd.DataFrame:
+    """Audio feature-extraction stage: binary payload → 4 codepoint
+    windows → md5-derived feature per window (deterministic stand-in for
+    MFCC/RMS; kernel is SQL-expressible so the oracle is exact)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pc.cast(batch["text"], pa.binary())}
+        )
+
+    out = (
+        ds.map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            AudioFeatureStage,
+            fn_constructor_args=("payload", "doc_id", 4),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "window_idx"]).reset_index(drop=True)
+
+
+_AUDIO_FEATURES_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+w AS (
+  SELECT doc_id, j AS window_idx,
+         substring(text, (j * n) // 4 + 1, ((j + 1) * n) // 4 - (j * n) // 4) AS win
+  FROM d, UNNEST(range(4)) AS u(j)
+  WHERE ((j + 1) * n) // 4 > (j * n) // 4
+)
+SELECT doc_id, window_idx,
+       ROUND(CAST(('0x' || substring(md5(win), 1, 8)) AS UBIGINT) / 4294967296.0, 6) AS feature
+FROM w ORDER BY doc_id, window_idx
+"""
 
 
 def parts_by_brand(sf_dir: str) -> pd.DataFrame:
@@ -4022,6 +4105,8 @@ QUERIES = {
     "simhash_near_dups": simhash_near_dups,
     "simhash_signatures": simhash_signatures,
     "image_decode_meta": image_decode_meta,
+    "image_resize_meta": image_resize_meta,
+    "audio_window_features": audio_window_features,
     "frame_samples": frame_samples,
     "parts_by_brand": parts_by_brand,
     "supplier_balance_by_nation": supplier_balance_by_nation,
@@ -4100,6 +4185,8 @@ ORACLES = {
     "knn_pq_refine_all": _KNN_SQL,
     "embedding_label_stats": _EMB_STATS_SQL,
     "image_decode_meta": _IMAGE_DECODE_SQL,
+    "image_resize_meta": _IMAGE_RESIZE_SQL,
+    "audio_window_features": _AUDIO_FEATURES_SQL,
     "llm_extract_stub": _LLM_STUB_SQL,
     "parts_by_brand": _PARTS_SQL,
     "supplier_balance_by_nation": _SUPPLIER_SQL,

@@ -498,6 +498,53 @@ class TestMultimodal:
         assert out.num_rows == 4
         assert out["frame_idx"].to_pylist() == [0, 1, 2, 3]
 
+    def test_image_resize_stage(self):
+        import hashlib
+
+        from deepcrawl4ai_ray.stages.multimodal import ImageResizeStage
+
+        long = "héllo wörld ✓" * 50  # 650 codepoints, multi-byte
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "payload": pa.array([long.encode(), b""], pa.binary()),
+            }
+        )
+        out = ImageResizeStage("payload", "doc_id", 64, 64)(batch)
+        # k = 64*64//16 = 256 codepoints
+        want = long[:256].encode()
+        assert out["resized"].to_pylist() == [want, b""]
+        assert out["n_bytes_out"].to_pylist() == [len(want), 0]
+        assert out["n_bytes_in"].to_pylist()[0] == len(long.encode())
+        assert out["resized_md5"].to_pylist()[0] == hashlib.md5(want).hexdigest()
+        assert out["out_w"].to_pylist() == [64, 64]
+
+    def test_audio_feature_stage(self):
+        import hashlib
+
+        from deepcrawl4ai_ray.stages.multimodal import AudioFeatureStage
+
+        t = "héllo wörld"  # 11 codepoints → windows [0:2][2:5][5:8][8:11]
+        batch = pa.table(
+            {
+                "doc_id": pa.array([7, 8], pa.int64()),
+                "payload": pa.array([t.encode(), b"ab"], pa.binary()),
+            }
+        )
+        out = AudioFeatureStage("payload", "doc_id", n_windows=4)(batch)
+        rows = list(
+            zip(out["doc_id"].to_pylist(), out["window_idx"].to_pylist(), out["feature"].to_pylist())
+        )
+        # doc 7: 4 windows; doc 8 (2 codepoints): windows 0/4..4/4 yield only j=1 and j=3 non-empty
+        feats7 = [r for r in rows if r[0] == 7]
+        assert [r[1] for r in feats7] == [0, 1, 2, 3]
+        w0 = t[0:2]
+        want = round(int(hashlib.md5(w0.encode()).hexdigest()[:8], 16) / 2**32, 6)
+        assert feats7[0][2] == want
+        feats8 = [r for r in rows if r[0] == 8]
+        assert [r[1] for r in feats8] == [1, 3]
+        assert all(0.0 <= r[2] < 1.0 for r in rows)
+
 
 class TestConnectedComponents:
     def test_clusters_resolved(self, ray_session):
