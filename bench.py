@@ -215,6 +215,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "token_stats_by_lang",
         "dedup_exact_docs",
         "minhash_near_dups",
+        "training_data_pipeline",
         "knn_cosine_top10",
         "embedding_label_stats",
         "image_decode_meta",
