@@ -110,8 +110,12 @@ def anchor_term_stats(pages: "ray.data.Dataset", num_buckets: int = 64) -> "ray.
     global groupby measured 32 s on the bench corpus; the int-bucket
     shuffle + in-bucket pandas aggregation is ~10×), and each of the
     ``num_buckets`` groups aggregates its targets vectorized."""
-    partials = pages.map_batches(
-        make_anchor_explode_fn(num_buckets=num_buckets), batch_format="pyarrow"
+    from .join import shuffle_coalesce
+
+    partials = shuffle_coalesce(
+        pages.map_batches(
+            make_anchor_explode_fn(num_buckets=num_buckets), batch_format="pyarrow"
+        )
     )
 
     def bucket_pick(g: pd.DataFrame) -> pd.DataFrame:

@@ -37,6 +37,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from ..functions import hashing as H
+from .join import shuffle_coalesce as _sc
 
 
 def add_md5_column(id_col: str, text_col: str, out_col: str = "text_hash"):
@@ -125,12 +126,11 @@ def _dedup_pairs(
             df = df.groupby(["id_a", "id_b"], as_index=False)[val_col].min()
         return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
 
+    from .join import shuffle_coalesce
+
     seeded = pairs.union(rd.from_arrow(schema.empty_table()))
-    return (
-        seeded.map_batches(add_pb, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(dedup_group, batch_format="pyarrow")
-    )
+    slim = shuffle_coalesce(seeded.map_batches(add_pb, batch_format="pyarrow"))
+    return slim.groupby("pb").map_groups(dedup_group, batch_format="pyarrow")
 
 
 #: auto mode broadcasts when the deduped pair set is at most this many
@@ -507,7 +507,7 @@ def minhash_lsh_pairs(
                 }
             )
 
-        cand = exploded.groupby("band_bucket").map_groups(bucket_cand, batch_format="pandas")
+        cand = _sc(exploded).groupby("band_bucket").map_groups(bucket_cand, batch_format="pandas")
         uniq = _dedup_pairs(
             cand,
             pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
@@ -586,7 +586,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    pairs = exploded.groupby("band_bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = _sc(exploded).groupby("band_bucket").map_groups(bucket_pairs, batch_format="pandas")
     schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("est_jaccard", pa.float64())])
     return _dedup_pairs(pairs, schema, val_col="est_jaccard", small_guard=_BROADCAST_MAX_PAIRS)
 
@@ -685,8 +685,9 @@ def connected_components(
         )
 
     # batch_size=None → one call per block: the union-find sees the whole
-    # block's edges, maximizing contraction.
-    stars = edges_ds.map_batches(contract, batch_format="pyarrow", batch_size=None).materialize()
+    # block's edges, maximizing contraction.  shuffle_coalesce bounds the
+    # block count feeding the groupby below AND the per-round hash_join.
+    stars = _sc(edges_ds.map_batches(contract, batch_format="pyarrow", batch_size=None))
     if stars.count() == 0:
         return empty
 
@@ -746,8 +747,10 @@ def connected_components(
     # chain — labels is consumed exactly once (join right side).
     for _ in range(max_iters):
         upd = (
-            hash_join(stars, labels, on="src", right_on="node", num_buckets=NB)
-            .map_batches(to_cand, batch_format="pyarrow")
+            _sc(
+                hash_join(stars, labels, on="src", right_on="node", num_buckets=NB)
+                .map_batches(to_cand, batch_format="pyarrow")
+            )
             .groupby("__b")
             .map_groups(bucket_min, batch_format="pandas")
             .materialize()
@@ -858,7 +861,7 @@ def simhash_near_dup_pairs(
         )
 
     pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
+        _sc(ds.map_batches(explode, batch_format="pyarrow"))
         .groupby("band_bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -1024,7 +1027,7 @@ def srp_near_dup_pairs(
             }
         )
 
-    cand = exploded.groupby("band_bucket").map_groups(bucket_cand, batch_format="pandas")
+    cand = _sc(exploded).groupby("band_bucket").map_groups(bucket_cand, batch_format="pandas")
     uniq = _dedup_pairs(
         cand,
         pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
@@ -1122,4 +1125,4 @@ def cluster_representatives(
             }
         )
 
-    return j.groupby("component").map_groups(pick, batch_format="pandas")
+    return _sc(j).groupby("component").map_groups(pick, batch_format="pandas")

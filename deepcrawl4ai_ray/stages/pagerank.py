@@ -92,12 +92,10 @@ def pagerank(
         rank_mode = "broadcast" if n_nodes <= _BROADCAST_MAX_NODES else "join"
     if rank_mode == "broadcast":
         if node_arr is None:  # rare: raw-cap overflow but few distinct nodes
-            node_arr = nodes.to_pandas()["node"].to_numpy(dtype=object)
+            node_arr = pa.array(nodes.to_pandas()["node"], pa.string())
         return _pagerank_broadcast(edges, node_arr, n_nodes, src, dst, iters, damping)
     if nodes is None:
-        nodes = ray.data.from_arrow(
-            pa.table({"node": pa.array(node_arr.tolist(), pa.string())})
-        ).repartition(4)
+        nodes = ray.data.from_arrow(pa.table({"node": node_arr})).repartition(4)
 
     # distinct edges, once (multi-links from one page count once) — and
     # per-src out-degrees: both via the two-level bucket shape (Ray's
@@ -198,25 +196,31 @@ def pagerank(
     return ranks
 
 
-#: driver-side node-set collection aborts past this many RAW per-block
-#: unique strings (≈ a few hundred MB) — graphs bigger than this compute
-#: the node set with the distributed groupby instead.
-_NODE_RAW_CAP = 8 * _BROADCAST_MAX_NODES
+#: driver-side node-set collection compacts (pc.unique fold) every this
+#: many buffered raw strings — bounds driver heap at ~distinct + window.
+_NODE_COMPACT_RAW = 4_000_000
+
+#: ...and aborts to the distributed path once the COMPACTED distinct
+#: count exceeds this (such graphs exceed the broadcast guard anyway).
+_NODE_RAW_CAP = 2 * _BROADCAST_MAX_NODES
 
 
 def _node_set(
     edges: "ray.data.Dataset", src: str, dst: str, want_driver: bool
-) -> tuple["np.ndarray | None", "ray.data.Dataset | None"]:
+) -> tuple["pa.Array | None", "ray.data.Dataset | None"]:
     """Distinct node set of the edge table → (node_arr, nodes_dataset),
     exactly one of which is None.
 
     Fast path (``want_driver``): per-block unique strings stream to the
-    driver (capped at _NODE_RAW_CAP raw rows) and one pc.unique runs
-    there — no string-sort shuffle at all.  Broadcast-mode pagerank
-    pulls the node table to the driver anyway, so this merely moves
-    that pull BEFORE the groupby it replaces (206k-node bench gate:
-    13.0 s → 0.6 s).  Cap overflow or ``want_driver=False`` falls back
-    to the distributed per-block-unique + groupby shape."""
+    driver with INCREMENTAL pc.unique compaction (fold every
+    _NODE_COMPACT_RAW raw strings; abort to the distributed path once
+    the compacted distinct count passes _NODE_RAW_CAP) — no string-sort
+    shuffle at all, driver heap bounded by distinct + one window.
+    Broadcast-mode pagerank pulls the node table to the driver anyway,
+    so this merely moves that pull BEFORE the groupby it replaces
+    (206k-node bench gate: 13.0 s → 0.6 s).  Overflow or
+    ``want_driver=False`` falls back to the distributed
+    per-block-unique + groupby shape."""
 
     def _both(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
@@ -226,17 +230,28 @@ def _node_set(
 
     parts = edges.map_batches(_both, batch_format="pyarrow")
     if want_driver:
+        # Incremental compaction: fold pc.unique every _NODE_COMPACT_RAW
+        # raw strings so driver heap is bounded by distinct + one window
+        # (the naive collect-then-unique held ~1 GB of raw per-block
+        # chunks at the 2.1M-node sf1 proof).  Stays an ARROW array end
+        # to end — a numpy object array would materialize N python str
+        # objects (~100 B each) that the broadcast path never needs.
         chunks: list = []
         total = 0
+        overflow = False
         for b in parts.iter_batches(batch_format="pyarrow"):
             chunks.append(b["node"].combine_chunks())
             total += len(chunks[-1])
-            if total > _NODE_RAW_CAP:
-                break
-        else:
+            if total > _NODE_COMPACT_RAW:
+                u = pc.unique(pa.concat_arrays(chunks))
+                chunks, total = [u], len(u)
+                if total > _NODE_RAW_CAP:
+                    overflow = True  # huge distinct set: broadcast won't
+                    break  # be used; build the node table distributed
+        if not overflow:
             u = pc.unique(pa.concat_arrays(chunks)) if chunks else pa.array([], pa.string())
             u = u.take(pc.sort_indices(u))
-            return u.to_numpy(zero_copy_only=False), None
+            return u, None
 
     nodes = (
         bucketed_distinct(parts, ["node"], num_buckets=64)
@@ -247,7 +262,7 @@ def _node_set(
 
 
 def _edges_to_packed(
-    edges: "ray.data.Dataset", node_arr: np.ndarray, src: str, dst: str
+    edges: "ray.data.Dataset", node_arr: "pa.Array", src: str, dst: str
 ) -> "ray.data.Dataset":
     """Map a RAW string edge table onto int node positions and dedup it
     → materialized Dataset of packed uint64 keys (src_pos<<32|dst_pos).
@@ -258,7 +273,7 @@ def _edges_to_packed(
     bounded by the caller's broadcast guard, so positions fit 32 bits."""
     from .join import cached_get
 
-    keys_ref = ray.put(pa.array(node_arr.tolist(), type=pa.string()))
+    keys_ref = ray.put(node_arr)
 
     def to_key(t: pa.Table) -> pa.Table:
         ks = cached_get(keys_ref, "pagerank.nodekeys")
@@ -306,7 +321,7 @@ def _sum_block_vectors(parts: "ray.data.Dataset", n: int, dtype=np.float64) -> n
 
 def _pagerank_broadcast(
     edges: "ray.data.Dataset",
-    node_arr: np.ndarray,
+    node_arr: "pa.Array",
     n_nodes: int,
     src: str,
     dst: str,
@@ -361,7 +376,7 @@ def _pagerank_broadcast(
         pr = base + damping * in_pr
 
     return ray.data.from_arrow(
-        pa.table({"node": pa.array(node_arr, pa.string()), "pr": pa.array(pr, pa.float64())})
+        pa.table({"node": node_arr, "pr": pa.array(pr, pa.float64())})
     )
 
 
@@ -408,15 +423,13 @@ def hits(
     if rank_mode == "join":
         edges_d = bucketed_distinct(edges, [src, dst], num_buckets=num_buckets).materialize()
         if nodes_ds is None:
-            nodes_ds = ray.data.from_arrow(
-                pa.table({"node": pa.array(node_arr.tolist(), pa.string())})
-            ).repartition(4)
+            nodes_ds = ray.data.from_arrow(pa.table({"node": node_arr})).repartition(4)
         return _hits_join(edges_d, nodes_ds, src, dst, iters, num_buckets)
 
     from .join import cached_get
 
     if node_arr is None:  # rare: raw-cap overflow but few distinct nodes
-        node_arr = nodes_ds.to_pandas()["node"].to_numpy(dtype=object)
+        node_arr = pa.array(nodes_ds.to_pandas()["node"], pa.string())
     ek = _edges_to_packed(edges, node_arr, src, dst)
     mask = np.uint64(0xFFFFFFFF)
     h = np.ones(n_nodes, dtype=np.float64)
@@ -450,7 +463,7 @@ def hits(
     return ray.data.from_arrow(
         pa.table(
             {
-                "node": pa.array(node_arr, pa.string()),
+                "node": node_arr,
                 "hub": pa.array(h, pa.float64()),
                 "authority": pa.array(a, pa.float64()),
             }

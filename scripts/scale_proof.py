@@ -26,8 +26,25 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def rss_mb() -> float:
-    """Driver peak RSS so far (ru_maxrss is KiB on Linux, monotonic)."""
+    """Driver peak RSS so far (ru_maxrss is KiB on Linux, monotonic).
+
+    NOTE: ru_maxrss counts plasma/object-store SHARED pages the moment the
+    driver maps a block (e.g. a guarded broadcast collect), so it
+    overstates driver-owned memory.  anon_mb() below is the honest
+    "driver heap" metric — see the paired rss_anon_mb entries."""
     return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1)
+
+
+def anon_mb() -> float:
+    """Current ANONYMOUS RSS (RssAnon): driver-owned heap only, excludes
+    plasma shm / file mappings.  Flat RssAnon across stages is the real
+    no-driver-materialization evidence; ru_maxrss can step by the size of
+    any object-store block the driver merely mapped."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("RssAnon:"):
+                return round(int(line.split()[1]) / 1024.0, 1)
+    return -1.0
 
 
 def main() -> None:
@@ -73,12 +90,18 @@ def main() -> None:
         "gen_sec": round(t_gen, 1),
         "stages": {},
         "rss_mb": {"start": rss_mb()},
+        "rss_anon_mb": {"start": anon_mb()},
     }
 
     def record(name: str, secs: float, **kw) -> None:
         out["stages"][name] = {"sec": round(secs, 1), **{k: round(v, 1) for k, v in kw.items()}}
         out["rss_mb"][name] = rss_mb()
-        print(f"[scale_proof] {name}: {secs:.1f}s {kw} driver_peak_rss={rss_mb()} MB", file=sys.stderr)
+        out["rss_anon_mb"][name] = anon_mb()
+        print(
+            f"[scale_proof] {name}: {secs:.1f}s {kw} driver_peak_rss={rss_mb()} MB"
+            f" anon_rss={anon_mb()} MB",
+            file=sys.stderr,
+        )
 
     pages_path = os.path.join(corpus, "pages")
 
@@ -212,6 +235,7 @@ def main() -> None:
     record("anchors", dt, pages_per_sec=n_pages / dt, targets=float(n_tgt))
 
     out["rss_mb"]["end"] = rss_mb()
+    out["rss_anon_mb"]["end"] = anon_mb()
     ray.shutdown()
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(__file__), "..", "SCALE_PROOF_r4.json"), "w") as f:
