@@ -315,7 +315,9 @@ def _sum_block_vectors(parts: "ray.data.Dataset", n: int, dtype=np.float64) -> n
     acc = np.zeros(n, dtype=dtype)
     for b in parts.iter_batches(batch_format="pyarrow"):
         for x in b["part"]:
-            acc += np.frombuffer(x.as_py(), dtype=dtype)
+            # as_buffer() views the (plasma-mapped) Arrow buffer —
+            # as_py() would copy each 8·n-byte partial into driver heap
+            acc += np.frombuffer(x.as_buffer(), dtype=dtype)
     return acc
 
 
