@@ -1309,3 +1309,61 @@ class TestHits:
             hits(ds, iters=0)
         with pytest.raises(ValueError):
             hits(ds, rank_mode="gossip")
+
+
+class TestShuffleCoalesce:
+    """shuffle_coalesce: block-count bounding before an all-to-all (the
+    sub-inline-chunk driver-heap guard, stages/join.py)."""
+
+    def test_small_input_passes_through(self):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.join import shuffle_coalesce
+
+        ds = rd.from_pandas(pd.DataFrame({"k": range(100), "v": range(100)}))
+        out = shuffle_coalesce(ds)
+        got = out.to_pandas().sort_values("k").reset_index(drop=True)
+        assert got["v"].tolist() == list(range(100))
+
+    def test_many_tiny_blocks_coalesce_rows_preserved(self):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.join import shuffle_coalesce
+
+        # 200 one-row blocks (the pathological slim-table shape)
+        parts = [pa.table({"k": pa.array([i], pa.int64())}) for i in range(200)]
+        ds = rd.from_arrow(parts)
+        assert ds.materialize().num_blocks() >= 100
+        out = shuffle_coalesce(ds).materialize()
+        assert out.num_blocks() < 100  # bounded map side
+        assert sorted(out.to_pandas()["k"].tolist()) == list(range(200))
+
+    def test_groupby_after_coalesce_matches(self):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.join import shuffle_coalesce
+
+        parts = [
+            pa.table({"g": pa.array([i % 7], pa.int64()), "v": pa.array([i], pa.int64())})
+            for i in range(50)
+        ]
+        ds = shuffle_coalesce(rd.from_arrow(parts))
+        got = (
+            ds.groupby("g")
+            .map_groups(
+                lambda t: pa.table(
+                    {"g": t["g"][:1], "s": pa.array([pa.compute.sum(t["v"]).as_py()])}
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.DataFrame({"g": [i % 7 for i in range(50)], "v": range(50)})
+            .groupby("g", as_index=False)["v"]
+            .sum()
+            .rename(columns={"v": "s"})
+        )
+        assert got["s"].tolist() == want["v" if "v" in want else "s"].tolist()
