@@ -3784,8 +3784,8 @@ def training_data_pipeline(sf_dir: str) -> pd.DataFrame:
     import re as _re
 
     from ..functions.repetition import repetition_stats
-    from ..stages.dedup import add_md5_column, exact_dedup_stats, minhash_lsh_pairs
-    from ..stages.join import bucketed_distinct, hash_join
+    from ..stages.dedup import exact_dedup_losers, minhash_lsh_pairs
+    from ..stages.join import bloom_semi_anti
     from ..stages.pack import pack_sequences
 
     word_re = _re.compile(r"\w+")
@@ -3810,44 +3810,31 @@ def training_data_pipeline(sf_dir: str) -> pd.DataFrame:
             )
         return batch.filter(pa.array(keep))
 
-    gated = docs.map_batches(gate, batch_format="pyarrow")
+    gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
 
-    # exact first-wins: join the (text_hash → keep_doc_id) table back and
-    # keep only the winning row per content hash
-    hashed = gated.map_batches(add_md5_column("doc_id", "text"), batch_format="pyarrow")
-    winners = exact_dedup_stats(gated, "doc_id", "text").select_columns(
-        ["text_hash", "keep_doc_id"]
-    )
-    exact_docs = (
-        hash_join(hashed, winners, on="text_hash", num_buckets=16)
-        .map_batches(
-            lambda t: t.filter(pc.equal(t["doc_id"], t["keep_doc_id"])).select(
-                ["doc_id", "text"]
-            ),
-            batch_format="pyarrow",
-        )
-        .materialize()  # consumed twice: pair mining + the anti-join left side
-    )
+    # exact first-wins WITHOUT a payload shuffle: only the slim
+    # (doc_id, text_hash) pair crosses the wire (exact_dedup_losers, a
+    # two-level bucket groupby), then the loser-id set anti-filters the
+    # payload MAP-SIDE via the bloom prescreen — bloom-negative rows
+    # (~the whole corpus at real dup rates) never shuffle; the FP
+    # minority is exactly verified with a slim-keyed join.
+    losers = exact_dedup_losers(gated, "doc_id", "text")
+    exact_docs = bloom_semi_anti(
+        gated, "doc_id", losers, "doc_id", keep_in=False
+    ).materialize()  # consumed twice: pair mining + the anti-join left side
 
     pairs = minhash_lsh_pairs(
         exact_docs, "doc_id", "text", threshold=0.9, num_perm=64, bands=16, k=3,
         verify="exact", payload_mode="auto",
     )
-    drops = bucketed_distinct(
-        pairs.map_batches(
-            lambda t: pa.table({"doc_id": pc.cast(t["id_b"], pa.int64())}),
-            batch_format="pyarrow",
-        ),
-        ["doc_id"],
-        num_buckets=16,
-    ).map_batches(
-        lambda t: t.append_column("__dup", pa.array(np.ones(len(t), dtype=np.int8))),
+    # near-dup removal: drop every id_b, again as a map-side bloom anti.
+    # No distinct pass on the drop ids: duplicate bloom/verify keys can
+    # only duplicate HIT rows, and anti drops hits — output identical.
+    drops = pairs.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["id_b"], pa.int64())}),
         batch_format="pyarrow",
     )
-    survivors = hash_join(exact_docs, drops, on="doc_id", how="left", num_buckets=16).map_batches(
-        lambda t: t.filter(pc.is_null(t["__dup"])).select(["doc_id", "text"]),
-        batch_format="pyarrow",
-    )
+    survivors = bloom_semi_anti(exact_docs, "doc_id", drops, "doc_id", keep_in=False)
 
     out = pack_sequences(survivors, "doc_id", "text", seq_len=128)
     df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -62,6 +62,43 @@ def exact_dedup_stats(ds: "ray.data.Dataset", id_col: str, text_col: str):
     )
 
 
+def exact_dedup_losers(ds: "ray.data.Dataset", id_col: str, text_col: str, num_buckets: int = 64):
+    """→ Dataset(<id>) of the rows exact dedup DROPS (everything except
+    the min-id winner per content md5).  Only the slim (id, text_hash)
+    pair ever shuffles — payload filtering is the caller's job (the
+    bloom anti-join in the flagship pipeline keeps payload map-side).
+    Two-level shape: hash-bucket text_hash into ``num_buckets`` groups,
+    one vectorized min-transform per group (a per-distinct-hash groupby
+    carries aggregate state for every distinct doc at corpus scale)."""
+    slim = ds.map_batches(add_md5_column(id_col, text_col), batch_format="pyarrow").select_columns(
+        ["text_hash", id_col]
+    )
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        hb = np.frombuffer(
+            b"".join(bytes.fromhex(h[:8]) for h in t["text_hash"].to_pylist()), dtype=np.uint32
+        )
+        return t.append_column("pb", pa.array((hb % num_buckets).astype(np.int32)))
+
+    def losers_group(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        keep = df.groupby("text_hash")[id_col].transform("min")
+        out = df.loc[df[id_col] != keep, [id_col]]
+        # pin the schema (from the input block, so empty groups don't
+        # emit column-less blocks)
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema([(id_col, t.schema.field(id_col).type)]),
+            preserve_index=False,
+        )
+
+    return (
+        _sc(slim.map_batches(add_pb, batch_format="pyarrow"))
+        .groupby("pb")
+        .map_groups(losers_group, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared pair-plumbing: cross-band dedup + payload join-back.
 # ---------------------------------------------------------------------------

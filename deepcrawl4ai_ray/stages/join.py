@@ -119,6 +119,9 @@ def _bloom_leaf(block: pa.Table):
     """OR-merge the partial blooms of one block → (bits bytes | None, n)."""
     merged = None
     total = 0
+    names = block.schema.names if hasattr(block, "schema") else list(block.columns)
+    if "bloom" not in names:  # schema-less empty block from an upstream groupby
+        return (None, 0)
     for blob, n in zip(block["bloom"].to_pylist(), block["n"].to_pylist()):
         arr = np.frombuffer(blob, dtype=np.uint64)
         merged = arr.copy() if merged is None else np.bitwise_or(merged, arr, out=merged)
@@ -200,7 +203,13 @@ def bloom_semi_anti(
     """
     from ..state.bloom import BloomFilter
 
-    cap = capacity if capacity is not None else max(16, keys_ds.count())
+    # materialize once: count() below executes anyway, the bloom build
+    # scans it, and the verify join needs a concrete schema
+    keys_ds = keys_ds.materialize()
+    n_keys = keys_ds.count()
+    if n_keys == 0:  # empty key set: anti keeps everything, semi nothing
+        return ds if not keep_in else ds.limit(0)
+    cap = capacity if capacity is not None else max(16, n_keys)
     bloom_ref = ray.put(build_bloom_bytes(keys_ds, key_col, cap, fp_rate))
 
     def make_split(want_positive: bool):

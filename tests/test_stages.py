@@ -1367,3 +1367,43 @@ class TestShuffleCoalesce:
             .rename(columns={"v": "s"})
         )
         assert got["s"].tolist() == want["v" if "v" in want else "s"].tolist()
+
+
+class TestExactDedupLosers:
+    def test_losers_are_non_min_ids_per_content(self):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dedup import exact_dedup_losers
+
+        df = pd.DataFrame(
+            {"doc_id": range(8), "text": ["a", "b", "a", "c", "b", "b", "d", "a"]}
+        )
+        got = sorted(
+            exact_dedup_losers(rd.from_pandas(df).repartition(3), "doc_id", "text")
+            .to_pandas()["doc_id"]
+            .tolist()
+        )
+        assert got == [2, 4, 5, 7]
+
+    def test_no_duplicates_returns_empty(self):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dedup import exact_dedup_losers
+
+        df = pd.DataFrame({"doc_id": range(5), "text": list("abcde")})
+        assert exact_dedup_losers(rd.from_pandas(df), "doc_id", "text").count() == 0
+
+    def test_bloom_anti_with_empty_losers_passes_through(self):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dedup import exact_dedup_losers
+        from deepcrawl4ai_ray.stages.join import bloom_semi_anti
+
+        df = pd.DataFrame({"doc_id": range(5), "text": list("abcde")})
+        ds = rd.from_pandas(df).materialize()
+        losers = exact_dedup_losers(ds, "doc_id", "text")
+        out = bloom_semi_anti(ds, "doc_id", losers, "doc_id", keep_in=False)
+        assert sorted(out.to_pandas()["doc_id"].tolist()) == list(range(5))
+        # semi against the empty set is empty
+        semi = bloom_semi_anti(ds, "doc_id", losers, "doc_id", keep_in=True)
+        assert semi.count() == 0
