@@ -3644,6 +3644,41 @@ _GOPHER_RULES = dict(min_tok=30, max_tok=100_000, min_wl=3.0, max_wl=10.0, max_r
 _GOPHER_STOPWORDS = ("the", "a")
 
 
+def make_gopher_keep_fn(text_col: str = "text", **rule_overrides):
+    """map_batches KEEP filter applying the 5 Gopher rules per doc —
+    the flagship gate kernel, shared by training_data_pipeline and
+    scripts/scale_proof.py (rule semantics pinned by the
+    gopher_quality_gate SQL oracle).  ``rule_overrides`` replaces
+    individual _GOPHER_RULES entries (the scale proof sets min_stop=0:
+    its synthetic corpus vocabulary has no English stopwords)."""
+    import re as _re
+
+    from ..functions.repetition import repetition_stats
+
+    word_re = _re.compile(r"\w+")
+    R = {**_GOPHER_RULES, **rule_overrides}
+    stops = set(_GOPHER_STOPWORDS)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        st = repetition_stats(texts)
+        keep = np.zeros(len(texts), dtype=bool)
+        for i, t in enumerate(texts):
+            toks = word_re.findall((t or "").lower())
+            ntok = len(toks)
+            mwl = (sum(len(x) for x in toks) / ntok) if ntok else 0.0
+            nstop = sum(1 for x in toks if x in stops)
+            keep[i] = (
+                R["min_tok"] <= ntok <= R["max_tok"]
+                and R["min_wl"] <= mwl <= R["max_wl"]
+                and not (st["top2_frac"][i] > R["max_rep"] or st["dup3_frac"][i] > R["max_rep"])
+                and nstop >= R["min_stop"]
+            )
+        return batch.filter(pa.array(keep))
+
+    return gate
+
+
 def gopher_quality_gate(sf_dir: str) -> pd.DataFrame:
     """The composed Gopher-style quality GATE (Rae et al. 2021): five
     rules per doc — token-count window, mean-word-length window,
@@ -3781,36 +3816,12 @@ def training_data_pipeline(sf_dir: str) -> pd.DataFrame:
     the integration surface where column/ordering bugs would hide.
     Output: (doc_id, n_tokens, tok_start, seq_first, seq_last) for the
     surviving corpus."""
-    import re as _re
-
-    from ..functions.repetition import repetition_stats
     from ..stages.dedup import exact_dedup_losers, minhash_lsh_pairs
     from ..stages.join import bloom_semi_anti
     from ..stages.pack import pack_sequences
 
-    word_re = _re.compile(r"\w+")
-    R = _GOPHER_RULES
-    stops = set(_GOPHER_STOPWORDS)
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def gate(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        st = repetition_stats(texts)
-        keep = np.zeros(len(texts), dtype=bool)
-        for i, t in enumerate(texts):
-            toks = word_re.findall((t or "").lower())
-            ntok = len(toks)
-            mwl = (sum(len(x) for x in toks) / ntok) if ntok else 0.0
-            nstop = sum(1 for x in toks if x in stops)
-            keep[i] = (
-                R["min_tok"] <= ntok <= R["max_tok"]
-                and R["min_wl"] <= mwl <= R["max_wl"]
-                and not (st["top2_frac"][i] > R["max_rep"] or st["dup3_frac"][i] > R["max_rep"])
-                and nstop >= R["min_stop"]
-            )
-        return batch.filter(pa.array(keep))
-
-    gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
+    gated = docs.map_batches(make_gopher_keep_fn(), batch_format="pyarrow").materialize()
 
     # exact first-wins WITHOUT a payload shuffle: only the slim
     # (doc_id, text_hash) pair crosses the wire (exact_dedup_losers, a

@@ -61,6 +61,18 @@ def pack_sequences(
 
     if max_id is None:
         max_id = ds.max(id_col)
+    if max_id is None:  # empty input: schema-pinned empty result
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("tok_start", pa.int64()),
+                    ("seq_first", pa.int64()),
+                    ("seq_last", pa.int64()),
+                ]
+            ).empty_table()
+        )
     range_width = max(1, (int(max_id) + num_ranges) // num_ranges)
 
     def count_batch(batch: pa.Table) -> pa.Table:

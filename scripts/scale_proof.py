@@ -234,6 +234,38 @@ def main() -> None:
     n_tgt = sum(pq_.read_metadata(f).num_rows for f in glob.glob(f"{an_out}/*.parquet"))
     record("anchors", dt, pages_per_sec=n_pages / dt, targets=float(n_tgt))
 
+    # ---- 6. flagship training-data pipeline over the 2M-doc corpus ------
+    # gate → exact dedup (slim losers + bloom anti, payload map-side) →
+    # minhash near-dup removal (bands=8, the sf1 tuning) → sequence
+    # packing.  Exercises the bloom-anti shape at 10× bench scale.
+    from deepcrawl4ai_ray.pipelines.queries import make_gopher_keep_fn
+    from deepcrawl4ai_ray.stages.dedup import exact_dedup_losers
+    from deepcrawl4ai_ray.stages.join import bloom_semi_anti
+    from deepcrawl4ai_ray.stages.pack import pack_sequences
+
+    tp_out = "/tmp/dc4r_scale/train_pipe_out"
+    shutil.rmtree(tp_out, ignore_errors=True)
+    t0 = time.time()
+    # min_stop=0: the synthetic corpus vocabulary has no English
+    # stopwords, so the oracle rule would zero the corpus out
+    gated = docs.map_batches(
+        make_gopher_keep_fn(min_stop=0), batch_format="pyarrow"
+    ).materialize()
+    losers = exact_dedup_losers(gated, "doc_id", "text")
+    exact_docs = bloom_semi_anti(gated, "doc_id", losers, "doc_id", keep_in=False).materialize()
+    nd_pairs = minhash_lsh_pairs(
+        exact_docs, "doc_id", "text", threshold=0.9, num_perm=64, bands=8, k=3,
+        verify="exact", payload_mode="auto",
+    )
+    drops = nd_pairs.map_batches(
+        lambda t: pa.table({"doc_id": t["id_b"].cast(pa.int64())}), batch_format="pyarrow"
+    )
+    survivors = bloom_semi_anti(exact_docs, "doc_id", drops, "doc_id", keep_in=False)
+    pack_sequences(survivors, "doc_id", "text", seq_len=512).write_parquet(tp_out)
+    dt = time.time() - t0
+    n_seq = sum(pq_.read_metadata(f).num_rows for f in glob.glob(f"{tp_out}/*.parquet"))
+    record("train_pipe", dt, docs_per_sec=n_pages / dt, packed_rows=float(n_seq))
+
     out["rss_mb"]["end"] = rss_mb()
     out["rss_anon_mb"]["end"] = anon_mb()
     ray.shutdown()

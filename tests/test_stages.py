@@ -1407,3 +1407,20 @@ class TestExactDedupLosers:
         # semi against the empty set is empty
         semi = bloom_semi_anti(ds, "doc_id", losers, "doc_id", keep_in=True)
         assert semi.count() == 0
+
+
+class TestPackSequencesEmpty:
+    def test_empty_input_returns_schema_pinned_empty(self):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.pack import pack_sequences
+
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["word " * 5]})).filter(
+            lambda r: False
+        )
+        from deepcrawl4ai_ray.convert import to_pandas
+
+        out = pack_sequences(ds, "doc_id", "text", seq_len=8)
+        df = to_pandas(out)
+        assert len(df) == 0
+        assert list(df.columns) == ["doc_id", "n_tokens", "tok_start", "seq_first", "seq_last"]
