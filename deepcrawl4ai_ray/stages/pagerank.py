@@ -261,6 +261,29 @@ def _node_set(
     return None, nodes
 
 
+def _node_pos_map(node_arr: "pa.Array") -> "tuple[np.ndarray, np.ndarray] | None":
+    """64-bit hash → node-position map for :func:`_edges_to_packed`:
+    (hsorted, order) such that ``order[searchsorted(hsorted, hash(url))]``
+    is the url's index in ``node_arr``.  ``pd.util.hash_array`` is a
+    keyed siphash — deterministic across processes, no PYTHONHASHSEED.
+    Returns None when two nodes collide in 64 bits (probability ~1e-7 at
+    the 4M-node broadcast guard; the caller then falls back to exact
+    ``pc.index_in``).  Hashing is chunked so the driver materializes at
+    most 256k Python strings at a time."""
+    import pandas as pd
+
+    n = len(node_arr)
+    hs = []
+    for lo in range(0, n, 262_144):
+        sl = node_arr.slice(lo, 262_144)
+        hs.append(pd.util.hash_array(np.asarray(sl.to_pandas(), dtype=object)))
+    h = np.concatenate(hs) if hs else np.array([], dtype=np.uint64)
+    if len(np.unique(h)) != n:
+        return None
+    order = np.argsort(h, kind="stable").astype(np.int64)
+    return h[order], order
+
+
 def _edges_to_packed(
     edges: "ray.data.Dataset", node_arr: "pa.Array", src: str, dst: str
 ) -> "ray.data.Dataset":
@@ -270,50 +293,112 @@ def _edges_to_packed(
     combiner, a repartition that collapses the many tiny 8 B/edge key
     blocks, then one int groupby — instead of a string-pair sort
     (measured 12.7 s → ~2 s at 1.15M bench edges).  Node count is
-    bounded by the caller's broadcast guard, so positions fit 32 bits."""
-    from .join import cached_get
+    bounded by the caller's broadcast guard, so positions fit 32 bits.
 
-    keys_ref = ray.put(node_arr)
+    Position lookup broadcasts a 16 B/node (hash, position) map and does
+    a vectorized hash + searchsorted per batch — ``pc.index_in`` against
+    the broadcast STRING array re-built its 2.1M-entry hash table on
+    every batch (sf1 proof: 36 s → 2.2 s for this map pass); the string
+    path remains as the exact fallback for a 64-bit node-hash collision."""
+    from .join import cached_get, shuffle_coalesce
 
-    def to_key(t: pa.Table) -> pa.Table:
-        ks = cached_get(keys_ref, "pagerank.nodekeys")
-        sp = pc.index_in(t[src].combine_chunks().cast(pa.string()), value_set=ks).to_numpy(
-            zero_copy_only=False
-        )
-        dp = pc.index_in(t[dst].combine_chunks().cast(pa.string()), value_set=ks).to_numpy(
-            zero_copy_only=False
-        )
-        key = np.unique((sp.astype(np.uint64) << np.uint64(32)) | dp.astype(np.uint64))
-        return pa.table(
-            {
-                "ek": pa.array(key, pa.uint64()),
-                # partition on the src position so the global dedup is a
-                # 32-GROUP groupby + per-group np.unique — a groupby on
-                # the raw key would carry per-group aggregate state for
-                # E distinct groups (measured 10.2 s → 1.5 s at 1.15M
-                # bench edges)
-                "pb": pa.array(((key >> np.uint64(32)) % np.uint64(32)).astype(np.int32)),
-            }
-        )
+    pos_map = _node_pos_map(node_arr)
+
+    if pos_map is not None:
+        pm_ref = ray.put(pos_map)
+
+        def to_key(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            hsrt, ordr = cached_get(pm_ref, "pagerank.nodeposmap")
+
+            def pos(col: "pa.ChunkedArray") -> np.ndarray:
+                ob = col.combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+                hb = pd.util.hash_array(ob)
+                i = np.searchsorted(hsrt, hb)
+                # every edge endpoint IS a node (the node set derives
+                # from this same edge table) — guard anyway so a misuse
+                # raises here, not as silent rank corruption
+                if len(i) and (i[-1] >= len(hsrt) or not np.array_equal(hsrt[i], hb)):
+                    raise ValueError("edge endpoint missing from node set")
+                return ordr[i].astype(np.uint64)
+
+            key = np.unique((pos(t[src]) << np.uint64(32)) | pos(t[dst]))
+            return pa.table(
+                {
+                    "ek": pa.array(key, pa.uint64()),
+                    # partition on the src position so the global dedup
+                    # is a 32-GROUP groupby + per-group np.unique — a
+                    # groupby on the raw key would carry per-group
+                    # aggregate state for E distinct groups (measured
+                    # 10.2 s → 1.5 s at 1.15M bench edges)
+                    "pb": pa.array(((key >> np.uint64(32)) % np.uint64(32)).astype(np.int32)),
+                }
+            )
+
+    else:  # 64-bit node-hash collision: exact string index_in path
+        keys_ref = ray.put(node_arr)
+
+        def to_key(t: pa.Table) -> pa.Table:
+            ks = cached_get(keys_ref, "pagerank.nodekeys")
+            sp = pc.index_in(t[src].combine_chunks().cast(pa.string()), value_set=ks).to_numpy(
+                zero_copy_only=False
+            )
+            dp = pc.index_in(t[dst].combine_chunks().cast(pa.string()), value_set=ks).to_numpy(
+                zero_copy_only=False
+            )
+            key = np.unique((sp.astype(np.uint64) << np.uint64(32)) | dp.astype(np.uint64))
+            return pa.table(
+                {
+                    "ek": pa.array(key, pa.uint64()),
+                    "pb": pa.array(((key >> np.uint64(32)) % np.uint64(32)).astype(np.int32)),
+                }
+            )
 
     def dedup_group(t: pa.Table) -> pa.Table:
         return pa.table({"ek": pa.array(np.unique(t["ek"].to_numpy()), pa.uint64())})
 
+    # coalesce the many tiny slim-key map blocks before the 32-group
+    # all-to-all — without it the shuffle emits thousands of sub-inline-
+    # threshold partition objects that land in the DRIVER's in-process
+    # store (sf1 proof: groupby 17.4 s → 0.9 s, driver anon-RSS step
+    # +1.18 GB → flat)
     return (
-        edges.map_batches(to_key, batch_format="pyarrow")
+        shuffle_coalesce(edges.map_batches(to_key, batch_format="pyarrow"))
         .groupby("pb")
         .map_groups(dedup_group, batch_format="pyarrow")
         .materialize()
     )
 
 
+#: Blocks-per-task fan-in of the worker-side partial-vector reduction.
+_PREREDUCE_FANIN = 8
+
+
 def _sum_block_vectors(parts: "ray.data.Dataset", n: int, dtype=np.float64) -> np.ndarray:
-    """Driver-side sum of per-block dense length-n vectors (binary rows).
+    """Sum of per-block dense length-n vectors (binary rows) → ndarray.
     Per-block partials are ≤ 8·n bytes each, bounded by the broadcast
-    node guard; block count stays small because the packed edge table is
-    8 B/edge."""
+    node guard.  Workers pre-reduce first: one coalescing map_batches
+    sums _PREREDUCE_FANIN single-row blocks per task, so the driver
+    deserializes ceil(B/fanin) vectors instead of B — at the sf1 proof
+    (2.1M nodes, ~32 edge blocks, 4 passes) the direct driver sum pulled
+    ~2 GB of partials through the driver heap and left a ~1.2 GB
+    allocator high-water plateau; pre-reduction cuts driver traffic 8×."""
+
+    def _sum_batch(t: pa.Table) -> pa.Table:
+        acc = None
+        for x in t["part"]:
+            v = np.frombuffer(x.as_buffer(), dtype=dtype)
+            acc = v.astype(dtype, copy=True) if acc is None else acc + v
+        if acc is None:
+            return pa.table({"part": pa.array([], pa.binary())})
+        return pa.table({"part": pa.array([acc.tobytes()], pa.binary())})
+
+    reduced = parts.map_batches(
+        _sum_batch, batch_format="pyarrow", batch_size=_PREREDUCE_FANIN
+    )
     acc = np.zeros(n, dtype=dtype)
-    for b in parts.iter_batches(batch_format="pyarrow"):
+    for b in reduced.iter_batches(batch_format="pyarrow"):
         for x in b["part"]:
             # as_buffer() views the (plasma-mapped) Arrow buffer —
             # as_py() would copy each 8·n-byte partial into driver heap
