@@ -1222,6 +1222,49 @@ class TestPagerankBroadcast:
         with pytest.raises(ValueError):
             pagerank(ds, rank_mode="gossip")
 
+    def test_hash_posmap_equals_index_in_fallback(self, ray_session, monkeypatch):
+        """The broadcast path's packed edge set must be identical whether
+        node positions come from the hash-map fast path or the exact
+        pc.index_in fallback taken on a 64-bit node-hash collision."""
+        import ray.data as rd
+
+        import deepcrawl4ai_ray.stages.pagerank as P
+
+        rng = np.random.RandomState(11)
+        e = pd.DataFrame(
+            {
+                "src": [f"https://h{i}.example/p" for i in rng.randint(0, 80, 400)],
+                "dst": [f"https://h{i}.example/p" for i in rng.randint(0, 80, 400)],
+            }
+        )
+        ds = rd.from_pandas(e).repartition(5).materialize()
+        node_arr, _ = P._node_set(ds, "src", "dst", True)
+
+        fast = np.sort(
+            P._edges_to_packed(ds, node_arr, "src", "dst").to_pandas()["ek"].to_numpy()
+        )
+        monkeypatch.setattr(P, "_node_pos_map", lambda arr: None)  # force collision path
+        slow = np.sort(
+            P._edges_to_packed(ds, node_arr, "src", "dst").to_pandas()["ek"].to_numpy()
+        )
+        assert np.array_equal(fast, slow)
+        assert len(fast) == len(set(zip(e.src, e.dst)))
+
+    def test_posmap_roundtrip(self):
+        """order[searchsorted(hsorted, hash(url))] recovers each node's
+        index in node_arr, for every node."""
+        import pandas as pd_
+
+        import deepcrawl4ai_ray.stages.pagerank as P
+
+        nodes = pa.array([f"u{i}??/x{i * 7}" for i in range(5000)], pa.string())
+        pm = P._node_pos_map(nodes)
+        assert pm is not None
+        hsorted, order = pm
+        hb = pd_.util.hash_array(np.asarray(nodes.to_pandas(), dtype=object))
+        got = order[np.searchsorted(hsorted, hb)]
+        assert np.array_equal(got, np.arange(5000))
+
 
 class TestCdxEdgeCases:
     def test_long_surt_beyond_stats_cap_still_found(self, ray_session, tmp_path):
