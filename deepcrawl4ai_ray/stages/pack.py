@@ -90,7 +90,15 @@ def pack_sequences(
             }
         )
 
-    counts = ds.map_batches(count_batch, batch_format="pyarrow").materialize()
+    # the slim (id, n_tokens, rng) table inherits the TEXT input's block
+    # count — hundreds of tiny blocks whose two downstream all-to-alls
+    # (Sum groupby + 64-group map_groups) would each emit thousands of
+    # sub-inline-threshold partition objects into the driver's
+    # in-process store (sf1 proof: +700 MB driver anon during pack);
+    # coalesce once for both
+    from .join import shuffle_coalesce
+
+    counts = shuffle_coalesce(ds.map_batches(count_batch, batch_format="pyarrow"))
 
     # K-row partial sums → driver-side exclusive prefix (O(K), tiny)
     from ray.data.aggregate import Sum

@@ -199,6 +199,50 @@ def main() -> None:
     n_pairs = sum(pq_.read_metadata(f).num_rows for f in glob.glob(f"{mh_out}/*.parquet"))
     record("minhash", dt, docs_per_sec=n_pages / dt, pairs=float(n_pairs))
 
+    # ---- 3b. minhash with PLANTED near-dups -------------------------------
+    # the synthetic corpus has no natural near-duplicates, so stage 3's
+    # pairs=0 exercises signatures+banding but leaves the candidate →
+    # exact-verify → pair-emit chain idle at scale.  Plant a 5% perturbed
+    # copy set (drop the last word; j ≈ 0.97 ≫ 0.9) and measure that
+    # chain — including the payload_mode=auto broadcast/prune decision —
+    # over 2.1M+ docs with ~100k true pairs.
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % 20) == 0
+        sel = batch.filter(pa.array(mask))
+        texts = [t.rsplit(" ", 1)[0] for t in sel["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask] + 1, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    planted = docs.map_batches(plant, batch_format="pyarrow").materialize()
+    n_planted = planted.count()
+    mhp_out = "/tmp/dc4r_scale/minhash_planted_out"
+    shutil.rmtree(mhp_out, ignore_errors=True)
+    t0 = time.time()
+    minhash_lsh_pairs(
+        docs.union(planted), "doc_id", "text", threshold=0.9, num_perm=64, bands=8, k=3,
+        verify="exact", payload_mode="auto",
+    ).write_parquet(mhp_out)
+    dt = time.time() - t0
+    import pyarrow.dataset as pads
+
+    found = pads.dataset(mhp_out).to_table(columns=["id_a", "id_b"])
+    ia = found["id_a"].to_numpy()
+    ib = found["id_b"].to_numpy()
+    n_planted_found = int(np.sum((ib - ia == 1) & (ia % 20 == 0)))
+    record(
+        "minhash_planted",
+        dt,
+        docs_per_sec=(n_pages + n_planted) / dt,
+        pairs=float(len(ia)),
+        planted=float(n_planted),
+        planted_found=float(n_planted_found),
+    )
+
     # ---- 4. PageRank over the full link graph ---------------------------
     from deepcrawl4ai_ray.functions.extract import extract_links
     from deepcrawl4ai_ray.stages.pagerank import pagerank
