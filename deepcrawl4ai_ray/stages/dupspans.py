@@ -121,14 +121,14 @@ def duplicate_span_pairs(
     # materialize: the candidate set is tiny (pairs, not grams) and is
     # consumed twice below (schema probe + join input) — without this the
     # whole gram explode + bucket shuffle would re-execute from lineage
-    cand = (
-        grams.groupby("bk")
-        .map_groups(bucket_pairs)
-        .groupby(["id_a", "id_b"])
-        .count()
-        .drop_columns(["count()"])
-        .materialize()
-    )
+    # two-level bucketed DISTINCT over the pair keys — a plain
+    # groupby(id_a, id_b) carries per-DISTINCT-PAIR aggregate state,
+    # O(candidate pairs) of it (see join.bucketed_distinct)
+    from .join import bucketed_distinct
+
+    cand = bucketed_distinct(
+        grams.groupby("bk").map_groups(bucket_pairs), ["id_a", "id_b"], num_buckets=num_buckets
+    ).materialize()
 
     if cand.schema() is None:  # no candidates at all (e.g. cap drops everything)
         return ray.data.from_arrow(

@@ -181,12 +181,13 @@ def bm25_topk_indexed(
             }
         )
 
-    from ray.data.aggregate import Sum
+    # two-level bucketed SUM: the matched-doc count is query-dependent
+    # and can approach N for common terms — a plain groupby(id) would
+    # carry per-matched-doc aggregate state (see join.bucketed_sum)
+    from .join import bucketed_sum
 
-    scored = (
-        rows.map_batches(contrib, batch_format="pyarrow")
-        .groupby(id_col)
-        .aggregate(Sum("bm25", alias_name="bm25"))
+    scored = bucketed_sum(
+        rows.map_batches(contrib, batch_format="pyarrow"), [id_col], "bm25", "bm25"
     )
 
     def partial_topk(t: pa.Table) -> pa.Table:
