@@ -129,7 +129,6 @@ def boilerplate_line_dedup(
     by newline, blank lines dropped).
     """
     import ray as _ray
-    from ray.data.aggregate import Count
 
     from .join import cached_get
 
@@ -145,10 +144,11 @@ def boilerplate_line_dedup(
         df = pd.DataFrame({"p": par, "h": md5_hex_many(list(fl))}).drop_duplicates()
         return pa.table({"h": pa.array(df["h"].to_numpy(dtype=object), pa.string())})
 
-    freq = (
-        ds.map_batches(doc_lines, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Count(alias_name="df"))
+    # two-level count: distinct-line-hash key count is O(corpus lines)
+    from .join import bucketed_sum
+
+    freq = bucketed_sum(
+        ds.map_batches(doc_lines, batch_format="pyarrow"), ["h"], "h", "df", count=True
     )
     boiler_rows = freq.map_batches(
         lambda t, m=min_docs: t.filter(pc.greater(t["df"], m)).select(["h"]),

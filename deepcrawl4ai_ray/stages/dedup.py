@@ -34,8 +34,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
-
 from ..functions import hashing as H
 from .join import shuffle_coalesce as _sc
 
@@ -50,15 +48,45 @@ def add_md5_column(id_col: str, text_col: str, out_col: str = "text_hash"):
     return fn
 
 
-def exact_dedup_stats(ds: "ray.data.Dataset", id_col: str, text_col: str):
+def exact_dedup_stats(ds: "ray.data.Dataset", id_col: str, text_col: str, num_buckets: int = 64):
     """→ Dataset(text_hash, keep_<id> = min id, n_copies) — one row per
-    distinct content; the J5 'first-wins' generalization."""
-    hashed = ds.map_batches(add_md5_column(id_col, text_col), batch_format="pyarrow").select_columns(
+    distinct content; the J5 'first-wins' generalization.  Same
+    two-level shape as :func:`exact_dedup_losers` — a per-distinct-hash
+    groupby aggregate carries state for every distinct doc at corpus
+    scale."""
+    slim = ds.map_batches(add_md5_column(id_col, text_col), batch_format="pyarrow").select_columns(
         ["text_hash", id_col]
     )
-    return hashed.groupby("text_hash").aggregate(
-        Min(id_col, alias_name=f"keep_{id_col}"),
-        Count(alias_name="n_copies"),
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        hb = np.frombuffer(
+            b"".join(bytes.fromhex(h[:8]) for h in t["text_hash"].to_pylist()), dtype=np.uint32
+        )
+        return t.append_column("pb", pa.array((hb % num_buckets).astype(np.int32)))
+
+    keep_col = f"keep_{id_col}"
+
+    def stats_group(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby("text_hash", as_index=False).agg(
+            **{keep_col: (id_col, "min"), "n_copies": (id_col, "size")}
+        )
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [
+                    ("text_hash", pa.string()),
+                    (keep_col, t.schema.field(id_col).type),
+                    ("n_copies", pa.int64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+
+    return (
+        _sc(slim.map_batches(add_pb, batch_format="pyarrow"))
+        .groupby("pb")
+        .map_groups(stats_group, batch_format="pyarrow")
     )
 
 
@@ -728,9 +756,11 @@ def connected_components(
     if stars.count() == 0:
         return empty
 
+    from .join import bucketed_min
+
+    # two-level min: per-NODE groupby state is O(dup-graph nodes)
     labels = (
-        stars.groupby("src")
-        .aggregate(Min("dst", alias_name="__m"))
+        bucketed_min(stars, ["src"], "dst", "__m")
         .map_batches(
             lambda t: pa.table(
                 {

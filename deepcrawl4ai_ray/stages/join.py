@@ -293,6 +293,43 @@ def bucketed_distinct(
     return slim.groupby("__pb").map_groups(dg, batch_format="pyarrow")
 
 
+def bucketed_min(
+    ds: "ray.data.Dataset",
+    key_cols: list,
+    val_col: str,
+    out_col: str,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key MIN as the same two-level plan as :func:`bucketed_sum` —
+    for min-reductions whose DISTINCT key count is O(rows) (connected-
+    components label contraction).  Output = key_cols + [out_col]."""
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for c in key_cols:
+            h = h * np.uint64(1099511628211) ^ _hash_col(t[c])
+        return t.select(key_cols + [val_col]).append_column(
+            "__pb", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def agg(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby(key_cols, as_index=False, sort=False)[val_col].min().rename(
+            columns={val_col: out_col}
+        )
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [(c, t.schema.field(c).type) for c in key_cols]
+                + [(out_col, t.schema.field(val_col).type)]
+            ),
+            preserve_index=False,
+        )
+
+    slim = shuffle_coalesce(ds.map_batches(add_pb, batch_format="pyarrow"))
+    return slim.groupby("__pb").map_groups(agg, batch_format="pyarrow")
+
+
 def bucketed_sum(
     ds: "ray.data.Dataset",
     key_cols: list,
