@@ -83,10 +83,16 @@ def exact_dedup_stats(ds: "ray.data.Dataset", id_col: str, text_col: str, num_bu
             preserve_index=False,
         )
 
-    return (
-        _sc(slim.map_batches(add_pb, batch_format="pyarrow"))
-        .groupby("pb")
-        .map_groups(stats_group, batch_format="pyarrow")
+    slimc = _sc(slim.map_batches(add_pb, batch_format="pyarrow"))
+    out = slimc.groupby("pb").map_groups(stats_group, batch_format="pyarrow")
+    from .join import _schema_types, _seed_empty
+
+    tmap = _schema_types(slimc, slim, ds)
+    if tmap is None:
+        return out
+    return _seed_empty(
+        out,
+        [("text_hash", pa.string()), (keep_col, tmap[id_col]), ("n_copies", pa.int64())],
     )
 
 
@@ -120,11 +126,14 @@ def exact_dedup_losers(ds: "ray.data.Dataset", id_col: str, text_col: str, num_b
             preserve_index=False,
         )
 
-    return (
-        _sc(slim.map_batches(add_pb, batch_format="pyarrow"))
-        .groupby("pb")
-        .map_groups(losers_group, batch_format="pyarrow")
-    )
+    slimc = _sc(slim.map_batches(add_pb, batch_format="pyarrow"))
+    out = slimc.groupby("pb").map_groups(losers_group, batch_format="pyarrow")
+    from .join import _schema_types, _seed_empty
+
+    tmap = _schema_types(slimc, slim, ds)
+    if tmap is None:
+        return out
+    return _seed_empty(out, [(id_col, tmap[id_col])])
 
 
 # ---------------------------------------------------------------------------

@@ -270,6 +270,28 @@ def _key_buckets(k: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _schema_types(*dss) -> "dict | None":
+    """Column → pa.DataType map from the first dataset with a known
+    schema.  A materialized ALL-EMPTY dataset reports schema() None, so
+    seed callers pass the pre-map input as fallback (schema() on a lazy
+    dataset may execute one block — trivial in the empty case this
+    guards)."""
+    for d in dss:
+        sch = d.schema()
+        if sch is not None:
+            return {n: _arrow_type(t) for n, t in zip(sch.names, sch.types)}
+    return None
+
+
+def _seed_empty(out: "ray.data.Dataset", fields: list) -> "ray.data.Dataset":
+    """Union a schema-pinned empty block onto a groupby/map_groups result
+    so an all-empty result keeps its schema — Ray drops empty blocks, and
+    a column-less dataset crashes downstream select/filter stages (the
+    same pathology as the hash_join empty-result seed below).  ``fields``
+    = [(name, pa.DataType), ...] in output column order."""
+    return ray.data.from_arrow(pa.schema(fields).empty_table()).union(out)
+
+
 def bucketed_distinct(
     ds: "ray.data.Dataset", cols: list, num_buckets: int = 64
 ) -> "ray.data.Dataset":
@@ -287,10 +309,18 @@ def bucketed_distinct(
 
     def dg(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates(cols)[cols]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(
+            df,
+            schema=pa.schema([(c, t.schema.field(c).type) for c in cols]),
+            preserve_index=False,
+        )
 
     slim = shuffle_coalesce(ds.map_batches(add_pb, batch_format="pyarrow"))
-    return slim.groupby("__pb").map_groups(dg, batch_format="pyarrow")
+    out = slim.groupby("__pb").map_groups(dg, batch_format="pyarrow")
+    tmap = _schema_types(slim, ds)
+    if tmap is None:
+        return out
+    return _seed_empty(out, [(c, tmap[c]) for c in cols])
 
 
 def bucketed_min(
@@ -327,7 +357,13 @@ def bucketed_min(
         )
 
     slim = shuffle_coalesce(ds.map_batches(add_pb, batch_format="pyarrow"))
-    return slim.groupby("__pb").map_groups(agg, batch_format="pyarrow")
+    out = slim.groupby("__pb").map_groups(agg, batch_format="pyarrow")
+    tmap = _schema_types(slim, ds)
+    if tmap is None:
+        return out
+    return _seed_empty(
+        out, [(c, tmap[c]) for c in key_cols] + [(out_col, tmap[val_col])]
+    )
 
 
 def bucketed_sum(
@@ -359,10 +395,25 @@ def bucketed_sum(
             out = df.groupby(key_cols, as_index=False, sort=False)[val_col].sum().rename(
                 columns={val_col: out_col}
             )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        out_t = pa.int64() if count else t.schema.field(val_col).type
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [(c, t.schema.field(c).type) for c in key_cols] + [(out_col, out_t)]
+            ),
+            preserve_index=False,
+        )
 
     slim = shuffle_coalesce(ds.map_batches(add_pb, batch_format="pyarrow"))
-    return slim.groupby("__pb").map_groups(agg, batch_format="pyarrow")
+    out = slim.groupby("__pb").map_groups(agg, batch_format="pyarrow")
+    tmap = _schema_types(slim, ds)
+    if tmap is None:
+        return out
+    return _seed_empty(
+        out,
+        [(c, tmap[c]) for c in key_cols]
+        + [(out_col, pa.int64() if count else tmap[val_col])],
+    )
 
 
 def hash_join(

@@ -1266,6 +1266,67 @@ class TestPagerankBroadcast:
         assert np.array_equal(got, np.arange(5000))
 
 
+class TestEmptyInputSchemas:
+    """All-empty results must keep their schema: Ray drops empty blocks,
+    and a column-less dataset crashes downstream select/filter stages
+    (the hash_join empty-result pathology, generalized to the bucketed
+    two-level helpers by the r4 empty-seed fix)."""
+
+    def test_bucketed_helpers_empty(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.join import (
+            bucketed_distinct,
+            bucketed_min,
+            bucketed_sum,
+        )
+
+        empty = rd.from_pandas(
+            pd.DataFrame({"k": pd.Series(dtype=str), "v": pd.Series(dtype="int64")})
+        )
+        cases = {
+            "distinct": (bucketed_distinct(empty, ["k"]), ["k"]),
+            "sum": (bucketed_sum(empty, ["k"], "v", "s"), ["k", "s"]),
+            "count": (bucketed_sum(empty, ["k"], "v", "n", count=True), ["k", "n"]),
+            "min": (bucketed_min(empty, ["k"], "v", "m"), ["k", "m"]),
+        }
+        for name, (out, want_cols) in cases.items():
+            m = out.materialize()
+            sch = m.schema()
+            assert sch is not None, name
+            assert sch.names == want_cols, name
+            assert m.count() == 0, name
+            assert m.select_columns([want_cols[0]]).count() == 0, name  # downstream-safe
+
+    def test_exact_dedup_empty(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dedup import exact_dedup_losers, exact_dedup_stats
+
+        de = rd.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype=str)})
+        )
+        sch = exact_dedup_losers(de, "doc_id", "text").materialize().schema()
+        assert sch is not None and sch.names == ["doc_id"]
+        sch = exact_dedup_stats(de, "doc_id", "text").materialize().schema()
+        assert sch is not None and sch.names == ["text_hash", "keep_doc_id", "n_copies"]
+
+    def test_bucketed_sum_nonempty_dtypes_unchanged(self, ray_session):
+        """The schema pin must not alter non-empty output dtypes."""
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.join import bucketed_min, bucketed_sum
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"k": ["a", "b", "a"], "v": [1.5, 2.0, 3.0]})
+        )
+        out = bucketed_sum(ds, ["k"], "v", "s").to_pandas().sort_values("k")
+        assert out["s"].dtype == np.float64
+        assert out["s"].tolist() == [4.5, 2.0]
+        out = bucketed_min(ds, ["k"], "v", "m").to_pandas().sort_values("k")
+        assert out["m"].tolist() == [1.5, 2.0]
+
+
 class TestCdxEdgeCases:
     def test_long_surt_beyond_stats_cap_still_found(self, ray_session, tmp_path):
         """Parquet truncates/empties string statistics above 4 KB; the
