@@ -138,4 +138,17 @@ def anchor_term_stats(pages: "ray.data.Dataset", num_buckets: int = 64) -> "ray.
             }
         )
 
-    return partials.groupby("__b").map_groups(bucket_pick, batch_format="pandas")
+    out = partials.groupby("__b").map_groups(bucket_pick, batch_format="pandas")
+    from .join import _seed_empty
+
+    # schema-pinned empty seed: an all-empty result keeps its schema
+    return _seed_empty(
+        out,
+        [
+            ("dst", pa.string()),
+            ("n_anchor_tokens", pa.int64()),
+            ("n_terms", pa.int64()),
+            ("top_term", pa.string()),
+            ("top_term_count", pa.int64()),
+        ],
+    )

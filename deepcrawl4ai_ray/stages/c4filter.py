@@ -97,9 +97,24 @@ def c4_line_stats(
     min_kept: int = 2,
 ) -> "ray.data.Dataset":
     """→ Dataset(id, n_lines, n_kept, clean_md5), surviving docs only."""
-    return ds.map_batches(
+    out = ds.map_batches(
         make_c4_line_filter_fn(id_col, text_col, min_words, min_kept),
         batch_format="pyarrow",
+    )
+    from .join import _schema_types, _seed_empty
+
+    tmap = _schema_types(ds)
+    if tmap is None:
+        return out
+    # schema-pinned empty seed: an all-empty result keeps its schema
+    return _seed_empty(
+        out,
+        [
+            (id_col, tmap[id_col]),
+            ("n_lines", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("clean_md5", pa.string()),
+        ],
     )
 
 
@@ -185,4 +200,18 @@ def boilerplate_line_dedup(
             }
         )
 
-    return ds.map_batches(strip, batch_format="pyarrow")
+    out = ds.map_batches(strip, batch_format="pyarrow")
+    from .join import _schema_types, _seed_empty
+
+    tmap = _schema_types(ds)
+    if tmap is None:
+        return out
+    return _seed_empty(
+        out,
+        [
+            (id_col, tmap[id_col]),
+            ("n_lines", pa.int64()),
+            ("n_boiler_removed", pa.int64()),
+            ("clean_md5", pa.string()),
+        ],
+    )

@@ -92,4 +92,19 @@ def chunk_text(
             }
         )
 
-    return ds.map_batches(split, batch_format="pyarrow")
+    out = ds.map_batches(split, batch_format="pyarrow")
+    from .join import _schema_types, _seed_empty
+
+    tmap = _schema_types(ds)
+    if tmap is None:
+        return out
+    # schema-pinned empty seed: an all-empty result keeps its schema
+    return _seed_empty(
+        out,
+        [
+            (id_col, tmap[id_col]),
+            ("chunk_index", pa.int64()),
+            ("total_chunks", pa.int64()),
+            ("chunk", pa.large_string()),
+        ],
+    )

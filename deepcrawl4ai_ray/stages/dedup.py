@@ -276,8 +276,12 @@ def _broadcast_payload(
     if pay_type is None:
         # zero-candidate runs can drop empty blocks (and their schema);
         # callers using payload_stage pass the type explicitly
-        sch = filtered.schema()
-        pay_type = dict(zip(sch.names, sch.types))[pay_col]
+        from .join import _schema_types
+
+        tmap = _schema_types(filtered, payload)
+        # type only matters for non-empty attach columns; with zero
+        # candidates any placeholder type is fine
+        pay_type = tmap.get(pay_col) if tmap else pa.null()
     if byte_budget is not None and (filtered.size_bytes() or 0) > byte_budget:
         # fat payloads: the broadcast LUT would stream this through the
         # driver — signal the caller to fall back to the prune join.
@@ -347,6 +351,15 @@ def _join_payload(
                    as the second gate — fat payloads fall back to prune
                    even when the pair count is small.
     """
+    if pay_type is None and payload_stage is None:
+        # derive the payload column type from the raw payload BEFORE any
+        # remapping, so empty-input seeds below know the type (callers
+        # using payload_stage pass pay_type explicitly)
+        from .join import _schema_types
+
+        _tm = _schema_types(payload)
+        pay_type = _tm.get(pay_col) if _tm else None
+
     from ..state.bloom import BloomFilter
     from .join import _BCAST_CACHE, _hash_col, build_bloom_bytes, hash_join
 
@@ -412,6 +425,14 @@ def _join_payload(
         lambda t: pa.table({"id_b": pc.cast(t[id_col], pa.int64()), f"{pay_col}_b": t[pay_col]}),
         batch_format="pyarrow",
     )
+    # schema-pinned empty seeds: an all-empty payload side (zero
+    # candidates / empty corpus) must still present its columns to
+    # hash_join, which needs both input schemas to build the union
+    if pay_type is not None:
+        from .join import _seed_empty
+
+        a = _seed_empty(a, [("id_a", pa.int64()), (f"{pay_col}_a", pay_type)])
+        b = _seed_empty(b, [("id_b", pa.int64()), (f"{pay_col}_b", pay_type)])
     j = hash_join(pairs, a, on="id_a", num_buckets=num_buckets)
     return hash_join(j, b, on="id_b", num_buckets=num_buckets)
 
@@ -1154,7 +1175,14 @@ def srp_near_dup_pairs(
             }
         )
 
-    return joined.map_batches(verify_batch, batch_format="pyarrow")
+    out = joined.map_batches(verify_batch, batch_format="pyarrow")
+    from .join import _seed_empty
+
+    # schema-pinned empty seed: zero-candidate runs keep the contract
+    return _seed_empty(
+        out,
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos_sim", pa.float64())],
+    )
 
 
 def cluster_representatives(

@@ -303,7 +303,7 @@ def remove_duplicate_spans(
             out = [_strip_tokens(t, d, n) for t in batch[text_col].to_pylist()]
             return pa.table({id_col: batch[id_col], "cleaned": pa.array(out, pa.string())})
 
-        return ds.map_batches(strip, batch_format="pyarrow")
+        return _seed_cleaned(ds.map_batches(strip, batch_format="pyarrow"), ds, id_col)
 
     # join path: each doc gets ITS OWN dup-hash list (bounded by the
     # doc's gram count), never the global set.
@@ -344,4 +344,14 @@ def remove_duplicate_spans(
             {id_col: pc.cast(batch["__doc"], pa.int64()), "cleaned": pa.array(out, pa.string())}
         )
 
-    return joined.map_batches(strip_joined, batch_format="pyarrow")
+    return _seed_cleaned(joined.map_batches(strip_joined, batch_format="pyarrow"), ds, id_col)
+
+
+def _seed_cleaned(out, ds, id_col: str):
+    """Schema-pinned empty seed for the (id, cleaned) output contract."""
+    from .join import _schema_types, _seed_empty
+
+    tmap = _schema_types(ds)
+    if tmap is None:
+        return out
+    return _seed_empty(out, [(id_col, tmap[id_col]), ("cleaned", pa.string())])

@@ -435,6 +435,12 @@ def hash_join(
         raise ValueError(f"how must be inner/left/outer, got {how!r}")
     right_on = right_on or on
     l_schema, r_schema = left.schema(), right.schema()
+    if l_schema is None or r_schema is None:
+        raise ValueError(
+            "hash_join input has no schema (all-empty dataset whose blocks "
+            "were dropped) — seed it with a schema-pinned empty block "
+            "(_seed_empty) so the join can build its output schema"
+        )
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     l_types = {n: _arrow_type(t) for n, t in zip(l_schema.names, l_schema.types)}

@@ -31,7 +31,15 @@ def _hashed(ds: "ray.data.Dataset", key_col: str, text_col: str, out: str):
         h = md5_hex_many([t or "" for t in batch[text_col].to_pylist()])
         return pa.table({key_col: batch[key_col], out: pa.array(h, pa.string())})
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    mapped = ds.map_batches(fn, batch_format="pyarrow")
+    from .join import _schema_types, _seed_empty
+
+    # schema-pinned empty seed: an all-empty snapshot side must still
+    # present (key, hash) columns to the downstream outer hash_join
+    tmap = _schema_types(ds)
+    if tmap is None:
+        return mapped
+    return _seed_empty(mapped, [(key_col, tmap[key_col]), (out, pa.string())])
 
 
 def snapshot_diff(
@@ -80,7 +88,14 @@ def snapshot_diff(
             }
         )
 
-    return j.map_batches(classify, batch_format="pyarrow")
+    out = j.map_batches(classify, batch_format="pyarrow")
+    from .join import _schema_types, _seed_empty
+
+    tmap = _schema_types(old, new)
+    if tmap is None:
+        return out
+    # schema-pinned empty seed: identical snapshots yield zero rows
+    return _seed_empty(out, [(key_col, tmap[key_col]), ("change", pa.string())])
 
 
 

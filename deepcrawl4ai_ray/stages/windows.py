@@ -73,11 +73,18 @@ def session_counts(
         ns = starts.groupby(g[key_col].to_numpy()).sum()
         return pd.DataFrame({key_col: ns.index, "n_sessions": ns.to_numpy().astype("int64")})
 
-    return (
+    out = (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+    from .join import _schema_types, _seed_empty
+
+    tmap = _schema_types(ds)
+    if tmap is None:
+        return out
+    # schema-pinned empty seed: an all-empty result keeps its schema
+    return _seed_empty(out, [(key_col, tmap[key_col]), ("n_sessions", pa.int64())])
 
 
 def ready_queue(
