@@ -305,9 +305,16 @@ def main() -> None:
         lambda t: pa.table({"doc_id": t["id_b"].cast(pa.int64())}), batch_format="pyarrow"
     )
     survivors = bloom_semi_anti(exact_docs, "doc_id", drops, "doc_id", keep_in=False)
-    pack_sequences(survivors, "doc_id", "text", seq_len=512).write_parquet(tp_out)
+    # resumable sink: atomic per-partition publish — an interrupted proof
+    # run resumes paying only for unfinished partitions
+    from deepcrawl4ai_ray.stages.resumable import resumable_write_parquet
+
+    wres = resumable_write_parquet(
+        pack_sequences(survivors, "doc_id", "text", seq_len=512), tp_out, "doc_id",
+        num_partitions=64,
+    )
     dt = time.time() - t0
-    n_seq = sum(pq_.read_metadata(f).num_rows for f in glob.glob(f"{tp_out}/*.parquet"))
+    n_seq = wres["rows_written"]
     record("train_pipe", dt, docs_per_sec=n_pages / dt, packed_rows=float(n_seq))
 
     out["rss_mb"]["end"] = rss_mb()
