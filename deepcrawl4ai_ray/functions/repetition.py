@@ -27,15 +27,18 @@ from ..functions.hashing import token_hashes
 from ..stages.decontam import ngram_window_hashes
 
 
-def repetition_stats(texts: List[str]) -> Dict[str, np.ndarray]:
-    """Per-doc arrays: n_tokens (int64), top2_frac, dup3_frac
-    (float64; 0.0 for docs too short to have the n-gram)."""
-    n = len(texts)
+def repetition_stats_from_hashes(hashes: "List[np.ndarray]") -> Dict[str, np.ndarray]:
+    """Per-doc arrays from precomputed token-hash arrays: n_tokens
+    (int64), top2_frac, dup3_frac (float64; 0.0 for docs too short to
+    have the n-gram).  Callers that already tokenized each doc (the
+    Gopher gate needs token STRINGS for word-length/stopword rules)
+    hash their tokens once and pass them here instead of paying a
+    second tokenize pass inside repetition_stats."""
+    n = len(hashes)
     n_tokens = np.zeros(n, dtype=np.int64)
     top2 = np.zeros(n, dtype=np.float64)
     dup3 = np.zeros(n, dtype=np.float64)
-    for i, txt in enumerate(texts):
-        h = token_hashes(txt or "")
+    for i, h in enumerate(hashes):
         n_tokens[i] = h.size
         if h.size >= 2:
             g2 = ngram_window_hashes(h, 2)
@@ -45,3 +48,9 @@ def repetition_stats(texts: List[str]) -> Dict[str, np.ndarray]:
             g3 = ngram_window_hashes(h, 3)
             dup3[i] = 1.0 - np.unique(g3).size / g3.size
     return {"n_tokens": n_tokens, "top2_frac": top2, "dup3_frac": dup3}
+
+
+def repetition_stats(texts: List[str]) -> Dict[str, np.ndarray]:
+    """Per-doc arrays: n_tokens (int64), top2_frac, dup3_frac
+    (float64; 0.0 for docs too short to have the n-gram)."""
+    return repetition_stats_from_hashes([token_hashes(t or "") for t in texts])

@@ -3644,6 +3644,18 @@ _GOPHER_RULES = dict(min_tok=30, max_tok=100_000, min_wl=3.0, max_wl=10.0, max_r
 _GOPHER_STOPWORDS = ("the", "a")
 
 
+def _tok_hashes(toks_list):
+    """Hash precomputed token lists (one C siphash pass per doc) — lets
+    the Gopher kernels tokenize ONCE for both the string rules
+    (word length, stopwords) and the hash-based repetition rules."""
+    return [
+        pd.util.hash_array(np.asarray(tk, dtype=object), categorize=False)
+        if tk
+        else np.empty(0, dtype=np.uint64)
+        for tk in toks_list
+    ]
+
+
 def make_gopher_keep_fn(text_col: str = "text", **rule_overrides):
     """map_batches KEEP filter applying the 5 Gopher rules per doc —
     the flagship gate kernel, shared by training_data_pipeline and
@@ -3653,7 +3665,7 @@ def make_gopher_keep_fn(text_col: str = "text", **rule_overrides):
     its synthetic corpus vocabulary has no English stopwords)."""
     import re as _re
 
-    from ..functions.repetition import repetition_stats
+    from ..functions.repetition import repetition_stats_from_hashes
 
     word_re = _re.compile(r"\w+")
     R = {**_GOPHER_RULES, **rule_overrides}
@@ -3661,10 +3673,10 @@ def make_gopher_keep_fn(text_col: str = "text", **rule_overrides):
 
     def gate(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        st = repetition_stats(texts)
+        toks_list = [word_re.findall((t or "").lower()) for t in texts]
+        st = repetition_stats_from_hashes(_tok_hashes(toks_list))
         keep = np.zeros(len(texts), dtype=bool)
-        for i, t in enumerate(texts):
-            toks = word_re.findall((t or "").lower())
+        for i, toks in enumerate(toks_list):
             ntok = len(toks)
             mwl = (sum(len(x) for x in toks) / ntok) if ntok else 0.0
             nstop = sum(1 for x in toks if x in stops)
@@ -3688,7 +3700,7 @@ def gopher_quality_gate(sf_dir: str) -> pd.DataFrame:
     of the text so the whole multi-rule gate is hash-checked in SQL."""
     import re as _re
 
-    from ..functions.repetition import repetition_stats
+    from ..functions.repetition import repetition_stats_from_hashes
     from ..stages.agg import partial_grouped_sum
 
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
@@ -3698,15 +3710,15 @@ def gopher_quality_gate(sf_dir: str) -> pd.DataFrame:
 
     def metrics(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        st = repetition_stats(texts)
+        toks_list = [word_re.findall((t or "").lower()) for t in texts]
+        st = repetition_stats_from_hashes(_tok_hashes(toks_list))
         n = len(texts)
         fail_len = np.zeros(n, dtype=np.int64)
         fail_wl = np.zeros(n, dtype=np.int64)
         fail_rep = np.zeros(n, dtype=np.int64)
         fail_stop = np.zeros(n, dtype=np.int64)
         kept = np.zeros(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = word_re.findall((t or "").lower())
+        for i, toks in enumerate(toks_list):
             ntok = len(toks)
             mwl = (sum(len(x) for x in toks) / ntok) if ntok else 0.0
             nstop = sum(1 for x in toks if x in stops)
