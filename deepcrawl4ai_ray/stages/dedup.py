@@ -880,11 +880,13 @@ def simhash_stage(id_col: str, text_col: str, token_hasher=None):
 def simhash_near_dup_pairs(
     ds: "ray.data.Dataset",
     id_col: str,
-    text_col: str,
+    text_col: "str | None" = None,
     max_hamming: int = 3,
     bands: int = 4,
     num_buckets: int = 32,
     token_hasher=None,
+    sig_col: "str | None" = None,
+    max_docs_per_key: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Hamming-ball near-dup pairs over 64-bit SimHash signatures →
     Dataset(id_a, id_b, hamming), id_a < id_b.
@@ -896,7 +898,22 @@ def simhash_near_dup_pairs(
     recall is 100 % for max_hamming ≤ bands-1 (raise ``bands`` for wider
     balls).  One bucket groupby; the 8 B signature rides with each band
     row (no join-back needed); vectorized XOR+popcount verify in-bucket;
-    distributed cross-band pair dedup."""
+    distributed cross-band pair dedup.
+
+    ``sig_col``: reuse PRECOMPUTED 64-bit signatures (e.g. the enrich
+    stage already emits one per page) instead of re-tokenizing
+    ``text_col`` — the composed-pipeline path at corpus scale.
+
+    ``max_docs_per_key``: band keys held by more rows than this do not
+    GENERATE pairs (the dupspans max_docs_per_gram discipline) — on
+    template-heavy corpora thousands of pages share a signature chunk
+    and one bucket would emit O(m²) pairs (the sf1 proof OOMed a worker
+    without it).  Pairs whose every agreeing band is a mega-bucket are
+    dropped: a deliberate, spec'd precision knob for corpus scale;
+    default None = exact (the oracle-checked configuration).
+    """
+    if (text_col is None) == (sig_col is None):
+        raise ValueError("exactly one of text_col / sig_col is required")
     if max_hamming > bands - 1:
         raise ValueError(f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} for full recall")
     chunk_bits = 64 // bands
@@ -904,7 +921,12 @@ def simhash_near_dup_pairs(
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sigs = np.array([H.simhash64(th(t)) for t in batch[text_col].to_pylist()], dtype=np.uint64)
+        if sig_col is not None:
+            sigs = batch[sig_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            sigs = np.array(
+                [H.simhash64(th(t)) for t in batch[text_col].to_pylist()], dtype=np.uint64
+            )
         n = len(ids)
         out_ids = np.repeat(ids, bands)
         out_sigs = np.repeat(sigs, bands)
@@ -933,6 +955,8 @@ def simhash_near_dup_pairs(
         sigss = g["sig"].to_numpy()[order].astype(np.uint64)
         _, start, cnt = np.unique(bks, return_index=True, return_counts=True)
         multi = cnt >= 2
+        if max_docs_per_key is not None:
+            multi &= cnt <= max_docs_per_key
         rows_a: List[int] = []
         rows_b: List[int] = []
         hams: List[int] = []

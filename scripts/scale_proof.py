@@ -243,6 +243,40 @@ def main() -> None:
         planted_found=float(n_planted_found),
     )
 
+    # ---- 3c. simhash near-dup pairs from the enrich stage's PRECOMPUTED
+    # signatures (sig_col path — the composed-pipeline shape: signatures
+    # ride the extract output, the pair miner never re-tokenizes) ---------
+    sh_out = "/tmp/dc4r_scale/simhash_out"
+    shutil.rmtree(sh_out, ignore_errors=True)
+    from deepcrawl4ai_ray.stages.dedup import simhash_near_dup_pairs
+
+    t0 = time.time()
+    sig_ds = rd.read_parquet(extract_out, columns=["url", "simhash"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pa.array(
+                    (
+                        pd.util.hash_array(
+                            np.asarray(t["url"].to_pylist(), dtype=object), categorize=False
+                        )
+                        >> np.uint64(1)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "simhash": t["simhash"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # max_docs_per_key: the synthetic corpus is template-heavy — without
+    # the cap one signature-chunk bucket emits O(m^2) pairs and OOMs
+    simhash_near_dup_pairs(
+        sig_ds, "doc_id", sig_col="simhash", max_docs_per_key=256
+    ).write_parquet(sh_out)
+    dt = time.time() - t0
+    n_sh = sum(pq_.read_metadata(f).num_rows for f in glob.glob(f"{sh_out}/*.parquet"))
+    record("simhash", dt, docs_per_sec=n_pages / dt, pairs=float(n_sh))
+
     # ---- 4. PageRank over the full link graph ---------------------------
     from deepcrawl4ai_ray.functions.extract import extract_links
     from deepcrawl4ai_ray.stages.pagerank import pagerank

@@ -658,6 +658,37 @@ class TestSimhashNearDup:
         assert len(want) >= 5  # the plant produced real near-dups
         assert list(map(tuple, got.values.tolist())) == want
 
+    def test_sig_col_path_equals_text_path(self, ray_session):
+        """Precomputed-signature input (sig_col — the composed-pipeline
+        path reusing the enrich stage's signatures) must produce the
+        byte-identical pair set as re-tokenizing text."""
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dedup import simhash_near_dup_pairs, simhash_stage
+
+        base = [" ".join(f"w{(i * 7 + j) % 101}" for j in range(40)) for i in range(60)]
+        ids = list(range(60)) + [1000 + i for i in range(0, 60, 6)]
+        texts = base + [base[i].replace(f"w{(i * 7) % 101} ", "wx ", 1) for i in range(0, 60, 6)]
+        docs = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "text": texts})
+        ds = _ds(docs)
+
+        from_text = (
+            simhash_near_dup_pairs(ds, "doc_id", "text")
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        sig_ds = ds.map_batches(simhash_stage("doc_id", "text"), batch_format="pyarrow")
+        from_sigs = (
+            simhash_near_dup_pairs(sig_ds, "doc_id", sig_col="simhash")
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(from_text, from_sigs)
+        assert len(from_text) > 0
+
+        with pytest.raises(ValueError):
+            simhash_near_dup_pairs(ds, "doc_id")  # neither input given
+        with pytest.raises(ValueError):
+            simhash_near_dup_pairs(sig_ds, "doc_id", "text", sig_col="simhash")  # both
+
 
 class TestPQ:
     def test_pq_rerank_equals_bruteforce_and_compresses(self):
