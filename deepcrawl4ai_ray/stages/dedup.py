@@ -469,6 +469,7 @@ def make_minhash_explode_fn(
     k: int = 3,
     num_buckets: int = 32,
     payload: str = "sig",
+    sig_col: "str | None" = None,
 ):
     """Stateless map_batches fn: text → one row per (band, doc) with a
     ``band_bucket`` shuffle key.  Hash coefficients live in the hashing
@@ -486,20 +487,33 @@ def make_minhash_explode_fn(
               path: shuffle bytes are O(docs × bands × 17 B), not
               O(docs × bands × |shingles| × 8 B).  Zero-token docs emit
               nothing (mirrors the exact-Jaccard oracle).
+
+    ``sig_col``: reuse PRECOMPUTED signatures — the column must hold
+    ``minhash_signature_fast(shingles(text, k), num_perm).tobytes()``
+    exactly (e.g. the enrich stage's stored minhash column); banding
+    then never re-tokenizes.  Zero-shingle docs (the all-UINT64_MAX
+    empty signature) are skipped on the id-only path, matching the
+    text path's zero-token skip.
     """
     ship_sig = payload == "sig"
+    empty_sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64).tobytes()
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
+        srcs = batch[sig_col].to_pylist() if sig_col is not None else batch[text_col].to_pylist()
         out_ids: List[int] = []
         out_keys: List[bytes] = []
         out_sigs: List[bytes] = []
-        for i, t in zip(ids, texts):
-            sh = H.shingles(t, k)
-            if not ship_sig and sh.size == 0:
-                continue
-            sig = H.minhash_signature_fast(sh, num_perm)
+        for i, t in zip(ids, srcs):
+            if sig_col is not None:
+                if t is None or (not ship_sig and t == empty_sig):
+                    continue
+                sig = np.frombuffer(t, dtype=np.uint64)
+            else:
+                sh = H.shingles(t, k)
+                if not ship_sig and sh.size == 0:
+                    continue
+                sig = H.minhash_signature_fast(sh, num_perm)
             sb = sig.tobytes() if ship_sig else b""
             for key in H.lsh_band_keys(sig, bands):
                 out_ids.append(i)
@@ -536,6 +550,7 @@ def minhash_lsh_pairs(
     verify: str = "sig",
     num_buckets: int = 32,
     payload_mode: str = "join",
+    sig_col: "str | None" = None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs from LSH band candidates → Dataset(id_a, id_b, val)
     with id_a < id_b, deduped across bands distributively (the pair set
@@ -569,7 +584,10 @@ def minhash_lsh_pairs(
     """
     if verify == "exact":
         exploded = ds.map_batches(
-            make_minhash_explode_fn(text_col, id_col, num_perm, bands, k, num_buckets, payload="none"),
+            make_minhash_explode_fn(
+                text_col, id_col, num_perm, bands, k, num_buckets, payload="none",
+                sig_col=sig_col,
+            ),
             batch_format="pyarrow",
         )
 
@@ -643,7 +661,10 @@ def minhash_lsh_pairs(
 
     # verify == "sig": estimate lives in the bucket; no join-back needed
     exploded = ds.map_batches(
-        make_minhash_explode_fn(text_col, id_col, num_perm, bands, k, num_buckets, payload="sig"),
+        make_minhash_explode_fn(
+            text_col, id_col, num_perm, bands, k, num_buckets, payload="sig",
+            sig_col=sig_col,
+        ),
         batch_format="pyarrow",
     )
 

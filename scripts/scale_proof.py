@@ -175,8 +175,14 @@ def main() -> None:
             np.asarray(batch["url"].to_pylist(), dtype=object), categorize=False
         )
         ids = (h >> np.uint64(1)).astype(np.int64)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": batch["text"]})
+        cols = {"doc_id": pa.array(ids, pa.int64()), "text": batch["text"]}
+        if "minhash" in batch.schema.names:
+            cols["minhash"] = batch["minhash"]
+        return pa.table(cols)
 
+    docs_sig = rd.read_parquet(extract_out, columns=["url", "text", "minhash"]).map_batches(
+        with_ids, batch_format="pyarrow"
+    )
     docs = rd.read_parquet(extract_out, columns=["url", "text"]).map_batches(
         with_ids, batch_format="pyarrow"
     )
@@ -191,9 +197,12 @@ def main() -> None:
     mh_out = "/tmp/dc4r_scale/minhash_out"
     shutil.rmtree(mh_out, ignore_errors=True)
     t0 = time.time()
+    # sig_col: banding reuses the enrich stage's STORED signatures (the
+    # composed-pipeline shape); exact verify still joins shingles from
+    # text for the candidates only
     minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.9, num_perm=64, bands=8, k=3,
-        verify="exact", payload_mode="auto",
+        docs_sig, "doc_id", "text", threshold=0.9, num_perm=64, bands=8, k=3,
+        verify="exact", payload_mode="auto", sig_col="minhash",
     ).write_parquet(mh_out)
     dt = time.time() - t0
     n_pairs = sum(pq_.read_metadata(f).num_rows for f in glob.glob(f"{mh_out}/*.parquet"))

@@ -658,6 +658,44 @@ class TestSimhashNearDup:
         assert len(want) >= 5  # the plant produced real near-dups
         assert list(map(tuple, got.values.tolist())) == want
 
+    def test_minhash_sig_col_path_equals_text_path(self, ray_session):
+        """MinHash banding from the enrich stage's stored signatures must
+        produce the same verified pair set as computing from text, for
+        both verify modes; zero-token docs behave identically."""
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.functions import hashing as H
+        from deepcrawl4ai_ray.stages.dedup import minhash_lsh_pairs
+
+        base = [" ".join(f"t{(i * 13 + j) % 97}" for j in range(50)) for i in range(40)]
+        ids = list(range(40)) + [500 + i for i in range(0, 40, 4)] + [999]
+        texts = base + [base[i] + " extra" for i in range(0, 40, 4)] + [""]  # incl. empty doc
+        docs = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "text": texts})
+        ds = _ds(docs)
+
+        def add_sig(t):
+            sigs = [
+                H.minhash_signature_fast(H.shingles(x, 3), 32).tobytes()
+                for x in t["text"].to_pylist()
+            ]
+            return t.append_column("minhash", pa.array(sigs, pa.binary()))
+
+        sig_ds = ds.map_batches(add_sig, batch_format="pyarrow")
+        for verify in ("exact", "sig"):
+            a = (
+                minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.8, num_perm=32, verify=verify)
+                .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            )
+            b = (
+                minhash_lsh_pairs(
+                    sig_ds, "doc_id", "text", threshold=0.8, num_perm=32, verify=verify,
+                    sig_col="minhash",
+                )
+                .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(a, b)
+            assert len(a) > 0, verify
+
     def test_sig_col_path_equals_text_path(self, ray_session):
         """Precomputed-signature input (sig_col — the composed-pipeline
         path reusing the enrich stage's signatures) must produce the
