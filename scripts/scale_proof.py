@@ -335,14 +335,14 @@ def main() -> None:
     t0 = time.time()
     # min_stop=0: the synthetic corpus vocabulary has no English
     # stopwords, so the oracle rule would zero the corpus out
-    gated = docs.map_batches(
+    gated = docs_sig.map_batches(
         make_gopher_keep_fn(min_stop=0), batch_format="pyarrow"
     ).materialize()
     losers = exact_dedup_losers(gated, "doc_id", "text")
     exact_docs = bloom_semi_anti(gated, "doc_id", losers, "doc_id", keep_in=False).materialize()
     nd_pairs = minhash_lsh_pairs(
         exact_docs, "doc_id", "text", threshold=0.9, num_perm=64, bands=8, k=3,
-        verify="exact", payload_mode="auto",
+        verify="exact", payload_mode="auto", sig_col="minhash",
     )
     drops = nd_pairs.map_batches(
         lambda t: pa.table({"doc_id": t["id_b"].cast(pa.int64())}), batch_format="pyarrow"
