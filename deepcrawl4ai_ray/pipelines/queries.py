@@ -2735,6 +2735,64 @@ def bm25_indexed_top10(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def encoded_docs(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary-mapped token encoding (stages/encode): exact top-256
+    corpus vocabulary (count desc, token asc → ids 0..255), every doc's
+    token stream mapped in ONE vectorized get_indexer call per batch
+    (OOV → -1), per-doc digest = md5 of the comma-joined id sequence —
+    the list<int32> payload hash-checked without shipping lists through
+    the compare harness."""
+    import hashlib
+
+    from ..stages.encode import build_vocab, encode_tokens
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = build_vocab(ds, "text", 256)
+    enc = encode_tokens(ds, "doc_id", "text", vocab)
+
+    def digest(t: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(",".join(map(str, x)).encode()).hexdigest()
+            for x in t["ids"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": t["n_tokens"],
+                "n_oov": t["n_oov"],
+                "ids_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    out = enc.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_ENCODED_DOCS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+),
+cnt AS (SELECT unnest(w) AS tok FROM toks),
+vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) - 1 AS INTEGER) AS id
+  FROM (SELECT tok, COUNT(*) AS c FROM cnt GROUP BY tok ORDER BY c DESC, tok LIMIT 256)
+),
+tok_rows AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS ord, unnest(w) AS tok
+  FROM toks WHERE len(w) > 0
+),
+mapped AS (
+  SELECT r.doc_id, r.ord, COALESCE(v.id, -1) AS id
+  FROM tok_rows r LEFT JOIN vocab v USING (tok)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       md5(string_agg(id::VARCHAR, ',' ORDER BY ord)) AS ids_md5
+FROM mapped GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def seq_packing(sf_dir: str) -> pd.DataFrame:
     """Sequence packing (stages/pack): each document's exclusive token
     offset in the doc-id-ordered concatenated token stream, and the
@@ -4136,6 +4194,7 @@ QUERIES = {
     "stratified_events_sample": stratified_events_sample,
     "bm25_indexed_top10": bm25_indexed_top10,
     "seq_packing": seq_packing,
+    "encoded_docs": encoded_docs,
     "top_bigrams": top_bigrams,
     "delta_novel_docs": delta_novel_docs,
     "tfidf_top_terms": tfidf_top_terms,
@@ -4220,6 +4279,7 @@ ORACLES = {
     "stratified_events_sample": _STRATIFIED_SQL,
     "bm25_indexed_top10": _BM25_SQL,
     "seq_packing": _PACK_SQL,
+    "encoded_docs": _ENCODED_DOCS_SQL,
     "top_bigrams": _TOP_BIGRAMS_SQL,
     "delta_novel_docs": _DELTA_NOVEL_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
