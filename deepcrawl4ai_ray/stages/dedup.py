@@ -1122,6 +1122,7 @@ def srp_near_dup_pairs(
     seed: int = 42,
     num_buckets: int = 32,
     payload_mode: str = "join",
+    max_docs_per_key: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Cosine near-dup pairs → Dataset(id_a, id_b, cos_sim) with
     id_a < id_b and round(cos,4) ≥ threshold; the exact comparator is
@@ -1131,7 +1132,15 @@ def srp_near_dup_pairs(
     band; the bucket screen runs on fp16 vectors with a safety margin
     (see _FP16_MARGIN), candidate pairs are deduped distributively, and
     the full-precision vectors are joined back for the exact re-check.
-    The driver never sees a vector or the pair set."""
+    The driver never sees a vector or the pair set.
+
+    Sizing at corpus scale: a band key has 2^rbits values, so the
+    average in-key population is N/2^rbits and the screen does O(m²)
+    fp16 dot products per key — rbits MUST grow with log2(N) (rbits=24
+    at the 2M-row sf1 proof; the default 6 is the small-N/recall-max
+    oracle tuning and would put ~34k vectors in every key there).
+    ``max_docs_per_key`` (the simhash/dupspans mega-bucket discipline)
+    additionally skips degenerate keys as pair generators."""
     exploded = ds.map_batches(
         make_srp_explode_fn(vec_col, id_col, bands, rbits, seed, num_buckets),
         batch_format="pyarrow",
@@ -1148,6 +1157,8 @@ def srp_near_dup_pairs(
         vecss = g["vec16"].to_numpy()[order]
         _, start, cnt = np.unique(bks, return_index=True, return_counts=True)
         multi = cnt >= 2
+        if max_docs_per_key is not None:
+            multi &= cnt <= max_docs_per_key
         rows_a: List[int] = []
         rows_b: List[int] = []
         for s, c in zip(start[multi], cnt[multi]):
@@ -1157,11 +1168,18 @@ def srp_near_dup_pairs(
                 continue
             vecs = vecss[s : s + c][first]
             X = np.frombuffer(b"".join(vecs), dtype=np.float16).reshape(m, -1).astype(np.float32)
-            S = X @ X.T
-            ia, ib = np.triu_indices(m, 1)
-            hit = S[ia, ib] >= screen
-            rows_a.extend(ids[ia[hit]])
-            rows_b.extend(ids[ib[hit]])
+            # blocked screen: the dense m×m similarity matrix is 4m²
+            # bytes (4.6 GB at the 34k-row keys an undersized rbits
+            # produces) — row blocks bound peak memory at blk×m
+            BLK = 1024
+            cols = np.arange(m)
+            for b0 in range(0, m - 1, BLK):
+                b1 = min(b0 + BLK, m)
+                S = X[b0:b1] @ X.T  # (blk, m)
+                mask = (S >= screen) & (cols[None, :] > (b0 + np.arange(b1 - b0))[:, None])
+                ra, rb = np.nonzero(mask)
+                rows_a.extend(ids[b0 + ra])
+                rows_b.extend(ids[rb])
         return pd.DataFrame(
             {
                 "id_a": pd.Series(rows_a, dtype="int64"),

@@ -286,6 +286,84 @@ def main() -> None:
     n_sh = sum(pq_.read_metadata(f).num_rows for f in glob.glob(f"{sh_out}/*.parquet"))
     record("simhash", dt, docs_per_sec=n_pages / dt, pairs=float(n_sh))
 
+    # ---- 3d. embedding near-dup (SRP-LSH) over 2M synthetic vectors -----
+    # the dedup family's embedding member has only ever run at bench
+    # scale; derive a deterministic 64-d unit vector per doc from hashed
+    # (doc_id, dim) pairs, plant a 5% near-identical copy set, and
+    # measure bucket → fp16 screen → exact f64 re-check at 2.16M rows.
+    from deepcrawl4ai_ray.stages.dedup import srp_near_dup_pairs
+
+    DIM = 64
+
+    def to_vec(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = (ids[:, None] * np.int64(DIM) + np.arange(DIM, dtype=np.int64)).ravel()
+        h = pd.util.hash_array(keys)  # vectorized siphash, no RNG objects
+        V = (h.astype(np.float64) / 2**63 - 1.0).reshape(-1, DIM)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        out_ids = [ids]
+        out_vecs = [V]
+        planted = ids % 20 == 0
+        if planted.any():
+            P = V[planted].copy()
+            P[:, 0] += 1e-3  # cos >= 0.999999 vs the base vector
+            P /= np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+            out_ids.append(ids[planted] + 1)
+            out_vecs.append(P)
+        allv = np.concatenate(out_vecs).astype(np.float32)
+        alli = np.concatenate(out_ids)
+        flat = pa.array(allv.ravel(), pa.float32())
+        offs = pa.array(np.arange(0, (len(alli) + 1) * DIM, DIM, dtype=np.int32))
+        return pa.table(
+            {
+                "doc_id": pa.array(alli, pa.int64()),
+                "emb": pa.ListArray.from_arrays(offs, flat),
+            }
+        )
+
+    emb_ds = rd.read_parquet(extract_out, columns=["url"]).map_batches(
+        with_ids_url_only := (
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.array(
+                        (
+                            pd.util.hash_array(
+                                np.asarray(t["url"].to_pylist(), dtype=object), categorize=False
+                            )
+                            >> np.uint64(1)
+                        ).astype(np.int64),
+                        pa.int64(),
+                    )
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    ).map_batches(to_vec, batch_format="pyarrow")
+    srp_out = "/tmp/dc4r_scale/srp_out"
+    shutil.rmtree(srp_out, ignore_errors=True)
+    t0 = time.time()
+    # rbits=24: key space 2^24 so the avg in-key population stays O(1)
+    # at 2.16M rows (the default rbits=6 would put ~34k vectors in every
+    # key and the O(m^2) screen would melt); bands=12 keeps planted
+    # (cos ~= 0.9999996) miss prob ~1e-26
+    srp_near_dup_pairs(
+        emb_ds, "doc_id", "emb", threshold=0.999, bands=12, rbits=24,
+        payload_mode="auto", max_docs_per_key=8192,
+    ).write_parquet(srp_out)
+    dt = time.time() - t0
+    import pyarrow.dataset as pads_srp
+
+    sp = pads_srp.dataset(srp_out).to_table(columns=["id_a", "id_b"])
+    spa, spb = sp["id_a"].to_numpy(), sp["id_b"].to_numpy()
+    n_sp_planted = int(np.sum((spb - spa == 1) & (spa % 20 == 0)))
+    record(
+        "embed_srp",
+        dt,
+        docs_per_sec=n_pages * 1.05 / dt,
+        pairs=float(len(spa)),
+        planted_found=float(n_sp_planted),
+    )
+
     # ---- 4. PageRank over the full link graph ---------------------------
     from deepcrawl4ai_ray.functions.extract import extract_links
     from deepcrawl4ai_ray.stages.pagerank import pagerank
