@@ -364,6 +364,17 @@ def main() -> None:
         planted_found=float(n_sp_planted),
     )
 
+    # ---- 3e. brute-force ANN top-k over the same 2.26M vectors ----------
+    # the similarity-search baseline at sf1: broadcast query, per-block
+    # partial top-k with the final 4dp comparator, driver merges k rows.
+    from deepcrawl4ai_ray.stages.knn import brute_force_topk
+
+    q64 = (pd.util.hash_array(np.arange(DIM, dtype=np.int64) + 7).astype(np.float64) / 2**63) - 1.0
+    t0 = time.time()
+    ann = brute_force_topk(emb_ds, "doc_id", "emb", q64, k=10)
+    dt = time.time() - t0
+    record("ann_topk", dt, vecs_per_sec=n_pages * 1.05 / dt, top1=float(ann["cos_sim"].iloc[0]))
+
     # ---- 4. PageRank over the full link graph ---------------------------
     from deepcrawl4ai_ray.functions.extract import extract_links
     from deepcrawl4ai_ray.stages.pagerank import pagerank
