@@ -216,6 +216,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "dedup_exact_docs",
         "minhash_near_dups",
         "training_data_pipeline",
+        "encoded_docs",
         "knn_cosine_top10",
         "embedding_label_stats",
         "image_decode_meta",
