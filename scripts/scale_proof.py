@@ -375,6 +375,48 @@ def main() -> None:
     dt = time.time() - t0
     record("ann_topk", dt, vecs_per_sec=n_pages * 1.05 / dt, top1=float(ann["cos_sim"].iloc[0]))
 
+    # ---- 3f. persisted IVF index: build once over the 2.26M vectors,
+    # then a partition-pruned query reading only nprobe/nlist of it ------
+    from deepcrawl4ai_ray.stages.knn import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+
+    ivf_dir = "/tmp/dc4r_scale/ivf_index"
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    t0 = time.time()
+    sample = np.concatenate(
+        [
+            np.stack(b["emb"].to_numpy(zero_copy_only=False))
+            for b in emb_ds.limit(16384).iter_batches(batch_format="pyarrow")
+        ]
+    ).astype(np.float64)
+    cents = train_ivf_centroids(sample, nlist=64)
+    build_ivf_index(emb_ds, "doc_id", "emb", cents, ivf_dir)
+    t_build = time.time() - t0
+    t0 = time.time()
+    NPROBE = 8
+    ivf_hits = ivf_topk_indexed(ivf_dir, "doc_id", "emb", q64, cents, k=10, nprobe=NPROBE)
+    t_query = time.time() - t0
+    n_files_all = len(glob.glob(os.path.join(ivf_dir, "ivf_list=*", "*.parquet")))
+    probed = [int(x) for x in np.argsort(-(cents @ (q64 / np.linalg.norm(q64))))[:NPROBE]]
+    n_files_probed = sum(
+        len(glob.glob(os.path.join(ivf_dir, f"ivf_list={l}", "*.parquet"))) for l in probed
+    )
+    record(
+        "ivf_index",
+        t_build,
+        query_sec=t_query,
+        files_total=float(n_files_all),
+        files_probed=float(n_files_probed),
+        top1=float(ivf_hits["cos_sim"].iloc[0]) if len(ivf_hits) else -1.0,
+        # recall vs the exact brute-force stage above; uniform random
+        # vectors are IVF's WORST case (no cluster structure — true
+        # neighbors scatter across lists), so this is a floor
+        recall_at_10=float(len(set(ivf_hits["doc_id"]) & set(ann["doc_id"])) / 10.0),
+    )
+
     # ---- 4. PageRank over the full link graph ---------------------------
     from deepcrawl4ai_ray.functions.extract import extract_links
     from deepcrawl4ai_ray.stages.pagerank import pagerank
