@@ -290,3 +290,58 @@ class TestConnectedComponentsRandomized:
         ds = rd.from_pandas(pairs).repartition(n_blocks)
         out = connected_components(ds).to_pandas().set_index("node")["component"].to_dict()
         assert out == expected
+
+
+class TestBucketedAggsRandomized:
+    """bucketed_sum / bucketed_min / bucketed_distinct vs pandas groupby
+    on randomized inputs — mixed key types, negatives, duplicate-heavy
+    keys, and arbitrary block splits."""
+
+    @given(st.integers(0, 2**31), st.integers(1, 6))
+    @settings(max_examples=10, deadline=None)
+    def test_matches_pandas(self, seed, n_blocks):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.join import (
+            bucketed_distinct,
+            bucketed_min,
+            bucketed_sum,
+        )
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 400))
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(-20, 20, n).astype("int64")
+                if rng.integers(2)
+                else np.array([f"k{i}" for i in rng.integers(0, 25, n)], dtype=object),
+                "v": rng.normal(size=n)
+                if rng.integers(2)
+                else rng.integers(-1000, 1000, n).astype("int64"),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(n_blocks)
+
+        got = bucketed_sum(ds, ["k"], "v", "s").to_pandas().sort_values("k").reset_index(drop=True)
+        want = (
+            df.groupby("k", as_index=False)["v"].sum().rename(columns={"v": "s"})
+            .sort_values("k").reset_index(drop=True)
+        )
+        assert got["k"].astype(str).tolist() == want["k"].astype(str).tolist()
+        assert np.allclose(got["s"].to_numpy(dtype=float), want["s"].to_numpy(dtype=float))
+
+        got = bucketed_min(ds, ["k"], "v", "m").to_pandas().sort_values("k").reset_index(drop=True)
+        want = (
+            df.groupby("k", as_index=False)["v"].min().rename(columns={"v": "m"})
+            .sort_values("k").reset_index(drop=True)
+        )
+        assert np.allclose(got["m"].to_numpy(dtype=float), want["m"].to_numpy(dtype=float))
+
+        got = (
+            bucketed_distinct(ds, ["k", "v"]).to_pandas()
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        want = df.drop_duplicates(["k", "v"]).sort_values(["k", "v"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert got["k"].astype(str).tolist() == want["k"].astype(str).tolist()
