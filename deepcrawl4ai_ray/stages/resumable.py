@@ -120,15 +120,25 @@ def resumable_write_parquet(
         .map_groups(write_group, batch_format="pyarrow")
         .take_all()  # ≤ num_partitions manifest rows
     )
-    # partitions with zero rows never reach write_group; publish their
-    # markers so a resume run can distinguish "done, empty" from
-    # "missing" without re-reading the input
+    # partitions with zero rows never reach write_group; publish them as
+    # schema-pinned EMPTY parquet + marker so a resume run distinguishes
+    # "done, empty" from "missing" and read_resumable always yields a
+    # schema (an all-empty write must read back as an empty dataset)
     written_pids = {int(r["pid"]) for r in manifest}
+    empty_tbl = None
     for pid in range(num_partitions):
         if pid in done or pid in written_pids:
             continue
+        if empty_tbl is None:
+            from .join import _schema_types
+
+            tmap = _schema_types(ds) or {}
+            empty_tbl = pa.schema(
+                [(c, t) for c, t in tmap.items() if c != "__pid"]
+            ).empty_table()
         final = os.path.join(out_dir, f"part={pid}")
         os.makedirs(final, exist_ok=True)
+        pq.write_table(empty_tbl, os.path.join(final, "data.parquet"), compression=compression)
         with open(os.path.join(final, "_DONE"), "w") as f:
             f.write("0")
     return {

@@ -106,6 +106,29 @@ class TestResumableWrite:
         assert done_partitions(out) == set(range(32))
         assert res["rows_written"] == 5
 
+    def test_empty_dataset_roundtrip(self, ray_session, tmp_path):
+        """An all-empty write must read back as an empty dataset WITH
+        schema (empty partitions are published as schema-pinned empty
+        parquet, not bare markers)."""
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.resumable import (
+            done_partitions,
+            read_resumable,
+            resumable_write_parquet,
+        )
+
+        out = str(tmp_path / "out")
+        empty = rd.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype=str)})
+        )
+        res = resumable_write_parquet(empty, out, "doc_id", num_partitions=4)
+        assert res["rows_written"] == 0
+        assert done_partitions(out) == {0, 1, 2, 3}
+        back = read_resumable(out)
+        assert back.count() == 0
+        assert back.schema() is not None and "doc_id" in back.schema().names
+
     def test_bad_num_partitions(self, ray_session, tmp_path):
         import ray.data as rd
 
