@@ -78,27 +78,46 @@ def main() -> None:
         max_retries=2,
         extra={"flaky": FLAKY},
     )
+    def drive(crawler, start_r, stop_r, want_depths):
+        depths = None
+        r = start_r
+        while r < stop_r:
+            res = crawler.run_round(r)
+            r += 1
+            crawler.next_round = r
+            if r == 3:
+                crawler.salt_host("host-0.example", 4)  # adaptive mid-crawl salting
+            if want_depths and r == 5:
+                depths = ray.get(
+                    [s.host_queue_depth.remote("host-0.example") for s in crawler.shards]
+                )
+            if res["fetched"] == 0:
+                break
+        crawler._join_writer()
+        return r, depths
+
     c = Crawler(corpus, out_dir, cfg)
     c.offer_seeds()
     t0 = time.time()
-    depths = None
-    r = 0
-    while r < cfg.max_rounds:
-        res = c.run_round(r)
-        r += 1
-        c.next_round = r
-        if r == 3:
-            c.salt_host("host-0.example", 4)  # adaptive mid-crawl salting
-        if r == 5:
-            depths = ray.get(
-                [s.host_queue_depth.remote("host-0.example") for s in c.shards]
-            )
-        if res["fetched"] == 0:
-            break
-    c._join_writer()
+    r, depths = drive(c, 0, cfg.max_rounds, want_depths=True)
     wall = time.time() - t0
     crawl_anon = anon_mb()  # measured BEFORE the driver-side verification read
     c.kill_shards()
+
+    # ---- checkpoint/resume twin: same config, driver "dies" after round
+    # 6, a fresh Crawler resumes from the checkpoint and finishes — the
+    # fetched url set must be BYTE-IDENTICAL to the uninterrupted run's
+    resume_dir = "/tmp/dc4r_scale/composed_crawl_resumed"
+    shutil.rmtree(resume_dir, ignore_errors=True)
+    t0 = time.time()
+    c1 = Crawler(corpus, resume_dir, cfg)
+    c1.offer_seeds()
+    drive(c1, 0, 6, want_depths=False)
+    c1.kill_shards()  # driver death: only the checkpoint survives
+    c2 = Crawler.resume(corpus, resume_dir, cfg)
+    drive(c2, c2.next_round, cfg.max_rounds, want_depths=False)
+    resume_wall = time.time() - t0
+    c2.kill_shards()
 
     import glob as _glob
 
@@ -125,6 +144,18 @@ def main() -> None:
     assert len(dead) == len(set(dead)), "a dead letter was written twice"
     assert depths is not None and sum(1 for d in depths if d > 0) >= 2, f"no salt spread: {depths}"
 
+    resumed_urls = pa.concat_tables(
+        [
+            pq.read_table(f, columns=["url"])
+            for f in sorted(_glob.glob(os.path.join(resume_dir, "pages", "round=*", "*.parquet")))
+        ],
+        promote_options="default",
+    ).column("url").to_pylist()
+    assert len(resumed_urls) == len(set(resumed_urls)), "resume refetched a url"
+    assert sorted(resumed_urls) == sorted(urls.tolist()), (
+        "resumed crawl's fetched set differs from the uninterrupted run"
+    )
+
     result = {
         "metric": "composed_crawl_proof",
         "tier": args.tier,
@@ -136,8 +167,10 @@ def main() -> None:
         "flaky_recovered": int((flaky_mask & ok).sum()),
         "dead_letters": len(dead),
         "hot_host_shard_depths": depths,
+        "resume_twin_wall_sec": round(resume_wall, 1),
+        "resume_twin_identical": True,
         "driver_anon_mb": crawl_anon,
-        "checks": "exactly_once, retry_counts, dead_letter_unique, salt_spread — ALL PASSED",
+        "checks": "exactly_once, retry_counts, dead_letter_unique, salt_spread, resume_set_identity — ALL PASSED",
     }
     print(json.dumps(result))
     with open(os.path.join(os.path.dirname(__file__), "..", "COMPOSED_CRAWL_r4.json"), "w") as f:
