@@ -386,12 +386,18 @@ def main() -> None:
     ivf_dir = "/tmp/dc4r_scale/ivf_index"
     shutil.rmtree(ivf_dir, ignore_errors=True)
     t0 = time.time()
-    sample = np.concatenate(
-        [
-            np.stack(b["emb"].to_numpy(zero_copy_only=False))
-            for b in emb_ds.limit(16384).iter_batches(batch_format="pyarrow")
-        ]
-    ).astype(np.float64)
+    # deterministic sample: limit() took whichever blocks landed first,
+    # so centroids (and the recall figure) varied run to run; a
+    # doc_id-modulus filter fixes the SET and sorting by id fixes the
+    # ORDER (kmeans strided init is order-sensitive)
+    s_ids = []
+    s_vecs = []
+    for b in emb_ds.filter(expr="doc_id % 150 == 0").iter_batches(batch_format="pyarrow"):
+        s_ids.append(b["doc_id"].to_numpy(zero_copy_only=False))
+        s_vecs.append(np.stack(b["emb"].to_numpy(zero_copy_only=False)))
+    s_ids = np.concatenate(s_ids)
+    order = np.argsort(s_ids)
+    sample = np.concatenate(s_vecs).astype(np.float64)[order]
     cents = train_ivf_centroids(sample, nlist=64)
     build_ivf_index(emb_ds, "doc_id", "emb", cents, ivf_dir)
     t_build = time.time() - t0
