@@ -1061,53 +1061,64 @@ def _normalize_f64(batch_col) -> np.ndarray:
 
 
 def make_srp_explode_fn(
-    vec_col: str, id_col: str, bands: int = 24, rbits: int = 6, seed: int = 42, num_buckets: int = 32
+    vec_col: str,
+    id_col: str,
+    bands: int = 24,
+    rbits: int = 6,
+    seed: int = 42,
+    num_buckets: int = 32,
+    ship_vec: bool = True,
 ):
     """map_batches fn: vector → one row per band with packed sign-bit
-    band_key, shuffle bucket, and the L2-normalized vector QUANTIZED to
-    fp16 (2 B/dim — the in-bucket screen payload; the exact float64
-    verify happens after the candidate join-back, so quantization here
-    only affects which pairs are screened in, never the output values)."""
+    band_key, shuffle bucket, and (``ship_vec``) the L2-normalized
+    vector QUANTIZED to fp16 (2 B/dim — the in-bucket screen payload;
+    the exact float64 verify happens after the candidate join-back, so
+    quantization here only affects which pairs are screened in, never
+    the output values).  ``ship_vec=False`` emits 16 B/row id-only band
+    rows (the minhash id-only discipline) for the screenless candidate
+    path — right when rbits is sized so in-key populations are O(1)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         n = len(batch)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         Vn = _normalize_f64(batch[vec_col])
         if n == 0 or Vn.size == 0:
-            return pa.table(
-                {
-                    "band_bucket": pa.array([], pa.int32()),
-                    "band_key": pa.array([], pa.binary()),
-                    id_col: pa.array([], pa.int64()),
-                    "vec16": pa.array([], pa.binary()),
-                }
-            )
+            cols = {
+                "band_bucket": pa.array([], pa.int32()),
+                "band_key": pa.array([], pa.binary()),
+                id_col: pa.array([], pa.int64()),
+            }
+            if ship_vec:
+                cols["vec16"] = pa.array([], pa.binary())
+            return pa.table(cols)
         Hp = _srp_planes(Vn.shape[1], bands, rbits, seed)
         bits = (Vn @ Hp.T) > 0.0  # (n, bands*rbits)
         packed = np.packbits(bits.reshape(n, bands, rbits), axis=2)  # (n, bands, ⌈rbits/8⌉)
-        V16 = Vn.astype(np.float16)
-        vec_bytes = [V16[i].tobytes() for i in range(n)]
+        vec_bytes = None
+        if ship_vec:
+            V16 = Vn.astype(np.float16)
+            vec_bytes = [V16[i].tobytes() for i in range(n)]
         out_ids = np.repeat(ids, bands)
         out_keys: List[bytes] = []
         out_vecs: List[bytes] = []
         buckets = np.empty(n * bands, dtype=np.int32)
         w = 0
         for i in range(n):
-            vb = vec_bytes[i]
             for b in range(bands):
                 kb = bytes([b]) + packed[i, b].tobytes()
                 out_keys.append(kb)
-                out_vecs.append(vb)
+                if ship_vec:
+                    out_vecs.append(vec_bytes[i])
                 buckets[w] = (b * 2654435761 + int.from_bytes(packed[i, b].tobytes(), "little")) % num_buckets
                 w += 1
-        return pa.table(
-            {
-                "band_bucket": pa.array(buckets),
-                "band_key": pa.array(out_keys, pa.binary()),
-                id_col: pa.array(out_ids, pa.int64()),
-                "vec16": pa.array(out_vecs, pa.binary()),
-            }
-        )
+        cols = {
+            "band_bucket": pa.array(buckets),
+            "band_key": pa.array(out_keys, pa.binary()),
+            id_col: pa.array(out_ids, pa.int64()),
+        }
+        if ship_vec:
+            cols["vec16"] = pa.array(out_vecs, pa.binary())
+        return pa.table(cols)
 
     return fn
 
@@ -1123,6 +1134,7 @@ def srp_near_dup_pairs(
     num_buckets: int = 32,
     payload_mode: str = "join",
     max_docs_per_key: "int | None" = None,
+    band_payload: str = "vec16",
 ) -> "ray.data.Dataset":
     """Cosine near-dup pairs → Dataset(id_a, id_b, cos_sim) with
     id_a < id_b and round(cos,4) ≥ threshold; the exact comparator is
@@ -1140,9 +1152,24 @@ def srp_near_dup_pairs(
     at the 2M-row sf1 proof; the default 6 is the small-N/recall-max
     oracle tuning and would put ~34k vectors in every key there).
     ``max_docs_per_key`` (the simhash/dupspans mega-bucket discipline)
-    additionally skips degenerate keys as pair generators."""
+    additionally skips degenerate keys as pair generators.
+
+    ``band_payload``: "vec16" (default) ships the fp16 vector with each
+    band row so buckets can pre-screen candidates; "id" ships 16 B/row
+    id-only band rows and emits every distinct in-key pair unscreened —
+    byte-identical output either way (the exact float64 re-check
+    decides; mode-equality tested).  MEASURED trade (sf1 probe, 2.26M
+    uniform 64-d vectors, rbits=24/bands=12): id-only cut the band
+    exchange 9× but shipped ~N²·bands/2^(rbits+1) ≈ 1.8M random in-key
+    collision pairs into the pair-dedup + full-vector join-back —
+    128 s vs 20.7 s for vec16, whose screen kills those collisions
+    in-bucket.  Keep vec16 unless the collision volume is provably
+    negligible (rbits ≫ log2 N, or strongly clustered vectors)."""
+    if band_payload not in ("vec16", "id"):
+        raise ValueError(f"unknown band_payload {band_payload!r}")
+    ship_vec = band_payload == "vec16"
     exploded = ds.map_batches(
-        make_srp_explode_fn(vec_col, id_col, bands, rbits, seed, num_buckets),
+        make_srp_explode_fn(vec_col, id_col, bands, rbits, seed, num_buckets, ship_vec=ship_vec),
         batch_format="pyarrow",
     )
     screen = threshold - _FP16_MARGIN
@@ -1187,7 +1214,36 @@ def srp_near_dup_pairs(
             }
         )
 
-    cand = _sc(exploded).groupby("band_bucket").map_groups(bucket_cand, batch_format="pandas")
+    def bucket_cand_id(g: pd.DataFrame) -> pd.DataFrame:
+        # screenless candidates: every distinct in-key pair (the exact
+        # re-check filters) — the id-only exchange path
+        bk = g["band_key"].to_numpy()
+        order = np.argsort(bk, kind="stable")
+        bks, idss = bk[order], g[id_col].to_numpy()[order]
+        _, start, cnt = np.unique(bks, return_index=True, return_counts=True)
+        multi = cnt >= 2
+        if max_docs_per_key is not None:
+            multi &= cnt <= max_docs_per_key
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        for st_, c in zip(start[multi], cnt[multi]):
+            u = np.unique(idss[st_ : st_ + c])
+            if len(u) < 2:
+                continue
+            ia, ib = np.triu_indices(len(u), 1)
+            out_a.append(u[ia])
+            out_b.append(u[ib])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pd.DataFrame(
+            {"id_a": pd.Series(a, dtype="int64"), "id_b": pd.Series(b, dtype="int64")}
+        )
+
+    cand = (
+        _sc(exploded)
+        .groupby("band_bucket")
+        .map_groups(bucket_cand if ship_vec else bucket_cand_id, batch_format="pandas")
+    )
     uniq = _dedup_pairs(
         cand,
         pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),

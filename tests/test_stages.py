@@ -658,6 +658,35 @@ class TestSimhashNearDup:
         assert len(want) >= 5  # the plant produced real near-dups
         assert list(map(tuple, got.values.tolist())) == want
 
+    def test_srp_band_payload_modes_equal(self, ray_session):
+        """band_payload='id' (screenless id-only exchange) must produce
+        the byte-identical pair set as the fp16-screened default — the
+        exact float64 re-check decides in both modes."""
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dedup import srp_near_dup_pairs
+
+        rng = np.random.RandomState(3)
+        V = rng.standard_normal((200, 16))
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        ids = list(range(200)) + [1000 + i for i in range(0, 200, 10)]
+        P = V[::10] + 0.01 * rng.standard_normal((20, 16))
+        allv = np.concatenate([V, P])
+        docs = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "emb": list(allv)})
+        ds = _ds(docs)
+        a = (
+            srp_near_dup_pairs(ds, "doc_id", "emb", threshold=0.95)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        b = (
+            srp_near_dup_pairs(ds, "doc_id", "emb", threshold=0.95, band_payload="id")
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) >= 15  # the planted near-identical vectors were found
+        with pytest.raises(ValueError):
+            srp_near_dup_pairs(ds, "doc_id", "emb", band_payload="fp32")
+
     def test_minhash_sig_col_path_equals_text_path(self, ray_session):
         """MinHash banding from the enrich stage's stored signatures must
         produce the same verified pair set as computing from text, for
