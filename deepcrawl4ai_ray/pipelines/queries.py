@@ -4128,6 +4128,125 @@ FROM kept ORDER BY doc_id
 """
 
 
+def _ngram_ppl(sf_dir: str, mode: str) -> pd.DataFrame:
+    """Shared body of the two ngram_perplexity entries: train the CCNet
+    bigram LM on the doc_id%7==0 slice, score EVERY scoreable doc."""
+    from ..stages.ngramlm import score_perplexity, train_bigram_lm
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    def is_train(batch: pa.Table) -> pa.Table:
+        keep = (batch["doc_id"].to_numpy(zero_copy_only=False) % 7) == 0
+        return batch.filter(pa.array(keep))
+
+    uni, bg, vocab = train_bigram_lm(ds.map_batches(is_train, batch_format="pyarrow"))
+    scored = score_perplexity(ds, uni, bg, vocab, keep_cols=(), mode=mode)
+    out = scored.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_bigrams"] = out["n_bigrams"].astype("int64")
+    return out[["doc_id", "n_bigrams", "ppl"]]
+
+
+def ngram_perplexity(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM cleaning signal (stages/ngramlm.py): bigram LM
+    trained on a clean slice, per-doc perplexity over the corpus —
+    broadcast-model path (zero shuffles)."""
+    return _ngram_ppl(sf_dir, "broadcast")
+
+
+def ngram_perplexity_join(sf_dir: str) -> pd.DataFrame:
+    """Same LM + scores via the JOIN path (count tables too big for the
+    object store at 100 TB): slim gram explode, two bucketed hash joins,
+    one bucketed per-doc reduce.  Same oracle as the broadcast twin."""
+    return _ngram_ppl(sf_dir, "join")
+
+
+_NGRAM_PPL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+),
+tr AS (SELECT t FROM toks WHERE doc_id % 7 = 0),
+uni_cnt AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c1
+  FROM (SELECT unnest(t) AS tok FROM tr) GROUP BY tok
+),
+bg_cnt AS (
+  SELECT gram, CAST(COUNT(*) AS DOUBLE) AS c2 FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+    FROM tr WHERE len(t) >= 2
+  ) GROUP BY gram
+),
+v AS (SELECT CAST(COUNT(*) + 1 AS DOUBLE) AS vocab FROM uni_cnt),
+doc_bg AS (
+  SELECT doc_id,
+         unnest(t[1:len(t) - 1]) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+lp AS (
+  SELECT d.doc_id,
+         ln((COALESCE(b.c2, 0) + 0.5) / (COALESCE(u.c1, 0) + 0.5 * v.vocab)) AS lp
+  FROM doc_bg d
+  LEFT JOIN bg_cnt b ON b.gram = d.gram
+  LEFT JOIN uni_cnt u ON u.tok = d.w1
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(exp(-SUM(lp) / COUNT(*)), 4) AS ppl
+FROM lp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def dsir_selected_docs(sf_dir: str) -> pd.DataFrame:
+    """DSIR data selection (stages/dsir.py): hashed-bigram importance
+    weights of the raw pool (doc_id%7!=0) against the clean target slice
+    (doc_id%7==0), Gumbel-top-50 resample.  Two map-side passes, zero
+    shuffles; only B-bucket count vectors and blocks*k top-k partials
+    reach the driver."""
+    from ..stages.dsir import dsir_lambda, dsir_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+    lam = dsir_lambda(ds, "doc_id % 7 == 0")
+    return dsir_topk(ds, lam, "doc_id % 7 != 0", k=50)
+
+
+_DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2
+),
+feats AS (SELECT doc_id, CAST(md5_number_lower(g) % 4096 AS BIGINT) AS f FROM grams),
+tgt AS (SELECT f, CAST(COUNT(*) AS DOUBLE) AS c FROM feats WHERE doc_id % 7 = 0 GROUP BY f),
+rawc AS (SELECT f, CAST(COUNT(*) AS DOUBLE) AS c FROM feats WHERE doc_id % 7 <> 0 GROUP BY f),
+tot AS (
+  SELECT (SELECT COALESCE(SUM(c), 0) FROM tgt) AS tt,
+         (SELECT COALESCE(SUM(c), 0) FROM rawc) AS rr
+),
+lam AS (
+  SELECT r.f,
+         ln(((COALESCE(t.c, 0) + 0.5) / (tot.tt + 0.5 * 4096))
+            / ((r.c + 0.5) / (tot.rr + 0.5 * 4096))) AS lam
+  FROM rawc r LEFT JOIN tgt t ON t.f = r.f CROSS JOIN tot
+),
+scored AS (
+  SELECT d.doc_id, SUM(l.lam) AS w
+  FROM feats d JOIN lam l ON l.f = d.f
+  WHERE d.doc_id % 7 <> 0 GROUP BY d.doc_id
+),
+keyed AS (
+  SELECT doc_id, w,
+         w + (-ln(-ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 4294967296 AS DOUBLE) + 0.5)
+                      / 4294967296.0))) AS skey
+  FROM scored
+)
+SELECT doc_id, ROUND(w, 4) AS weight, ROUND(skey, 4) AS skey
+FROM (SELECT * FROM keyed ORDER BY skey DESC, doc_id LIMIT 50)
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -4219,6 +4338,9 @@ QUERIES = {
     "training_data_pipeline": training_data_pipeline,
     "hits_corpus": hits_corpus,
     "boilerplate_removed_docs": boilerplate_removed_docs,
+    "ngram_perplexity": ngram_perplexity,
+    "ngram_perplexity_join": ngram_perplexity_join,
+    "dsir_selected_docs": dsir_selected_docs,
 }
 
 ORACLES = {
@@ -4306,6 +4428,9 @@ ORACLES = {
     "boilerplate_removed_docs": _BOILERPLATE_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
     "simhash_near_dups": _SIMHASH_PAIRS_SQL,
+    "ngram_perplexity": _NGRAM_PPL_SQL,
+    "ngram_perplexity_join": _NGRAM_PPL_SQL,
+    "dsir_selected_docs": _DSIR_SQL,
     # rows-only (non-SQL-expressible): knn_pq_top10 (approximate by
     # design; refine≥N==brute-force and recall-bound pytests — the
     # exact-refine twin knn_pq_refine_all IS oracle-backed),
