@@ -217,6 +217,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "minhash_near_dups",
         "training_data_pipeline",
         "encoded_docs",
+        "ngram_perplexity",
         "knn_cosine_top10",
         "embedding_label_stats",
         "image_decode_meta",
