@@ -4247,6 +4247,75 @@ FROM (SELECT * FROM keyed ORDER BY skey DESC, doc_id LIMIT 50)
 """
 
 
+def ccnet_ppl_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): per-
+    language perplexity ranking under the clean-slice bigram LM, cut into
+    three equal-count bands.  LM scoring is the broadcast map-side pass;
+    the ranking is the two-phase prefix-sum rank of
+    stages/ngramlm.ppl_rank_buckets — only (doc_id, lang, ppl) shuffles."""
+    from ..stages.ngramlm import ppl_rank_buckets, score_perplexity, train_bigram_lm
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).materialize()
+
+    def is_train(batch: pa.Table) -> pa.Table:
+        keep = (batch["doc_id"].to_numpy(zero_copy_only=False) % 7) == 0
+        return batch.filter(pa.array(keep))
+
+    uni, bg, vocab = train_bigram_lm(ds.map_batches(is_train, batch_format="pyarrow"))
+    scored = score_perplexity(ds, uni, bg, vocab, keep_cols=("lang",), mode="broadcast")
+    out = ppl_rank_buckets(scored).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "lang", "ppl", "bucket"]]
+
+
+_CCNET_BUCKET_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+),
+tr AS (SELECT t FROM toks WHERE doc_id % 7 = 0),
+uni_cnt AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c1
+  FROM (SELECT unnest(t) AS tok FROM tr) GROUP BY tok
+),
+bg_cnt AS (
+  SELECT gram, CAST(COUNT(*) AS DOUBLE) AS c2 FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+    FROM tr WHERE len(t) >= 2
+  ) GROUP BY gram
+),
+v AS (SELECT CAST(COUNT(*) + 1 AS DOUBLE) AS vocab FROM uni_cnt),
+doc_bg AS (
+  SELECT doc_id, lang,
+         unnest(t[1:len(t) - 1]) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+lp AS (
+  SELECT d.doc_id, d.lang,
+         ln((COALESCE(b.c2, 0) + 0.5) / (COALESCE(u.c1, 0) + 0.5 * v.vocab)) AS lp
+  FROM doc_bg d
+  LEFT JOIN bg_cnt b ON b.gram = d.gram
+  LEFT JOIN uni_cnt u ON u.tok = d.w1
+  CROSS JOIN v
+),
+ppl AS (
+  SELECT doc_id, lang, ROUND(exp(-SUM(lp) / COUNT(*)), 4) AS ppl
+  FROM lp GROUP BY doc_id, lang
+),
+ranked AS (
+  SELECT doc_id, lang, ppl,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM ppl
+)
+SELECT doc_id, lang, ppl,
+       CASE WHEN r * 3 <= n THEN 'head'
+            WHEN r * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked ORDER BY doc_id
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -4341,6 +4410,7 @@ QUERIES = {
     "ngram_perplexity": ngram_perplexity,
     "ngram_perplexity_join": ngram_perplexity_join,
     "dsir_selected_docs": dsir_selected_docs,
+    "ccnet_ppl_buckets": ccnet_ppl_buckets,
 }
 
 ORACLES = {
@@ -4431,6 +4501,7 @@ ORACLES = {
     "ngram_perplexity": _NGRAM_PPL_SQL,
     "ngram_perplexity_join": _NGRAM_PPL_SQL,
     "dsir_selected_docs": _DSIR_SQL,
+    "ccnet_ppl_buckets": _CCNET_BUCKET_SQL,
     # rows-only (non-SQL-expressible): knn_pq_top10 (approximate by
     # design; refine≥N==brute-force and recall-bound pytests — the
     # exact-refine twin knn_pq_refine_all IS oracle-backed),

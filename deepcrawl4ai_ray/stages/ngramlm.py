@@ -274,3 +274,99 @@ def score_perplexity(
         return ray.data.from_arrow(seed)
     out = coalesced.groupby("__pb").map_groups(agg, batch_format="pyarrow")
     return ray.data.from_arrow(seed).union(out)
+
+
+def ppl_rank_buckets(
+    scored: "ray.data.Dataset",
+    group_col: str = "lang",
+    order_col: str = "ppl",
+    id_col: str = "doc_id",
+    labels: Sequence[str] = ("head", "middle", "tail"),
+) -> "ray.data.Dataset":
+    """CCNet's head/middle/tail split: rank every doc WITHIN its language
+    by (ppl, doc_id) and cut the ranking into ``len(labels)`` equal-count
+    bands (1-based rank r of n docs gets band j = ceil(r·K/n), i.e. the
+    exact ``CASE WHEN r*K <= n ... `` the SQL oracle states).
+
+    Ray Data has no rank/window primitive; a full sort would shuffle the
+    whole scored table through one global exchange.  Two-phase plan
+    (the shuffle_ranks/pack.py prefix-sum pattern):
+
+    1. one map pass quantizes ppl to a MONOTONE 256-level key ``__q``
+       (floor(8·log2(ppl+1)) — a prefix of the within-group sort order,
+       equal ppl always lands in the same level),
+    2. per-(group, __q) counts partial-aggregate down to ≤ groups×256
+       rows; the driver prefix-sums them into per-cell rank offsets and
+       per-group totals (O(cells), never O(docs)) and broadcasts ONE
+       small tuple,
+    3. one ``groupby(group, __q).map_groups`` sorts locally and emits
+       ``rank = offset + local_index`` → bucket label.
+
+    Only the slim (id, group, ppl, __q) table shuffles; at 100 TB the
+    all-to-all carries ~24 bytes/doc and no cell exceeds its ppl-level
+    slice of one language.  Skewed levels split further is unnecessary:
+    the within-cell work is a local mergesort.
+    """
+    K = len(labels)
+    if K < 2:
+        raise ValueError("need at least 2 bucket labels")
+
+    def quant(batch: pa.Table) -> pa.Table:
+        v = batch[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.clip((np.log2(np.maximum(v, 0.0) + 1.0) * 8.0).astype(np.int64), 0, 255)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                order_col: pa.array(v, pa.float64()),
+                "__q": pa.array(q, pa.int64()),
+            }
+        )
+
+    # seed types come from the INPUT schema (an all-empty materialized
+    # dataset reports schema() is None, so probe before the map)
+    in_sch = scored.schema()
+    tmap = dict(zip(in_sch.names, [_arrow_type(t) for t in in_sch.types]))
+    seed = pa.schema(
+        [
+            (id_col, tmap.get(id_col, pa.int64())),
+            (group_col, tmap.get(group_col, pa.string())),
+            (order_col, pa.float64()),
+            ("bucket", pa.string()),
+        ]
+    ).empty_table()
+    slim = scored.map_batches(quant, batch_format="pyarrow").materialize()
+    if slim.count() == 0:
+        return ray.data.from_arrow(seed)
+
+    from ray.data.aggregate import Count
+
+    cells = slim.groupby([group_col, "__q"]).aggregate(Count(alias_name="n")).take_all()
+    cells.sort(key=lambda r: (str(r[group_col]), int(r["__q"])))
+    offsets: dict = {}
+    totals: dict = {}
+    for r in cells:
+        g = r[group_col]
+        offsets[(g, int(r["__q"]))] = totals.get(g, 0)
+        totals[g] = totals.get(g, 0) + int(r["n"])
+    meta_ref = ray.put((offsets, totals, tuple(labels)))
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        offs, tots, labs = cached_get(meta_ref, slot="ppl_bucket_meta")
+        g = group[group_col].iloc[0]
+        off = offs[(g, int(group["__q"].iloc[0]))]
+        n = tots[g]
+        s = group.sort_values([order_col, id_col], kind="mergesort")
+        r1 = off + np.arange(1, len(s) + 1, dtype=np.int64)
+        j = np.minimum((r1 * len(labs) + n - 1) // n - 1, len(labs) - 1)
+        return pd.DataFrame(
+            {
+                id_col: s[id_col].to_numpy(),
+                group_col: s[group_col].to_numpy(),
+                order_col: s[order_col].to_numpy(dtype=np.float64),
+                "bucket": np.asarray(labs, dtype=object)[j],
+            }
+        )
+
+    out = slim.groupby([group_col, "__q"]).map_groups(assign)
+    return ray.data.from_arrow(seed).union(out)

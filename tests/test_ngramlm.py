@@ -120,3 +120,79 @@ class TestScorePerplexity:
         uni, bg, vocab = train_bigram_lm(_docs([(1, "a b")]))
         with pytest.raises(ValueError):
             score_perplexity(_docs([(2, "a b")]), uni, bg, vocab, mode="nope")
+
+
+class TestPplRankBuckets:
+    def _scored(self, rows):
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "lang": [r[1] for r in rows],
+                    "ppl": pd.Series([r[2] for r in rows], dtype="float64"),
+                }
+            )
+        )
+
+    def test_equal_thirds_per_lang(self, ray_session):
+        from deepcrawl4ai_ray.stages.ngramlm import ppl_rank_buckets
+
+        # en: 9 docs with distinct ppls; fr: 4 docs (ceil-split 2/1/1)
+        rows = [(i, "en", float(100 + i)) for i in range(9)]
+        rows += [(100 + i, "fr", float(10 + i)) for i in range(4)]
+        out = ppl_rank_buckets(self._scored(rows)).to_pandas()
+        by = out.set_index("doc_id")["bucket"].to_dict()
+        assert [by[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        # fr: r*3<=4 -> r=1 head; r*3<=8 -> r=2 middle; r=3,4 tail
+        assert [by[100 + i] for i in range(4)] == ["head", "middle", "tail", "tail"]
+
+    def test_ties_break_by_doc_id(self, ray_session):
+        from deepcrawl4ai_ray.stages.ngramlm import ppl_rank_buckets
+
+        rows = [(i, "en", 50.0) for i in (5, 1, 3)]  # all-equal ppl
+        out = ppl_rank_buckets(self._scored(rows)).to_pandas()
+        by = out.set_index("doc_id")["bucket"].to_dict()
+        assert by == {1: "head", 3: "middle", 5: "tail"}
+
+    def test_matches_window_oracle_randomized(self, ray_session):
+        from deepcrawl4ai_ray.stages.ngramlm import ppl_rank_buckets
+
+        rng = np.random.default_rng(7)
+        n = 200
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "lang": rng.choice(["en", "fr", "de"], size=n),
+                # coarse grid so ties actually happen
+                "ppl": np.round(rng.uniform(1, 30, size=n), 0),
+            }
+        )
+        import ray.data as rd
+
+        got = (
+            ppl_rank_buckets(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ref = df.sort_values(["lang", "ppl", "doc_id"]).copy()
+        ref["r"] = ref.groupby("lang").cumcount() + 1
+        ref["n"] = ref.groupby("lang")["doc_id"].transform("size")
+        ref["bucket"] = np.where(
+            ref["r"] * 3 <= ref["n"],
+            "head",
+            np.where(ref["r"] * 3 <= 2 * ref["n"], "middle", "tail"),
+        )
+        ref = ref.sort_values("doc_id").reset_index(drop=True)
+        assert got["bucket"].tolist() == ref["bucket"].tolist()
+        assert (got["lang"] == ref["lang"]).all()
+
+    def test_empty_input_keeps_schema(self, ray_session):
+        from deepcrawl4ai_ray.stages.ngramlm import ppl_rank_buckets
+
+        out = ppl_rank_buckets(self._scored([]))
+        sch = out.schema()
+        assert list(sch.names) == ["doc_id", "lang", "ppl", "bucket"]
+        assert out.count() == 0
