@@ -4316,6 +4316,55 @@ FROM ranked ORDER BY doc_id
 """
 
 
+#: UT1-style blocklist for blocklist_filtered_docs — declared once,
+#: identically in the SQL twin.  site99 matches nothing (the miss path);
+#: site3 blocks a whole domain incl. subdomains; the ads./media. entries
+#: block only specific subdomain subtrees.
+_BLOCKLIST = ("site3.example", "ads.site5.example", "media.site9.example", "site99.example")
+
+
+def blocklist_filtered_docs(sf_dir: str) -> pd.DataFrame:
+    """Domain-blocklist pass (stages/blocklist.py): deterministic host
+    per doc (multi-label, like the PII-injection convention), broadcast
+    UT1-style list, vectorized label-suffix match — one map-side pass,
+    zero shuffles.  blocked_by = smallest matching entry, '' = kept."""
+    from ..stages.blocklist import domain_block_flags
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]).materialize()
+
+    def mk_host(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sub = np.array(["ads.", "cdn.media.", "www.", ""], dtype=object)[ids % 4]
+        base = np.array([f"site{i}.example" for i in range(17)], dtype=object)[ids % 17]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "host": pa.array(sub + base, pa.string())}
+        )
+
+    out = domain_block_flags(
+        ds.map_batches(mk_host, batch_format="pyarrow"), "host", _BLOCKLIST
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df[["doc_id", "host", "blocked_by"]]
+
+
+_BLOCKLIST_SQL = r"""
+WITH hosts AS (
+  SELECT doc_id,
+         (CASE doc_id % 4 WHEN 0 THEN 'ads.' WHEN 1 THEN 'cdn.media.'
+               WHEN 2 THEN 'www.' ELSE '' END)
+         || 'site' || CAST(doc_id % 17 AS VARCHAR) || '.example' AS host
+  FROM documents
+),
+blocked(dom) AS (VALUES ('site3.example'), ('ads.site5.example'),
+                        ('media.site9.example'), ('site99.example'))
+SELECT h.doc_id, h.host, COALESCE(MIN(b.dom), '') AS blocked_by
+FROM hosts h LEFT JOIN blocked b
+  ON h.host = b.dom OR ends_with(h.host, '.' || b.dom)
+GROUP BY h.doc_id, h.host ORDER BY h.doc_id
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -4411,6 +4460,7 @@ QUERIES = {
     "ngram_perplexity_join": ngram_perplexity_join,
     "dsir_selected_docs": dsir_selected_docs,
     "ccnet_ppl_buckets": ccnet_ppl_buckets,
+    "blocklist_filtered_docs": blocklist_filtered_docs,
 }
 
 ORACLES = {
@@ -4502,6 +4552,7 @@ ORACLES = {
     "ngram_perplexity_join": _NGRAM_PPL_SQL,
     "dsir_selected_docs": _DSIR_SQL,
     "ccnet_ppl_buckets": _CCNET_BUCKET_SQL,
+    "blocklist_filtered_docs": _BLOCKLIST_SQL,
     # rows-only (non-SQL-expressible): knn_pq_top10 (approximate by
     # design; refine≥N==brute-force and recall-bound pytests — the
     # exact-refine twin knn_pq_refine_all IS oracle-backed),
