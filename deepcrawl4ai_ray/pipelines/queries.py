@@ -2446,6 +2446,40 @@ def pagerank_corpus(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def hostrank_corpus(sf_dir: str) -> pd.DataFrame:
+    """Host-graph PageRank: contract the page link graph to the host
+    level (the domain-authority signal crawl schedulers and quality
+    filters weight by — Common Crawl publishes exactly this ranking)
+    and run the same stages/pagerank power iteration.  The contraction
+    is map-side (host extraction inside the edge pass); pagerank dedups
+    the edge multiset itself, so host self-loops (intra-host links)
+    survive as single edges, identically to the SQL DISTINCT twin."""
+    from ..functions.extract import extract_links
+    from ..functions.urlnorm import host_of
+    from ..sources.corpus import ensure
+    from ..stages.pagerank import pagerank
+
+    corpus = ensure("tiny")
+    pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
+
+    def host_edges(batch: pa.Table) -> pa.Table:
+        srcs: list = []
+        dsts: list = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            hu = host_of(u)
+            for link in extract_links(h, u):
+                srcs.append(hu)
+                dsts.append(host_of(link))
+        return pa.table(
+            {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+        )
+
+    pr = pagerank(pages.map_batches(host_edges, batch_format="pyarrow"), iters=3)
+    df = pr.to_pandas().rename(columns={"node": "host"})
+    df["pr"] = df["pr"].round(6)
+    return df.sort_values("host").reset_index(drop=True)
+
+
 def _pagerank_sql(iters: int = 3) -> str:
     """Unrolled-CTE PageRank oracle: r0 = uniform, each r{k} one power
     iteration with teleport 0.15/N and dangling mass (1 − Σ pr over
@@ -2486,6 +2520,50 @@ r{k} AS (
 )"""
         )
     parts.append(f"\nSELECT node AS url, ROUND(pr, 6) AS pr FROM r{iters} ORDER BY url")
+    return "".join(parts)
+
+
+def _hostrank_sql(iters: int = 3) -> str:
+    """hostrank_corpus oracle: the _pagerank_sql unrolled power
+    iteration over the host-CONTRACTED distinct edge set (self-loops
+    kept, like the engine's contraction)."""
+    parts = [
+        rf"""
+WITH pages AS (
+  SELECT url, decode(html) AS html,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+), rawlinks AS (
+  SELECT p.host AS src,
+         CASE WHEN href LIKE 'http%' THEN regexp_extract(href, '^[a-z]+://([^/]+)', 1)
+              ELSE p.host END AS dst
+  FROM pages p, UNNEST(regexp_extract_all(p.html,
+       '<a\s[^>]*?href\s*=\s*["'']([^"''<>]+)["'']', 1)) AS u(href)
+), links AS (
+  SELECT DISTINCT src, dst FROM rawlinks
+), nodes AS (
+  SELECT src AS node FROM links UNION SELECT dst FROM links
+), nn AS (SELECT COUNT(*) * 1.0 AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) * 1.0 AS deg FROM links GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * (COALESCE(s.in_pr, 0)
+            + (1 - (SELECT SUM(r.pr) FROM r{p} r JOIN outdeg o ON o.src = r.node))
+              / (SELECT n FROM nn)) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT l.dst AS node, SUM(r.pr / o.deg) AS in_pr
+    FROM links l JOIN r{p} r ON r.node = l.src JOIN outdeg o ON o.src = l.src
+    GROUP BY l.dst) s ON s.node = nd.node
+)"""
+        )
+    parts.append(f"\nSELECT node AS host, ROUND(pr, 6) AS pr FROM r{iters} ORDER BY host")
     return "".join(parts)
 
 
@@ -4365,6 +4443,26 @@ GROUP BY h.doc_id, h.host ORDER BY h.doc_id
 """
 
 
+def bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer training (stages/bpe.py): word-frequency contraction
+    of the clean slice (doc_id%7==0), then 24 distributed merge rounds.
+    Rows-only by necessity: the merge loop is iterative (one global
+    argmax per round feeding the next round's input) and has no SQL
+    form — tests/test_bpe.py pins learn_bpe against the canonical
+    single-process Sennrich reference on randomized vocabularies, and
+    bpe_encode against rank-order reference encoding."""
+    from ..stages.bpe import learn_bpe, word_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    def is_train(batch: pa.Table) -> pa.Table:
+        keep = (batch["doc_id"].to_numpy(zero_copy_only=False) % 7) == 0
+        return batch.filter(pa.array(keep))
+
+    train = ds.map_batches(is_train, batch_format="pyarrow")
+    return learn_bpe(word_counts(train), 24)
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -4461,6 +4559,8 @@ QUERIES = {
     "dsir_selected_docs": dsir_selected_docs,
     "ccnet_ppl_buckets": ccnet_ppl_buckets,
     "blocklist_filtered_docs": blocklist_filtered_docs,
+    "hostrank_corpus": hostrank_corpus,
+    "bpe_merges": bpe_merges,
 }
 
 ORACLES = {
@@ -4553,6 +4653,7 @@ ORACLES = {
     "dsir_selected_docs": _DSIR_SQL,
     "ccnet_ppl_buckets": _CCNET_BUCKET_SQL,
     "blocklist_filtered_docs": _BLOCKLIST_SQL,
+    "hostrank_corpus": _hostrank_sql(3),
     # rows-only (non-SQL-expressible): knn_pq_top10 (approximate by
     # design; refine≥N==brute-force and recall-bound pytests — the
     # exact-refine twin knn_pq_refine_all IS oracle-backed),
