@@ -4443,6 +4443,61 @@ GROUP BY h.doc_id, h.host ORDER BY h.doc_id
 """
 
 
+def nfc_normalized_docs(sf_dir: str) -> pd.DataFrame:
+    """Unicode NFC canonicalization (functions/textnorm.py): deterministic
+    denormalized suffixes injected on both sides (the _inject_pii
+    convention) — combining acute (doc_id%4==1), compatibility U+212B
+    (%4==2), already-composed non-ASCII (%4==3), pure ASCII (%4==0, the
+    vectorized fast path).  One map-side pass, zero shuffles."""
+    from ..functions.hashing import md5_hex
+    from ..functions.textnorm import nfc_normalize_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    def norm(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # explicit escapes: %4==1 DECOMPOSED e+combining-acute, %4==2
+        # compatibility angstrom U+212B, %4==3 PRECOMPOSED U+00E9
+        suffix = np.array(
+            ["", " cafe\u0301", " \u212b", " caf\u00e9"], dtype=object
+        )[ids % 4]
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object) + suffix
+        out, changed = nfc_normalize_batch(pa.array(texts, pa.string()))
+        md5s = [md5_hex(s) for s in out.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_md5": pa.array(md5s, pa.string()),
+                "changed": changed,
+            }
+        )
+
+    df = (
+        ds.map_batches(norm, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df[["doc_id", "norm_md5", "changed"]]
+
+
+_NFC_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+                 WHEN 1 THEN ' cafe' || chr(769)
+                 WHEN 2 THEN ' ' || chr(8491)
+                 WHEN 3 THEN ' caf' || chr(233)
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id, md5(nfc_normalize(t)) AS norm_md5,
+       nfc_normalize(t) <> t AS changed
+FROM aug ORDER BY doc_id
+"""
+
+
 def bpe_merges(sf_dir: str) -> pd.DataFrame:
     """BPE tokenizer training (stages/bpe.py): word-frequency contraction
     of the clean slice (doc_id%7==0), then 24 distributed merge rounds.
@@ -4561,6 +4616,7 @@ QUERIES = {
     "blocklist_filtered_docs": blocklist_filtered_docs,
     "hostrank_corpus": hostrank_corpus,
     "bpe_merges": bpe_merges,
+    "nfc_normalized_docs": nfc_normalized_docs,
 }
 
 ORACLES = {
@@ -4654,6 +4710,7 @@ ORACLES = {
     "ccnet_ppl_buckets": _CCNET_BUCKET_SQL,
     "blocklist_filtered_docs": _BLOCKLIST_SQL,
     "hostrank_corpus": _hostrank_sql(3),
+    "nfc_normalized_docs": _NFC_SQL,
     # rows-only (non-SQL-expressible): knn_pq_top10 (approximate by
     # design; refine≥N==brute-force and recall-bound pytests — the
     # exact-refine twin knn_pq_refine_all IS oracle-backed),

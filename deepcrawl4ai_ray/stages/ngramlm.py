@@ -335,7 +335,13 @@ def ppl_rank_buckets(
             ("bucket", pa.string()),
         ]
     ).empty_table()
-    slim = scored.map_batches(quant, batch_format="pyarrow").materialize()
+    # coalesce the slim table ONCE before its two all-to-alls (counts +
+    # rank groupby) — many tiny blocks make Ray inline sub-100KB shuffle
+    # chunks into the driver store (+722 MB anon / 73 s at the 2M-doc
+    # proof before this line; see BASELINE.md shuffle_coalesce note)
+    slim = shuffle_coalesce(
+        scored.map_batches(quant, batch_format="pyarrow")
+    ).materialize()
     if slim.count() == 0:
         return ray.data.from_arrow(seed)
 
