@@ -4443,6 +4443,108 @@ GROUP BY h.doc_id, h.host ORDER BY h.doc_id
 """
 
 
+def ccnet_pipeline(sf_dir: str) -> pd.DataFrame:
+    """COMPOSED CCNet-style cleaning (Wenzek et al. 2020 Fig. 1): bigram
+    LM trained on the clean slice → per-lang head/middle/tail ppl split
+    → drop the tail third → exact first-wins content dedup → per-(lang,
+    bucket) rollup.  Both removals are MAP-SIDE bloom anti-filters (the
+    flagship training_data_pipeline shape): text payloads never cross an
+    all-to-all — only slim id sets and the (doc_id, lang, ppl) table
+    shuffle."""
+    from ..stages.agg import partial_grouped_sum
+    from ..stages.dedup import exact_dedup_losers
+    from ..stages.join import bloom_semi_anti
+    from ..stages.ngramlm import ppl_rank_buckets, score_perplexity, train_bigram_lm
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).materialize()
+
+    def is_train(batch: pa.Table) -> pa.Table:
+        keep = (batch["doc_id"].to_numpy(zero_copy_only=False) % 7) == 0
+        return batch.filter(pa.array(keep))
+
+    uni, bg, vocab = train_bigram_lm(ds.map_batches(is_train, batch_format="pyarrow"))
+    scored = score_perplexity(ds, uni, bg, vocab, keep_cols=("lang",), mode="broadcast")
+    buckets = ppl_rank_buckets(scored).materialize()
+
+    kept_ids = buckets.filter(expr="bucket != 'tail'").select_columns(["doc_id"])
+    kept_docs = bloom_semi_anti(ds, "doc_id", kept_ids, "doc_id", keep_in=True)
+    losers = exact_dedup_losers(kept_docs, "doc_id", "text")
+    surv_buckets = bloom_semi_anti(
+        bloom_semi_anti(buckets, "doc_id", kept_ids, "doc_id", keep_in=True),
+        "doc_id",
+        losers,
+        "doc_id",
+        keep_in=False,
+    )
+    roll = partial_grouped_sum(
+        surv_buckets, ["lang", "bucket"], sums=["ppl"], count_alias="n_docs"
+    ).to_pandas()
+    roll["avg_ppl"] = (roll["sum_ppl"] / roll["n_docs"]).round(4)
+    roll["n_docs"] = roll["n_docs"].astype("int64")
+    return (
+        roll[["lang", "bucket", "n_docs", "avg_ppl"]]
+        .sort_values(["lang", "bucket"])
+        .reset_index(drop=True)
+    )
+
+
+_CCNET_PIPELINE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+),
+tr AS (SELECT t FROM toks WHERE doc_id % 7 = 0),
+uni_cnt AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c1
+  FROM (SELECT unnest(t) AS tok FROM tr) GROUP BY tok
+),
+bg_cnt AS (
+  SELECT gram, CAST(COUNT(*) AS DOUBLE) AS c2 FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+    FROM tr WHERE len(t) >= 2
+  ) GROUP BY gram
+),
+v AS (SELECT CAST(COUNT(*) + 1 AS DOUBLE) AS vocab FROM uni_cnt),
+doc_bg AS (
+  SELECT doc_id, lang,
+         unnest(t[1:len(t) - 1]) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+lp AS (
+  SELECT d.doc_id, d.lang,
+         ln((COALESCE(b.c2, 0) + 0.5) / (COALESCE(u.c1, 0) + 0.5 * v.vocab)) AS lp
+  FROM doc_bg d
+  LEFT JOIN bg_cnt b ON b.gram = d.gram
+  LEFT JOIN uni_cnt u ON u.tok = d.w1
+  CROSS JOIN v
+),
+ppl AS (
+  SELECT doc_id, lang, ROUND(exp(-SUM(lp) / COUNT(*)), 4) AS ppl
+  FROM lp GROUP BY doc_id, lang
+),
+ranked AS (
+  SELECT doc_id, lang, ppl,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM ppl
+),
+kept AS (
+  SELECT doc_id, lang, ppl,
+         CASE WHEN r * 3 <= n THEN 'head' ELSE 'middle' END AS bucket
+  FROM ranked WHERE r * 3 <= 2 * n
+),
+dd AS (
+  SELECT k.doc_id, k.lang, k.ppl, k.bucket,
+         ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY k.doc_id) AS rn
+  FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+)
+SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(ppl), 4) AS avg_ppl
+FROM dd WHERE rn = 1
+GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
 def nfc_normalized_docs(sf_dir: str) -> pd.DataFrame:
     """Unicode NFC canonicalization (functions/textnorm.py): deterministic
     denormalized suffixes injected on both sides (the _inject_pii
@@ -4617,6 +4719,7 @@ QUERIES = {
     "hostrank_corpus": hostrank_corpus,
     "bpe_merges": bpe_merges,
     "nfc_normalized_docs": nfc_normalized_docs,
+    "ccnet_pipeline": ccnet_pipeline,
 }
 
 ORACLES = {
@@ -4711,6 +4814,7 @@ ORACLES = {
     "blocklist_filtered_docs": _BLOCKLIST_SQL,
     "hostrank_corpus": _hostrank_sql(3),
     "nfc_normalized_docs": _NFC_SQL,
+    "ccnet_pipeline": _CCNET_PIPELINE_SQL,
     # rows-only (non-SQL-expressible): knn_pq_top10 (approximate by
     # design; refine≥N==brute-force and recall-bound pytests — the
     # exact-refine twin knn_pq_refine_all IS oracle-backed),
