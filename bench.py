@@ -218,7 +218,6 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "training_data_pipeline",
         "encoded_docs",
         "ngram_perplexity",
-        "ccnet_pipeline",
         "knn_cosine_top10",
         "embedding_label_stats",
         "image_decode_meta",

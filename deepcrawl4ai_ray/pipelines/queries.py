@@ -4466,16 +4466,12 @@ def ccnet_pipeline(sf_dir: str) -> pd.DataFrame:
     scored = score_perplexity(ds, uni, bg, vocab, keep_cols=("lang",), mode="broadcast")
     buckets = ppl_rank_buckets(scored).materialize()
 
-    kept_ids = buckets.filter(expr="bucket != 'tail'").select_columns(["doc_id"])
-    kept_docs = bloom_semi_anti(ds, "doc_id", kept_ids, "doc_id", keep_in=True)
-    losers = exact_dedup_losers(kept_docs, "doc_id", "text")
-    surv_buckets = bloom_semi_anti(
-        bloom_semi_anti(buckets, "doc_id", kept_ids, "doc_id", keep_in=True),
-        "doc_id",
-        losers,
-        "doc_id",
-        keep_in=False,
+    kept_buckets = buckets.filter(expr="bucket != 'tail'").materialize()
+    kept_docs = bloom_semi_anti(
+        ds, "doc_id", kept_buckets.select_columns(["doc_id"]), "doc_id", keep_in=True
     )
+    losers = exact_dedup_losers(kept_docs, "doc_id", "text")
+    surv_buckets = bloom_semi_anti(kept_buckets, "doc_id", losers, "doc_id", keep_in=False)
     roll = partial_grouped_sum(
         surv_buckets, ["lang", "bucket"], sums=["ppl"], count_alias="n_docs"
     ).to_pandas()
