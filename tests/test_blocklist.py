@@ -65,3 +65,30 @@ class TestDomainBlockFlags:
         sch = out.schema()
         assert list(sch.names) == ["doc_id", "host", "blocked_by"]
         assert out.count() == 0
+
+    def test_matches_bruteforce_reference_randomized(self, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        labels = ["a", "bb", "ccc", "x", "yy"]
+        tlds = ["com", "org"]
+
+        def rand_host():
+            depth = int(rng.integers(1, 5))
+            return ".".join(
+                [labels[int(i)] for i in rng.integers(0, len(labels), size=depth)]
+                + [tlds[int(rng.integers(0, 2))]]
+            )
+
+        hosts = [rand_host() for _ in range(300)]
+        blocked = sorted({rand_host() for _ in range(40)})
+
+        def ref_match(h):
+            cands = [
+                d for d in blocked if h == d or h.endswith("." + d)
+            ]
+            return min(cands) if cands else ""
+
+        got = _flags(hosts, blocked)
+        for h in set(hosts):
+            assert got[h] == ref_match(h), h
