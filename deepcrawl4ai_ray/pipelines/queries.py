@@ -3386,6 +3386,35 @@ def _mixture_sql() -> str:
     return f"SELECT doc_id, source FROM documents WHERE {case} ORDER BY doc_id"
 
 
+def weighted_doc_sample(sf_dir: str) -> pd.DataFrame:
+    """Length-weighted reproducible document sample (stages/sample.
+    weighted_sample_topk): sequential Poisson sampling with weight
+    n_chars — the token-budget-aware subset draw (long docs
+    proportionally likelier, P ≈ k·w/Σw).  Key u/w uses only IEEE
+    correctly-rounded ops (md5-hex→uint64→float64, divide), so the SQL
+    oracle reproduces the exact 500-row set AND bit-identical key
+    doubles.  Map-side per-block prune to k keeps the sort at
+    O(k·blocks) rows."""
+    from ..stages.sample import weighted_sample_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    out = weighted_sample_topk(
+        ds, "doc_id", "n_chars", k=500,
+        keep_cols=["doc_id", "lang", "source", "n_chars"],
+    ).to_pandas()
+    return out.sort_values(["sample_key", "doc_id"]).reset_index(drop=True)
+
+
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, lang, source, n_chars,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+         / CAST(n_chars AS DOUBLE) AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT 500
+"""
+
+
 def anchor_text_agg(sf_dir: str) -> pd.DataFrame:
     """Anchor-text aggregation over the tiny-corpus link graph
     (stages/anchors): per link TARGET, total anchor tokens, distinct
@@ -4691,6 +4720,7 @@ QUERIES = {
     "quality_model_scores": quality_model_scores,
     "delta_near_dup_docs": delta_near_dup_docs,
     "mixture_sampled_docs": mixture_sampled_docs,
+    "weighted_doc_sample": weighted_doc_sample,
     "dup_span_pairs": dup_span_pairs,
     "span_removed_docs": span_removed_docs,
     "wet_extract": wet_extract,
@@ -4785,6 +4815,7 @@ ORACLES = {
     "quality_model_scores": _quality_model_sql(),
     "delta_near_dup_docs": _DELTA_NEAR_DUP_SQL,
     "mixture_sampled_docs": _mixture_sql(),
+    "weighted_doc_sample": _WEIGHTED_SAMPLE_SQL,
     "dup_span_pairs": _DUP_SPANS_SQL,
     "span_removed_docs": _SPAN_REMOVED_SQL,
     "wet_extract": _WET_EXTRACT_SQL,

@@ -197,6 +197,68 @@ def stratified_targets_sample(
     return pruned.groupby(group_col).map_groups(pick)
 
 
+def _poisson_keys(ids: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """Sequential-Poisson sort key u/w: u = first 16 md5 hex digits of
+    the id's decimal string as uint64, w = the row weight.  Every step
+    (hex parse, uint64→float64 conversion, division) is an IEEE
+    correctly-rounded operation, so numpy and DuckDB
+    (``CAST(('0x' || substr(md5(id::VARCHAR),1,16)) AS UBIGINT) / w``)
+    produce bit-identical doubles — no transcendental (ln/pow) whose
+    last-ulp rounding could differ between libms."""
+    u = np.array(
+        [int(h[:16], 16) for h in md5_hex_many([str(int(i)) for i in ids])],
+        dtype=np.uint64,
+    )
+    return u.astype(np.float64) / weights.astype(np.float64)
+
+
+def weighted_sample_topk(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int,
+    keep_cols: Optional[List[str]] = None,
+    key_col: str = "sample_key",
+) -> "ray.data.Dataset":
+    """Weight-proportional reproducible sampling — sequential Poisson
+    sampling (Ohlsson '98, the πps design used for size-weighted survey
+    draws): row i gets key u_i / w_i with u_i a deterministic hash
+    uniform, and the k smallest keys win, so P(selected) ≈ k·w_i/Σw for
+    k ≪ N.  The training-data use is token-budget-aware subset
+    selection: weighting documents by length (or a quality score) draws
+    a fixed-count subset whose inclusion odds follow the weight, without
+    RNG state or coordination — any engine reproduces the same set.
+
+    Scale shape: keys are computed map-side on slim columns; each block
+    pre-prunes to its local k smallest, so the global sort sees at most
+    k rows per block (O(k·blocks), never the input); payloads beyond
+    ``keep_cols`` never move.  Weights must be strictly positive — the
+    kernel raises on w ≤ 0 rather than silently surfacing +inf/NaN keys.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    cols = keep_cols or [id_col, weight_col]
+    if id_col not in cols or weight_col not in cols:
+        raise ValueError(f"keep_cols must include {id_col!r} and {weight_col!r}")
+
+    def prune(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        w = t[weight_col].to_numpy(zero_copy_only=False)
+        if len(w) and (w <= 0).any():
+            bad = int(np.argmax(w <= 0))
+            raise ValueError(
+                f"weighted_sample_topk: non-positive weight "
+                f"{w[bad]!r} in column {weight_col!r}"
+            )
+        keys = _poisson_keys(t[id_col].to_numpy(zero_copy_only=False), w)
+        t = t.append_column(key_col, pa.array(keys, type=pa.float64()))
+        order = np.lexsort((t[id_col].to_numpy(zero_copy_only=False), keys))[:k]
+        return t.take(pa.array(np.sort(order)))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.sort([key_col, id_col]).limit(k)
+
+
 def temperature_sample(
     ds: "ray.data.Dataset",
     group_col: str,

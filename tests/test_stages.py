@@ -1200,6 +1200,68 @@ class TestTemperatureSample:
         assert got == {g: n for g, n in tgt.items() if n > 0}
 
 
+class TestWeightedSampleTopK:
+    """stages/sample.weighted_sample_topk — sequential Poisson πps draw."""
+
+    def test_matches_bruteforce_and_split_invariant(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.sample import _poisson_keys, weighted_sample_topk
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame(
+            {"doc_id": np.arange(2000), "w": rng.integers(1, 5000, size=2000)}
+        )
+        want = df.copy()
+        want["sample_key"] = _poisson_keys(df["doc_id"].to_numpy(), df["w"].to_numpy())
+        want = (
+            want.sort_values(["sample_key", "doc_id"]).head(100).reset_index(drop=True)
+        )
+        for parts in (1, 13):
+            got = weighted_sample_topk(
+                rd.from_pandas(df).repartition(parts), "doc_id", "w", 100
+            ).to_pandas()
+            got = got.sort_values(["sample_key", "doc_id"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got[["doc_id", "w", "sample_key"]], want)
+
+    def test_inclusion_rate_tracks_weight(self, ray_session):
+        # two weight classes 1:10 — selection odds must follow the
+        # weights (sequential Poisson is approximately πps for k << N)
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.sample import weighted_sample_topk
+
+        n = 4000
+        df = pd.DataFrame(
+            {"doc_id": np.arange(n), "w": np.where(np.arange(n) % 2 == 0, 10, 1)}
+        )
+        got = weighted_sample_topk(rd.from_pandas(df), "doc_id", "w", 400).to_pandas()
+        heavy = int((got["w"] == 10).sum())
+        # expected heavy share 10/11 ≈ 0.909; allow generous slack
+        assert heavy / 400 > 0.8
+
+    def test_k_exceeds_n_and_bad_weight(self, ray_session):
+        import pandas as pd
+        import pytest as _pytest
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.sample import weighted_sample_topk
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "w": [5, 5, 5]})
+        out = weighted_sample_topk(rd.from_pandas(df), "doc_id", "w", 10).to_pandas()
+        assert len(out) == 3 and set(out.columns) == {"doc_id", "w", "sample_key"}
+
+        bad = pd.DataFrame({"doc_id": [1, 2], "w": [5, 0]})
+        with _pytest.raises(Exception, match="non-positive weight"):
+            weighted_sample_topk(rd.from_pandas(bad), "doc_id", "w", 1).to_pandas()
+        with _pytest.raises(ValueError):
+            weighted_sample_topk(rd.from_pandas(df), "doc_id", "w", 0)
+
+
 class TestRecrawlPriority:
     """stages/snapshot.recrawl_priority — change-rate recrawl planner."""
 
