@@ -38,6 +38,24 @@ def tokens(text: str) -> List[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
+def md5_int63(texts: Iterable[str]) -> np.ndarray:
+    """int64 id per string: md5 digest bytes [8:16] little-endian masked
+    to 63 bits — matches DuckDB
+    ``CAST(md5_number_lower(s) & 9223372036854775807 AS BIGINT)`` so
+    hash-keyed graph labels are oracle-reproducible.  Collisions are
+    birthday-bounded (~n²/2^64, ≈5e-4 at 10^8 hosts) and, because the
+    oracle hashes the same way, affect both sides identically."""
+    md5 = hashlib.md5
+    return np.array(
+        [
+            int.from_bytes(md5(t.encode("utf-8")).digest()[8:16], "little")
+            & 0x7FFFFFFFFFFFFFFF
+            for t in texts
+        ],
+        dtype=np.int64,
+    )
+
+
 def token_hashes(text: str) -> np.ndarray:
     """uint64 hash per word token — ONE C-level pass (pandas siphash
     with its fixed default key: deterministic across processes and

@@ -2523,6 +2523,127 @@ r{k} AS (
     return "".join(parts)
 
 
+def host_components(sf_dir: str) -> pd.DataFrame:
+    """Weakly-connected components of the host graph — the seed-list /
+    crawl-partitioning primitive (each component can be crawled and
+    deduped independently; stages/dedup.connected_components is the
+    same two-level Kiveris CC the dup-cluster family uses, so the graph
+    op is exercised on a second, non-dedup domain).  Hosts become int63
+    node ids via functions/hashing.md5_int63 (≡ DuckDB md5_number_lower
+    masked to 63 bits), so the min-label component the engine computes
+    is the min-HASH host — which the oracle reproduces exactly, then
+    both sides map the label back to its host string.  Scale shape:
+    edges and the (hash, host) vocabulary are slim map-side tables;
+    labels stay a Dataset; the two label→host joins are bucketed
+    hash joins, no driver materialization."""
+    from ..functions.extract import extract_links
+    from ..functions.hashing import md5_int63
+    from ..functions.urlnorm import host_of
+    from ..sources.corpus import ensure
+    from ..stages.dedup import connected_components
+    from ..stages.join import hash_join
+
+    corpus = ensure("tiny")
+    pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
+
+    def host_edges(batch: pa.Table) -> pa.Table:
+        srcs: list = []
+        dsts: list = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            hu = host_of(u)
+            for link in extract_links(h, u):
+                srcs.append(hu)
+                dsts.append(host_of(link))
+        return pa.table(
+            {
+                "id_a": pa.array(md5_int63(srcs), pa.int64()),
+                "id_b": pa.array(md5_int63(dsts), pa.int64()),
+                "host_a": pa.array(srcs, pa.string()),
+                "host_b": pa.array(dsts, pa.string()),
+            }
+        )
+
+    edges = pages.map_batches(host_edges, batch_format="pyarrow")
+
+    # (hash, host) vocabulary: per-batch dedup, then one tiny groupby
+    def vocab(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "h": pa.concat_arrays(
+                    [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()]
+                ),
+                "host": pa.concat_arrays(
+                    [t["host_a"].combine_chunks(), t["host_b"].combine_chunks()]
+                ),
+            }
+        )
+        agg = tt.group_by("h").aggregate([("host", "min")])
+        return pa.table({"h": agg["h"], "host": agg["host_min"]})
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    mapping = (
+        edges.map_batches(vocab, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(first_row)
+    )
+
+    cc = connected_components(edges)  # (node, component) int63 labels
+    labeled = hash_join(cc, mapping, on="node", right_on="h", num_buckets=8)
+    roots = mapping.map_batches(
+        lambda t: pa.table({"component": t["h"], "root_host": t["host"]}),
+        batch_format="pyarrow",
+    )
+    out = hash_join(labeled, roots, on="component", num_buckets=8).to_pandas()
+    return (
+        out[["host", "root_host"]].sort_values("host").reset_index(drop=True)
+    )
+
+
+_HOST_COMPONENTS_SQL = rf"""
+WITH RECURSIVE pages AS (
+  SELECT url, decode(html) AS html,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+), rawlinks AS (
+  SELECT p.host AS src,
+         CASE WHEN href LIKE 'http%' THEN regexp_extract(href, '^[a-z]+://([^/]+)', 1)
+              ELSE p.host END AS dst
+  FROM pages p, UNNEST(regexp_extract_all(p.html,
+       '<a\s[^>]*?href\s*=\s*["'']([^"''<>]+)["'']', 1)) AS u(href)
+), links AS (
+  SELECT DISTINCT src, dst FROM rawlinks
+), nodes AS (
+  -- explicit DISTINCT: under WITH RECURSIVE, DuckDB runs plain UNION
+  -- between these branches as UNION ALL
+  SELECT DISTINCT host FROM (
+    SELECT src AS host FROM links UNION ALL SELECT dst FROM links)
+), hid AS (
+  SELECT host, CAST(md5_number_lower(host) & 9223372036854775807 AS BIGINT) AS h
+  FROM nodes
+), sym AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM links WHERE src <> dst
+    UNION ALL SELECT dst, src FROM links WHERE src <> dst)
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+), comp AS (
+  SELECT n.host, LEAST(hn.h, COALESCE(MIN(hb.h), hn.h)) AS ch
+  FROM nodes n
+  JOIN hid hn ON hn.host = n.host
+  LEFT JOIN reach r ON r.a = n.host
+  LEFT JOIN hid hb ON hb.host = r.b
+  GROUP BY n.host, hn.h
+)
+SELECT c.host, hr.host AS root_host
+FROM comp c JOIN hid hr ON hr.h = c.ch
+ORDER BY c.host
+"""
+
+
 def _hostrank_sql(iters: int = 3) -> str:
     """hostrank_corpus oracle: the _pagerank_sql unrolled power
     iteration over the host-CONTRACTED distinct edge set (self-loops
@@ -4743,6 +4864,7 @@ QUERIES = {
     "ccnet_ppl_buckets": ccnet_ppl_buckets,
     "blocklist_filtered_docs": blocklist_filtered_docs,
     "hostrank_corpus": hostrank_corpus,
+    "host_components": host_components,
     "bpe_merges": bpe_merges,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
@@ -4840,6 +4962,7 @@ ORACLES = {
     "ccnet_ppl_buckets": _CCNET_BUCKET_SQL,
     "blocklist_filtered_docs": _BLOCKLIST_SQL,
     "hostrank_corpus": _hostrank_sql(3),
+    "host_components": _HOST_COMPONENTS_SQL,
     "nfc_normalized_docs": _NFC_SQL,
     "ccnet_pipeline": _CCNET_PIPELINE_SQL,
     # rows-only (non-SQL-expressible): knn_pq_top10 (approximate by

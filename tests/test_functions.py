@@ -104,6 +104,21 @@ class TestHashing:
         val = duckdb.sql("select md5('hello world')").fetchone()[0]
         assert md5_hex("hello world") == val
 
+    def test_md5_int63_matches_duckdb(self):
+        import duckdb
+
+        from deepcrawl4ai_ray.functions.hashing import md5_int63
+
+        strs = ["example.com", "host-0.example", "", "ünïcode.example"]
+        got = md5_int63(strs)
+        for s, g in zip(strs, got):
+            want = duckdb.sql(
+                "select CAST(md5_number_lower(?) & 9223372036854775807 AS BIGINT)",
+                params=[s],
+            ).fetchone()[0]
+            assert int(g) == want, s
+        assert (got >= 0).all()
+
     def test_char_jaccard_matches_duckdb(self):
         import duckdb
 
