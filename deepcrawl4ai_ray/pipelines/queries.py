@@ -2934,6 +2934,45 @@ def bm25_indexed_top10(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def bm25_appended_top10(sf_dir: str) -> pd.DataFrame:
+    """BM25 from an INCREMENTALLY-built index (stages/textindex.
+    append_text_index): the even-doc_id half is indexed first, then the
+    odd half is appended as a new segment — the recrawl-delta indexing
+    path (snapshot_diff supplies the delta at production scale).  The
+    oracle is the same full-corpus BM25 SQL as bm25_top10: segment
+    append must not change one row vs indexing everything at once."""
+    import hashlib
+    import os as _os
+    import shutil
+
+    from ..stages.textindex import append_text_index, bm25_topk_indexed, build_text_index
+
+    doc_path = _p(sf_dir, "documents")
+    st = _os.stat(doc_path)
+    key = f"append|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    idx_dir = f"/tmp/dc4r_text_index/{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    done = f"{idx_dir}/_DONE"
+    if not _os.path.exists(done):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        def parity(keep_odd: int):
+            def fn(t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pc.equal(pc.bit_wise_and(t["doc_id"], 1), keep_odd)
+                )
+
+            return fn
+
+        even = ds.map_batches(parity(0), batch_format="pyarrow")
+        odd = ds.map_batches(parity(1), batch_format="pyarrow")
+        build_text_index(even, "doc_id", "text", idx_dir, num_buckets=32)
+        append_text_index(idx_dir, odd, "doc_id", "text", num_buckets=32)
+        open(done, "w").close()
+    return bm25_topk_indexed(
+        idx_dir, "doc_id", ["customer", "vector", "window"], k=10, num_buckets=32
+    )
+
+
 def encoded_docs(sf_dir: str) -> pd.DataFrame:
     """Vocabulary-mapped token encoding (stages/encode): exact top-256
     corpus vocabulary (count desc, token asc → ids 0..255), every doc's
@@ -4831,6 +4870,7 @@ QUERIES = {
     "contaminated_docs": contaminated_docs_q,
     "stratified_events_sample": stratified_events_sample,
     "bm25_indexed_top10": bm25_indexed_top10,
+    "bm25_appended_top10": bm25_appended_top10,
     "seq_packing": seq_packing,
     "encoded_docs": encoded_docs,
     "top_bigrams": top_bigrams,
@@ -4927,6 +4967,7 @@ ORACLES = {
     "contaminated_docs": _CONTAM_SQL,
     "stratified_events_sample": _STRATIFIED_SQL,
     "bm25_indexed_top10": _BM25_SQL,
+    "bm25_appended_top10": _BM25_SQL,
     "seq_packing": _PACK_SQL,
     "encoded_docs": _ENCODED_DOCS_SQL,
     "top_bigrams": _TOP_BIGRAMS_SQL,

@@ -41,17 +41,16 @@ def _term_buckets(terms: Sequence[str], num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
-def build_text_index(
+def _write_postings_segment(
     ds: "ray.data.Dataset",
     id_col: str,
     text_col: str,
     index_dir: str,
-    num_buckets: int = 32,
-) -> str:
-    """One corpus pass → bucket-partitioned postings + corpus stats.
-    Postings shuffle is the tokenized corpus (term, doc, tf, dl), the
-    irreducible size of an inverted index; no other stage re-reads the
-    raw text."""
+    num_buckets: int,
+) -> tuple:
+    """One pass over ``ds`` → postings files appended under the
+    bucket=BB partitions + the segment's (n_docs, total_dl).  Shared by
+    the full build and the incremental append."""
 
     def postings(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -96,14 +95,77 @@ def build_text_index(
         batch_format="pyarrow",
     )
     st = docs.aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="total_dl"))
+    return int(st["n_docs"]), int(st["total_dl"] or 0)
+
+
+def _write_stats(index_dir: str, n_docs: int, total_dl: int) -> None:
+    """Atomically replace stats.parquet (tmp + rename) so a concurrent
+    reader never sees a torn or half-updated stats file."""
+    path = os.path.join(index_dir, "stats.parquet")
+    tmp = f"{path}.tmp.{os.getpid()}"
     pa.parquet.write_table(
         pa.table(
             {
-                "n_docs": pa.array([int(st["n_docs"])], pa.int64()),
-                "total_dl": pa.array([int(st["total_dl"] or 0)], pa.int64()),
+                "n_docs": pa.array([int(n_docs)], pa.int64()),
+                "total_dl": pa.array([int(total_dl)], pa.int64()),
             }
         ),
-        os.path.join(index_dir, "stats.parquet"),
+        tmp,
+    )
+    os.replace(tmp, path)
+
+
+def build_text_index(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    num_buckets: int = 32,
+) -> str:
+    """One corpus pass → bucket-partitioned postings + corpus stats.
+    Postings shuffle is the tokenized corpus (term, doc, tf, dl), the
+    irreducible size of an inverted index; no other stage re-reads the
+    raw text."""
+    n_docs, total_dl = _write_postings_segment(
+        ds, id_col, text_col, index_dir, num_buckets
+    )
+    _write_stats(index_dir, n_docs, total_dl)
+    return index_dir
+
+
+def append_text_index(
+    index_dir: str,
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 32,
+) -> str:
+    """Incremental index update — index the crawl DELTA without
+    re-reading the corpus (the Lucene segment-append model a recrawl
+    pipeline needs: snapshot_diff / delta_novel_docs supply the new
+    docs, this adds them).  New postings land as additional parquet
+    files inside the same ``bucket=BB`` partitions, so
+    ``bm25_topk_indexed`` prunes and scores them identically to a full
+    rebuild (equivalence is pytest-pinned); stats.parquet is replaced
+    atomically with the merged (n_docs, total_dl).
+
+    ``num_buckets`` must match the build (the term→bucket hash is part
+    of the on-disk layout).  Precondition: the delta's doc ids are NEW —
+    appending an already-indexed id would double-count its tf rows, the
+    same contract as Lucene addDocument vs updateDocument."""
+    import pyarrow.parquet as pq
+
+    stats_path = os.path.join(index_dir, "stats.parquet")
+    if not os.path.exists(stats_path):
+        raise ValueError(f"{index_dir!r} is not a built index (no stats.parquet)")
+    st = pq.read_table(stats_path)
+    n_docs, total_dl = _write_postings_segment(
+        ds, id_col, text_col, index_dir, num_buckets
+    )
+    _write_stats(
+        index_dir,
+        int(st["n_docs"][0].as_py()) + n_docs,
+        int(st["total_dl"][0].as_py()) + total_dl,
     )
     return index_dir
 

@@ -244,6 +244,47 @@ class TestTextIndex:
         want = {f"bucket={b}" for b in _term_buckets(["w2"], 8)}
         assert want <= present
 
+    def test_append_equals_full_rebuild(self, ray_session, tmp_path):
+        """Incremental segment append (index A, then append B) must score
+        identically to a full build over A ∪ B — results AND stats."""
+        import pyarrow.parquet as pq
+
+        from deepcrawl4ai_ray.stages.textindex import (
+            append_text_index,
+            bm25_topk_indexed,
+            build_text_index,
+        )
+
+        df = self._docs(seed=17, n=240)
+        a, b = df.iloc[:150], df.iloc[150:]
+        terms = ["w1", "w7", "w33"]
+
+        full = str(tmp_path / "full")
+        build_text_index(_ds(df, 5), "doc_id", "text", full, num_buckets=8)
+        inc = str(tmp_path / "inc")
+        build_text_index(_ds(a, 4), "doc_id", "text", inc, num_buckets=8)
+        append_text_index(inc, _ds(b, 3), "doc_id", "text", num_buckets=8)
+
+        sf = pq.read_table(f"{full}/stats.parquet").to_pydict()
+        si = pq.read_table(f"{inc}/stats.parquet").to_pydict()
+        assert sf == si
+
+        want = bm25_topk_indexed(full, "doc_id", terms, k=10, num_buckets=8)
+        got = bm25_topk_indexed(inc, "doc_id", terms, k=10, num_buckets=8)
+        want["bm25"] = want["bm25"].round(6)
+        got["bm25"] = got["bm25"].round(6)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_append_requires_built_index(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from deepcrawl4ai_ray.stages.textindex import append_text_index
+
+        with _pytest.raises(ValueError, match="not a built index"):
+            append_text_index(
+                str(tmp_path / "nope"), _ds(self._docs(n=5), 1), "doc_id", "text"
+            )
+
     def test_unknown_term_empty(self, ray_session, tmp_path):
         from deepcrawl4ai_ray.stages.textindex import build_text_index, bm25_topk_indexed
 
