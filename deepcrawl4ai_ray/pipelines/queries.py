@@ -1432,6 +1432,52 @@ def knn_ivf_indexed_top10(sf_dir: str) -> pd.DataFrame:
     return ivf_topk_indexed(idx_dir, "vec_id", "embedding", q, cents, k=10, nprobe=4, exclude_id=0)
 
 
+def knn_ivf_appended_top10(sf_dir: str) -> pd.DataFrame:
+    """IVF index built INCREMENTALLY (stages/knn.append_ivf_index): even
+    vec_ids indexed first, odd vec_ids appended with the centroids the
+    build persisted (faiss add-after-train) — the recrawl-embedding
+    update path.  Same seeded-centroid plan as knn_ivf_top10, so the
+    same _IVF_SQL oracle applies: segment append must not change one
+    row vs indexing everything at once."""
+    import hashlib
+    import os as _os
+    import shutil
+
+    from ..stages.knn import append_ivf_index, build_ivf_index, ivf_topk_indexed
+
+    q = _load_query_vec(sf_dir)
+    cents = _seed_centroids(sf_dir, nlist=16)
+    emb_path = _p(sf_dir, "embeddings")
+    st = _os.stat(emb_path)
+    key = f"append|{sf_dir}|{st.st_mtime_ns}|{st.st_size}|seeded16"
+    idx_dir = f"/tmp/dc4r_ivf_index/{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    done = f"{idx_dir}/_DONE"
+
+    if not _os.path.exists(done):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+        def parity(keep_odd: int):
+            def fn(t: pa.Table) -> pa.Table:
+                return t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 1), keep_odd))
+
+            return fn
+
+        build_ivf_index(
+            ds.map_batches(parity(0), batch_format="pyarrow"),
+            "vec_id", "embedding", cents, idx_dir,
+        )
+        append_ivf_index(
+            idx_dir, ds.map_batches(parity(1), batch_format="pyarrow"),
+            "vec_id", "embedding",
+        )
+        open(done, "w").close()
+    # centroids=None: load the persisted quantizer — the self-contained path
+    return ivf_topk_indexed(
+        idx_dir, "vec_id", "embedding", q, None, k=10, nprobe=4, exclude_id=0
+    )
+
+
 def knn_pq_top10(sf_dir: str) -> pd.DataFrame:
     """Product-quantization ANN (stages/knn.train_pq/pq_encode/pq_topk):
     the scan index holds 8 BYTES per vector (64× smaller than float64),
@@ -4840,6 +4886,7 @@ QUERIES = {
     "knn_cosine_top10": knn_cosine_top10,
     "knn_ivf_top10": knn_ivf_top10,
     "knn_ivf_indexed_top10": knn_ivf_indexed_top10,
+    "knn_ivf_appended_top10": knn_ivf_appended_top10,
     "knn_pq_top10": knn_pq_top10,
     "knn_pq_refine_all": knn_pq_refine_all,
     "embedding_label_stats": embedding_label_stats,
@@ -4940,6 +4987,7 @@ ORACLES = {
     "knn_cosine_top10": _KNN_SQL,
     "knn_ivf_top10": _IVF_SQL,
     "knn_ivf_indexed_top10": _IVF_SQL,
+    "knn_ivf_appended_top10": _IVF_SQL,
     "knn_pq_refine_all": _KNN_SQL,
     "embedding_label_stats": _EMB_STATS_SQL,
     "image_decode_meta": _IMAGE_DECODE_SQL,

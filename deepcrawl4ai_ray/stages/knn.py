@@ -155,6 +155,20 @@ def build_ivf_index(
     vector per query.  This is the ANN build/query split a 100 TB
     embedding store needs: build once (one pass), query touches
     ~nprobe/nlist of the data."""
+    _ivf_assign_write(ds, id_col, vec_col, centroids, out_dir)
+    # persist the quantizer with the lists: the index is self-contained —
+    # append and query can load the EXACT centroids the build assigned
+    # with (re-deriving them risks a mismatched assignment)
+    import os
+
+    pa.parquet.write_table(
+        pa.table({"centroid": [list(map(float, c)) for c in centroids]}),
+        os.path.join(out_dir, "centroids.parquet"),
+    )
+    return out_dir
+
+
+def _ivf_assign_write(ds, id_col: str, vec_col: str, centroids: np.ndarray, out_dir: str) -> None:
     c_ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -165,7 +179,35 @@ def build_ivf_index(
         return batch.append_column("ivf_list", pa.array(lists))
 
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(out_dir, partition_cols=["ivf_list"])
-    return out_dir
+
+
+def load_ivf_centroids(index_dir: str) -> np.ndarray:
+    """The quantizer persisted by build_ivf_index."""
+    import os
+
+    path = os.path.join(index_dir, "centroids.parquet")
+    if not os.path.exists(path):
+        raise ValueError(f"{index_dir!r} is not a built IVF index (no centroids.parquet)")
+    t = pa.parquet.read_table(path)
+    return np.asarray(t["centroid"].to_pylist(), dtype=np.float64)
+
+
+def append_ivf_index(
+    index_dir: str,
+    ds: "ray.data.Dataset",
+    id_col: str,
+    vec_col: str,
+) -> str:
+    """Incremental ANN index update — the faiss add-after-train model:
+    new vectors (a recrawl's fresh embeddings) are assigned to the
+    EXISTING lists with the centroids persisted at build time and land
+    as additional parquet files inside the same ivf_list partitions, so
+    queries prune and score them identically to a full rebuild with the
+    same quantizer (pytest-pinned equivalence).  Centroids are frozen by
+    design; if the embedding distribution shifts enough that frozen
+    lists skew, retrain + rebuild — same trade as faiss IndexIVF.add."""
+    _ivf_assign_write(ds, id_col, vec_col, load_ivf_centroids(index_dir), index_dir)
+    return index_dir
 
 
 def ivf_topk_indexed(
@@ -173,18 +215,22 @@ def ivf_topk_indexed(
     id_col: str,
     vec_col: str,
     query: np.ndarray,
-    centroids: np.ndarray,
+    centroids: np.ndarray | None = None,
     k: int = 10,
     nprobe: int = 4,
     exclude_id: int | None = None,
 ) -> pd.DataFrame:
     """Approximate top-k over a persisted IVF index: the parquet read is
     pruned to the ``nprobe`` probed list partitions; scoring reuses the
-    brute-force partial-top-k plan over that small slice."""
+    brute-force partial-top-k plan over that small slice.  With
+    ``centroids=None`` the quantizer persisted at build time is loaded
+    from the index (the self-contained path append_ivf_index relies on)."""
     import os
 
     import ray.data as rd
 
+    if centroids is None:
+        centroids = load_ivf_centroids(index_dir)
     q = np.asarray(query, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
     probe = [int(x) for x in np.argsort(-(centroids @ q))[:nprobe]]

@@ -443,6 +443,41 @@ class TestKnn:
         indexed = ivf_topk_indexed(idx_dir, "vec_id", "embedding", q, cents, k=10, nprobe=2)
         pd.testing.assert_frame_equal(direct, indexed)
 
+    def test_ivf_append_equals_full_rebuild(self, tmp_path):
+        """Incremental add (build A, append B with the persisted
+        quantizer) must return exactly what a full build over A ∪ B
+        returns — and centroids=None must load the persisted ones."""
+        from deepcrawl4ai_ray.stages.knn import (
+            append_ivf_index,
+            build_ivf_index,
+            ivf_topk_indexed,
+            load_ivf_centroids,
+            train_ivf_centroids,
+        )
+
+        rng = np.random.RandomState(5)
+        centers = rng.randn(5, 12) * 3
+        V = np.vstack([c + rng.randn(48, 12) * 0.3 for c in centers])
+        df = pd.DataFrame({"vec_id": np.arange(len(V), dtype=np.int64), "embedding": list(V)})
+        cents = train_ivf_centroids(V, nlist=5, iters=5)
+        q = V[23]
+
+        full = str(tmp_path / "full")
+        build_ivf_index(_ds(df), "vec_id", "embedding", cents, full)
+        inc = str(tmp_path / "inc")
+        build_ivf_index(_ds(df.iloc[:140]), "vec_id", "embedding", cents, inc)
+        append_ivf_index(inc, _ds(df.iloc[140:]), "vec_id", "embedding")
+
+        np.testing.assert_allclose(load_ivf_centroids(inc), cents)
+        want = ivf_topk_indexed(full, "vec_id", "embedding", q, None, k=10, nprobe=2)
+        got = ivf_topk_indexed(inc, "vec_id", "embedding", q, None, k=10, nprobe=2)
+        pd.testing.assert_frame_equal(got, want)
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not a built IVF index"):
+            load_ivf_centroids(str(tmp_path / "nope"))
+
     def test_ivf_recall(self):
         from deepcrawl4ai_ray.stages.knn import brute_force_topk, ivf_topk, train_ivf_centroids
 
