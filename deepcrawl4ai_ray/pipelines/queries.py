@@ -4441,6 +4441,102 @@ FROM kept ORDER BY doc_id
 """
 
 
+def para_deduped_docs(sf_dir: str) -> pd.DataFrame:
+    """Paragraph-level exact dedup (stages/paradedup.paragraph_dedup):
+    every repeated non-empty paragraph keeps only its first
+    (doc, position) occurrence corpus-wide — the Dolma-granularity
+    dedup between whole-document dedup and span removal.  Documents are
+    re-shaped into 8-word paragraphs and two boilerplate paragraphs are
+    planted SQL-reproducibly (doc_id%3: a share-footer; doc_id%5: a
+    per-lang rights line) so the first-wins semantics has real cross-doc
+    work.  Text never enters the dedup shuffle — only
+    (md5(para), packed(doc,idx)) rows move; clean text is hash-checked
+    via md5."""
+    import hashlib as _hl
+
+    from ..stages.paradedup import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def make_paras(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for i, t, lg in zip(ids, batch["text"].to_pylist(), batch["lang"].to_pylist()):
+            w = (t or "").split(" ")
+            paras = [" ".join(w[j : j + 8]) for j in range(0, len(w), 8)]
+            t2 = "\n".join(paras)
+            i = int(i)
+            if i % 3 == 0:
+                t2 += "\nshare this article on social media"
+            if i % 5 == 0:
+                t2 += f"\nall rights reserved by {lg}"
+            out.append(t2)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    clean = paragraph_dedup(ds.map_batches(make_paras, batch_format="pyarrow"))
+
+    def digest(t: pa.Table) -> pa.Table:
+        md5s = [
+            _hl.md5((x or "").encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_md5": pa.array(md5s, pa.string()),
+                "n_paras": t["n_paras"],
+                "n_dropped": t["n_dropped"],
+            }
+        )
+
+    out = clean.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PARA_DEDUP_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         list_aggregate(
+           list_transform(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+                          i -> array_to_string(w[i*8+1 : i*8+8], ' ')),
+           'string_agg', chr(10))
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'share this article on social media' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'all rights reserved by ' || lang ELSE '' END AS t
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+),
+segs AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM aug),
+p AS (
+  SELECT s.doc_id, CAST(z[2] AS BIGINT) AS idx, z[1] AS para
+  FROM segs s, UNNEST(list_zip(s.ps, range(1, len(s.ps) + 1))) AS u(z)
+),
+keep AS (
+  SELECT doc_id, idx FROM (
+    SELECT doc_id, idx,
+           ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+    FROM p WHERE para <> ''
+  ) WHERE rn = 1
+),
+j AS (
+  SELECT p.doc_id, p.idx, p.para,
+         CASE WHEN p.para = '' OR k.idx IS NOT NULL THEN 1 ELSE 0 END AS kept
+  FROM p LEFT JOIN keep k ON k.doc_id = p.doc_id AND k.idx = p.idx
+)
+SELECT doc_id,
+       md5(COALESCE(string_agg(para, chr(10) ORDER BY idx)
+                    FILTER (WHERE kept = 1), '')) AS clean_md5,
+       CAST(COUNT(*) FILTER (WHERE para <> '') AS BIGINT) AS n_paras,
+       CAST(COUNT(*) FILTER (WHERE para <> '' AND kept = 0) AS BIGINT) AS n_dropped
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _ngram_ppl(sf_dir: str, mode: str) -> pd.DataFrame:
     """Shared body of the two ngram_perplexity entries: train the CCNet
     bigram LM on the doc_id%7==0 slice, score EVERY scoreable doc."""
@@ -4945,6 +5041,7 @@ QUERIES = {
     "training_data_pipeline": training_data_pipeline,
     "hits_corpus": hits_corpus,
     "boilerplate_removed_docs": boilerplate_removed_docs,
+    "para_deduped_docs": para_deduped_docs,
     "ngram_perplexity": ngram_perplexity,
     "ngram_perplexity_join": ngram_perplexity_join,
     "dsir_selected_docs": dsir_selected_docs,
@@ -5043,6 +5140,7 @@ ORACLES = {
     "training_data_pipeline": _training_pipeline_sql(),
     "hits_corpus": _hits_sql(2),
     "boilerplate_removed_docs": _BOILERPLATE_SQL,
+    "para_deduped_docs": _PARA_DEDUP_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
     "simhash_near_dups": _SIMHASH_PAIRS_SQL,
     "ngram_perplexity": _NGRAM_PPL_SQL,

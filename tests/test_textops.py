@@ -295,6 +295,83 @@ class TestTextIndex:
         assert len(out) == 0
 
 
+class TestParagraphDedup:
+    """stages/paradedup — first-occurrence-wins paragraph dedup."""
+
+    def _brute(self, df):
+        seen = set()
+        rows = []
+        for _, r in df.sort_values("doc_id").iterrows():
+            segs = r["text"].split("\n")
+            out = []
+            n_paras = n_drop = 0
+            for s in segs:
+                if not s:
+                    out.append(s)
+                    continue
+                n_paras += 1
+                if s in seen:
+                    n_drop += 1
+                else:
+                    seen.add(s)
+                    out.append(s)
+            rows.append((r["doc_id"], "\n".join(out), n_paras, n_drop))
+        return pd.DataFrame(rows, columns=["doc_id", "text", "n_paras", "n_dropped"])
+
+    def test_matches_bruteforce_and_split_invariant(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.paradedup import paragraph_dedup
+
+        rng = np.random.default_rng(11)
+        pool = [f"para number {i} with shared words" for i in range(12)]
+        texts = [
+            "\n".join(rng.choice(pool, size=rng.integers(1, 6)))
+            + ("\n" if i % 4 == 0 else "")
+            for i in range(60)
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+        want = self._brute(df).reset_index(drop=True)
+        for parts in (1, 7):
+            got = (
+                paragraph_dedup(rd.from_pandas(df).repartition(parts))
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            got["n_paras"] = got["n_paras"].astype("int64")
+            got["n_dropped"] = got["n_dropped"].astype("int64")
+            pd.testing.assert_frame_equal(got, want)
+
+    def test_doc_losing_every_paragraph_survives(self, ray_session):
+        # all-dup doc exercises the left-join null keep-list path
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.paradedup import paragraph_dedup
+
+        df = pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["only para", "only para\nonly para"]}
+        )
+        out = (
+            paragraph_dedup(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.loc[0, "text"] == "only para"
+        assert out.loc[1, "text"] == "" and out.loc[1, "n_dropped"] == 2
+
+    def test_segment_bound_guard(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.paradedup import paragraph_dedup
+
+        df = pd.DataFrame({"doc_id": [1], "text": ["x\n" * (1 << 20) + "x"]})
+        with _pytest.raises(Exception, match="segments"):
+            paragraph_dedup(rd.from_pandas(df)).to_pandas()
+
+
 class TestDupSpans:
     def _mk(self, seed=9, n_docs=40, doc_len=60):
         rng = np.random.default_rng(seed)
