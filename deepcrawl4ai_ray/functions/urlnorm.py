@@ -49,6 +49,24 @@ def normalize_url(url: str) -> str:
     return (scheme.lower() + sep + rest).strip()
 
 
+def canonical_url_key(urls) -> "pa.Array":
+    """Canonical grouping key for URL-variant dedup — the candidate key
+    under which http/https, www/apex, query-string and trailing-slash
+    variants of one logical page collide: strip scheme, strip a leading
+    ``www.``, drop the whole query string, strip trailing slashes,
+    lowercase.  All Arrow RE2 kernels (zero row loops); DuckDB's
+    regexp_replace is the same RE2 engine, so the SQL twin reproduces
+    the key byte-for-byte."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    k = pc.replace_substring_regex(urls, pattern="^https?://", replacement="")
+    k = pc.replace_substring_regex(k, pattern=r"^www\.", replacement="")
+    k = pc.replace_substring_regex(k, pattern=r"\?.*$", replacement="")
+    k = pc.replace_substring_regex(k, pattern="/+$", replacement="")
+    return pc.utf8_lower(k)
+
+
 def url_to_slug(url: str) -> str:
     """URL → filesystem-safe unique name (semantics of utils.py:176-180)."""
     p = urlparse(url)

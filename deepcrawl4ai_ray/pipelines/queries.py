@@ -876,6 +876,82 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def quality_top_decile(sf_dir: str) -> pd.DataFrame:
+    """Quantile-gated quality filtering (the FineWeb-Edu-style 'keep the
+    top X% by score' selection): per-lang p90 of the mean-token-length
+    score as a DISCRETE quantile (numpy method='inverted_cdf' ≡ DuckDB
+    quantile_disc — an actual data value, so the >= threshold compare
+    is exact, no interpolation ulps), then a map-side filter against
+    the broadcast K-row threshold table.  Two slim passes over
+    (lang, mtl): one grouped quantile, one broadcast-filtered count —
+    document text is read once and never shuffles."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
+        spaces = pc.cast(pc.count_substring(batch["text"], " "), pa.float64())
+        mtl = pc.divide(pc.subtract(chars, spaces), pc.add(spaces, 1.0))
+        return pa.table({"lang": batch["lang"], "mtl": mtl})
+
+    scored = ds.map_batches(metrics, batch_format="pyarrow").materialize()
+
+    def p90(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["mtl"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "thr": [float(np.quantile(v, 0.9, method="inverted_cdf"))],
+            }
+        )
+
+    # K rows (the language vocabulary) — driver-held by design, broadcast once
+    thr_rows = scored.groupby("lang").map_groups(p90, batch_format="pandas").take_all()
+    thr_ref = ray.put({r["lang"]: r["thr"] for r in thr_rows})
+
+    def gate(batch: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        mtl = batch["mtl"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_pylist()
+        thv = np.array([th[lg] for lg in langs], dtype=np.float64)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "kept": pa.array((mtl >= thv).astype(np.float64)),
+            }
+        )
+
+    out = partial_grouped_sum(
+        scored.map_batches(gate, batch_format="pyarrow"),
+        ["lang"], sums=["kept"], count_alias="n_docs",
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "lang": out["lang"],
+            "p90_mtl": [round({r["lang"]: r["thr"] for r in thr_rows}[lg], 4) for lg in out["lang"]],
+            "n_kept": out["sum_kept"].astype("int64"),
+            "n_docs": out["n_docs"].astype("int64"),
+        }
+    )
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+_QUALITY_TOP_DECILE_SQL = """
+WITH s AS (
+  SELECT lang,
+         (length(text) - (length(text) - length(replace(text, ' ', ''))))
+           / ((length(text) - length(replace(text, ' ', ''))) + 1.0) AS mtl
+  FROM documents
+), thr AS (
+  SELECT lang, quantile_disc(mtl, 0.9) AS thr FROM s GROUP BY lang
+)
+SELECT s.lang, ROUND(t.thr, 4) AS p90_mtl,
+       CAST(COUNT(*) FILTER (WHERE s.mtl >= t.thr) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM s JOIN thr t ON t.lang = s.lang
+GROUP BY s.lang, t.thr ORDER BY s.lang
+"""
+
+
 def bpe_token_stats(sf_dir: str) -> pd.DataFrame:
     """Sub-word-ish (BPE stand-in) token counting: words + punctuation
     marks, counted with the vectorized RE2 kernel
@@ -2687,6 +2763,66 @@ WITH RECURSIVE pages AS (
 SELECT c.host, hr.host AS root_host
 FROM comp c JOIN hid hr ON hr.h = c.ch
 ORDER BY c.host
+"""
+
+
+def canonical_url_groups(sf_dir: str) -> pd.DataFrame:
+    """URL-variant dedup (stages/dedup.canonical_url_dedup): http/https,
+    www/apex, query-string and trailing-slash spellings of one logical
+    page collapse under the RE2 canonical key and the preferred spelling
+    wins (https-first, shortest, lexicographic) — the frontier-hygiene
+    step upstream of fetch.  Variants are planted SQL-reproducibly from
+    the tiny-corpus page URLs (md5-keyed: %2 adds an http+utm spelling,
+    %3 adds a www+trailing-slash spelling)."""
+    from ..functions.hashing import md5_int63
+    from ..sources.corpus import ensure
+    from ..stages.dedup import canonical_url_dedup
+
+    corpus = ensure("tiny")
+    pages = rd.read_parquet(f"{corpus}/pages", columns=["url"])
+
+    def variants(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        hs = md5_int63(urls)
+        out: list = []
+        for u, h in zip(urls, hs):
+            out.append(u)
+            if h % 2 == 0:
+                out.append(u.replace("https://", "http://") + "?utm_source=feed")
+            if h % 3 == 0:
+                out.append(u.replace("https://", "https://www.") + "/")
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    ds = pages.map_batches(variants, batch_format="pyarrow")
+    out = canonical_url_dedup(ds).to_pandas()
+    out["n_variants"] = out["n_variants"].astype("int64")
+    return out.sort_values("canon_key").reset_index(drop=True)
+
+
+_CANONICAL_URL_SQL = rf"""
+WITH pages AS (SELECT url FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')),
+h AS (SELECT url, (md5_number_lower(url) & 9223372036854775807) AS hv FROM pages),
+vars AS (
+  SELECT url FROM h
+  UNION ALL
+  SELECT replace(url, 'https://', 'http://') || '?utm_source=feed' FROM h WHERE hv % 2 = 0
+  UNION ALL
+  SELECT replace(url, 'https://', 'https://www.') || '/' FROM h WHERE hv % 3 = 0
+),
+k AS (
+  SELECT url,
+         lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+             '^https?://', ''), '^www\.', ''), '\?.*$', ''), '/+$', '')) AS canon_key,
+         CASE WHEN url LIKE 'https://%' THEN 0 ELSE 1 END AS pref,
+         length(url) AS len
+  FROM vars
+)
+SELECT canon_key, url AS best_url, CAST(n_variants AS BIGINT) AS n_variants FROM (
+  SELECT canon_key, url,
+         ROW_NUMBER() OVER (PARTITION BY canon_key ORDER BY pref, len, url) AS rn,
+         COUNT(DISTINCT url) OVER (PARTITION BY canon_key) AS n_variants
+  FROM k
+) WHERE rn = 1 ORDER BY canon_key
 """
 
 
@@ -5042,6 +5178,7 @@ QUERIES = {
     "hits_corpus": hits_corpus,
     "boilerplate_removed_docs": boilerplate_removed_docs,
     "para_deduped_docs": para_deduped_docs,
+    "quality_top_decile": quality_top_decile,
     "ngram_perplexity": ngram_perplexity,
     "ngram_perplexity_join": ngram_perplexity_join,
     "dsir_selected_docs": dsir_selected_docs,
@@ -5049,6 +5186,7 @@ QUERIES = {
     "blocklist_filtered_docs": blocklist_filtered_docs,
     "hostrank_corpus": hostrank_corpus,
     "host_components": host_components,
+    "canonical_url_groups": canonical_url_groups,
     "bpe_merges": bpe_merges,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
@@ -5141,6 +5279,7 @@ ORACLES = {
     "hits_corpus": _hits_sql(2),
     "boilerplate_removed_docs": _BOILERPLATE_SQL,
     "para_deduped_docs": _PARA_DEDUP_SQL,
+    "quality_top_decile": _QUALITY_TOP_DECILE_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
     "simhash_near_dups": _SIMHASH_PAIRS_SQL,
     "ngram_perplexity": _NGRAM_PPL_SQL,
@@ -5150,6 +5289,7 @@ ORACLES = {
     "blocklist_filtered_docs": _BLOCKLIST_SQL,
     "hostrank_corpus": _hostrank_sql(3),
     "host_components": _HOST_COMPONENTS_SQL,
+    "canonical_url_groups": _CANONICAL_URL_SQL,
     "nfc_normalized_docs": _NFC_SQL,
     "ccnet_pipeline": _CCNET_PIPELINE_SQL,
     # rows-only (non-SQL-expressible): knn_pq_top10 (approximate by

@@ -96,6 +96,53 @@ def exact_dedup_stats(ds: "ray.data.Dataset", id_col: str, text_col: str, num_bu
     )
 
 
+def canonical_url_dedup(
+    ds: "ray.data.Dataset", url_col: str = "url"
+) -> "ray.data.Dataset":
+    """URL-variant dedup — collapse http/https, www/apex, query-string
+    and trailing-slash variants of one logical page to a single
+    preferred URL (the frontier-hygiene step upstream of content
+    fetch: crawling both ``http://www.h/p?utm=x`` and ``https://h/p``
+    wastes a fetch and later a content-dedup).  Grouping key =
+    functions/urlnorm.canonical_url_key; the winner per key is the
+    deterministic argmin of (https-first, shortest, lexicographic).
+
+    Scale shape: keys are computed map-side with Arrow RE2 kernels; the
+    groupby shuffles slim (key, rank, len, url) rows; variant groups
+    are tiny (a handful of spellings per page), so the per-group pick
+    is O(group).  → Dataset(canon_key, best_url, n_variants)."""
+    from ..functions.urlnorm import canonical_url_key
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col]
+        return pa.table(
+            {
+                "canon_key": canonical_url_key(urls),
+                "pref": pc.cast(
+                    pc.invert(pc.starts_with(urls, "https://")), pa.int32()
+                ),
+                "len": pc.cast(pc.utf8_length(urls), pa.int64()),
+                url_col: urls,
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pref", "len", url_col], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "canon_key": [g["canon_key"].iloc[0]],
+                "best_url": [g[url_col].iloc[0]],
+                "n_variants": [np.int64(g[url_col].nunique())],
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("canon_key")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
 def exact_dedup_losers(ds: "ray.data.Dataset", id_col: str, text_col: str, num_buckets: int = 64):
     """→ Dataset(<id>) of the rows exact dedup DROPS (everything except
     the min-id winner per content md5).  Only the slim (id, text_hash)

@@ -104,6 +104,24 @@ class TestHashing:
         val = duckdb.sql("select md5('hello world')").fetchone()[0]
         assert md5_hex("hello world") == val
 
+    def test_canonical_url_key(self):
+        import pyarrow as pa
+
+        from deepcrawl4ai_ray.functions.urlnorm import canonical_url_key
+
+        urls = pa.array(
+            [
+                "https://Host.Example/Page",
+                "http://www.host.example/page?utm_source=x&b=2",
+                "https://host.example/page/",
+                "https://host.example/page",
+                "https://www-site.example/p",  # 'www-' is not a 'www.' prefix
+            ]
+        )
+        got = canonical_url_key(urls).to_pylist()
+        assert got[0] == got[1] == got[2] == got[3] == "host.example/page"
+        assert got[4] == "www-site.example/p"
+
     def test_md5_int63_matches_duckdb(self):
         import duckdb
 

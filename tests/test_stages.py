@@ -1235,6 +1235,37 @@ class TestTemperatureSample:
         assert got == {g: n for g, n in tgt.items() if n > 0}
 
 
+class TestCanonicalUrlDedup:
+    """stages/dedup.canonical_url_dedup — URL-variant collapse."""
+
+    def test_preference_order_and_counts(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dedup import canonical_url_dedup
+
+        df = pd.DataFrame(
+            {
+                "url": [
+                    "http://a.example/p",           # loses: http
+                    "https://a.example/p?utm=1",    # loses: query stripped, longer
+                    "https://a.example/p",          # wins: https + shortest
+                    "https://www.a.example/p/",     # loses: longer
+                    "https://b.example",            # singleton group
+                    "https://b.example",            # duplicate spelling: 1 variant
+                ]
+            }
+        )
+        out = (
+            canonical_url_dedup(rd.from_pandas(df).repartition(3))
+            .to_pandas()
+            .sort_values("canon_key")
+            .reset_index(drop=True)
+        )
+        assert out["canon_key"].tolist() == ["a.example/p", "b.example"]
+        assert out["best_url"].tolist() == ["https://a.example/p", "https://b.example"]
+        assert out["n_variants"].astype(int).tolist() == [4, 1]
+
+
 class TestWeightedSampleTopK:
     """stages/sample.weighted_sample_topk — sequential Poisson πps draw."""
 
