@@ -23,12 +23,10 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data
-
-_IDX_BITS = 20  # packed = doc_id << 20 | idx → ≤ 2^20 paragraphs per doc
-
 
 def paragraph_dedup(
     ds: "ray.data.Dataset",
@@ -39,7 +37,10 @@ def paragraph_dedup(
     """(id, text) → (id, text, n_paras, n_dropped) with every repeated
     non-empty paragraph kept only at its first (doc, position)
     occurrence.  Deterministic and split-invariant: the winner is a pure
-    min over (id, idx), no RNG, no block-order dependence."""
+    lexicographic min over (id, idx) — carried as TWO int64 columns, no
+    bit packing, so full-range 63-bit hash doc ids work (an id<<20 pack
+    overflowed int64 in the sf1 proof), no RNG, no block-order
+    dependence."""
     from .join import hash_join
 
     md5 = hashlib.md5
@@ -47,64 +48,88 @@ def paragraph_dedup(
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         out_h: list = []
-        out_packed: list = []
+        out_id: list = []
+        out_idx: list = []
         for i, txt in zip(ids, batch[text_col].to_pylist()):
-            segs = (txt or "").split(sep)
-            if len(segs) > (1 << _IDX_BITS):
-                raise ValueError(
-                    f"doc {int(i)} has {len(segs)} segments > 2^{_IDX_BITS} "
-                    "(packed-key bound)"
-                )
-            base = int(i) << _IDX_BITS
-            for idx, s in enumerate(segs):
+            i = int(i)
+            for idx, s in enumerate((txt or "").split(sep)):
                 if s:  # empty segments are structure — never deduped
                     out_h.append(md5(s.encode("utf-8")).hexdigest())
-                    out_packed.append(base | idx)
+                    out_id.append(i)
+                    out_idx.append(idx)
         t = pa.table(
             {
                 "ph": pa.array(out_h, pa.string()),
-                "packed": pa.array(out_packed, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "idx": pa.array(out_idx, pa.int64()),
             }
         )
         # block-local pre-min: a 10^6-copy boilerplate paragraph leaves
         # each block as ONE row before the shuffle
-        agg = t.group_by("ph").aggregate([("packed", "min")])
-        return pa.table({"ph": agg["ph"], "packed": agg["packed_min"]})
+        df = t.to_pandas().sort_values([id_col, "idx"], kind="mergesort")
+        df = df.groupby("ph", sort=False, as_index=False).head(1)
+        return pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
 
-    ex = ds.map_batches(explode, batch_format="pyarrow")
+    # shuffle_coalesce: the slim explode output is many sub-100KB blocks
+    # (one per input block, pre-min'd) — without coalescing, the sort
+    # shuffle's chunks fall under Ray's inline threshold and land in the
+    # DRIVER's in-process store (the sf1 proof measured +2 GB driver
+    # RssAnon; same pathology the ppl_buckets operator hit)
+    from .join import shuffle_coalesce
 
-    # winner per paragraph hash = min packed (≡ lexicographic min
-    # (doc, idx)); two-level min so a 10^6-copy boilerplate paragraph
-    # reduces inside blocks before the shuffle
-    from .join import bucketed_min
+    ex = shuffle_coalesce(ds.map_batches(explode, batch_format="pyarrow"))
 
-    winners = bucketed_min(ex, ["ph"], "packed", "win")
+    # winner per paragraph hash = lexicographic min (doc, idx).  Both
+    # groupbys run BUCKETED (the join.bucketed_* discipline): per-group
+    # map_groups pays a Python call per paragraph hash / per doc, which
+    # measured 75 docs/s on the sf proof; one vectorized pandas pass per
+    # hash-bucket handles thousands of groups per task instead.
+    def add_pb(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t["ph"].to_pylist(), dtype=object), categorize=False
+        )
+        return t.append_column("__pb", pa.array((h % np.uint64(64)).astype(np.int32)))
 
-    def split_packed(t: pa.Table) -> pa.Table:
-        w = t["win"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                id_col: pa.array(w >> _IDX_BITS, pa.int64()),
-                "idx": pa.array(w & ((1 << _IDX_BITS) - 1), pa.int64()),
-            }
+    def win_bucket(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values([id_col, "idx"], kind="mergesort")
+            .groupby("ph", sort=False, as_index=False)
+            .head(1)[[id_col, "idx"]]
+        )
+        return pa.Table.from_pandas(
+            df,
+            schema=pa.schema([(id_col, pa.int64()), ("idx", pa.int64())]),
+            preserve_index=False,
         )
 
-    def collect(t: pa.Table) -> pa.Table:
-        # pyarrow group container: the kept_idx column must be a typed
+    winners = shuffle_coalesce(
+        ex.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(win_bucket, batch_format="pyarrow")
+    )
+
+    def add_db(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("__db", pa.array((d % np.uint64(256)).astype(np.int32)))
+
+    def collect_bucket(t: pa.Table) -> pa.Table:
+        # one pandas pass per doc bucket; kept_idx must be a typed
         # list<int64> (a pandas object column would make the left join's
         # null padding guess the wrong Arrow type)
-        idxs = np.sort(t["idx"].to_numpy(zero_copy_only=False))
+        df = t.to_pandas().sort_values([id_col, "idx"], kind="mergesort")
+        agg = df.groupby(id_col, sort=False)["idx"].agg(list)
         return pa.table(
             {
-                id_col: pa.array([int(t[id_col][0].as_py())], pa.int64()),
-                "kept_idx": pa.array([idxs.tolist()], pa.list_(pa.int64())),
+                id_col: pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
+                "kept_idx": pa.array(agg.to_list(), pa.list_(pa.int64())),
             }
         )
 
     keep_lists = (
-        winners.map_batches(split_packed, batch_format="pyarrow")
-        .groupby(id_col)
-        .map_groups(collect, batch_format="pyarrow")
+        winners.map_batches(add_db, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(collect_bucket, batch_format="pyarrow")
     )
 
     joined = hash_join(ds, keep_lists, on=id_col, how="left")

@@ -361,15 +361,26 @@ class TestParagraphDedup:
         assert out.loc[0, "text"] == "only para"
         assert out.loc[1, "text"] == "" and out.loc[1, "n_dropped"] == 2
 
-    def test_segment_bound_guard(self, ray_session):
-        import pytest as _pytest
+    def test_full_range_hash_doc_ids(self, ray_session):
+        # 63-bit hash ids (the sf1 proof's url-hash ids) must not
+        # overflow — regression for the r4 packed-key int64 overflow
         import ray.data as rd
 
         from deepcrawl4ai_ray.stages.paradedup import paragraph_dedup
 
-        df = pd.DataFrame({"doc_id": [1], "text": ["x\n" * (1 << 20) + "x"]})
-        with _pytest.raises(Exception, match="segments"):
-            paragraph_dedup(rd.from_pandas(df)).to_pandas()
+        big = (1 << 62) + 12345
+        df = pd.DataFrame(
+            {"doc_id": [big, big + 1], "text": ["dup para\nown a", "dup para\nown b"]}
+        )
+        out = (
+            paragraph_dedup(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [big, big + 1]
+        assert out.loc[0, "text"] == "dup para\nown a"
+        assert out.loc[1, "text"] == "own b"
 
 
 class TestDupSpans:
