@@ -221,6 +221,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "knn_cosine_top10",
         "embedding_label_stats",
         "image_decode_meta",
+        "para_deduped_docs",
+        "weighted_doc_sample",
     ]
     for name in bench_queries:
         t0 = time.time()
