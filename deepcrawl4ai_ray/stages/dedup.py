@@ -153,8 +153,13 @@ def canonical_url_dedup(
             preserve_index=False,
         )
 
+    from .join import _seed_empty
+
     slim = _sc(ds.map_batches(keyed, batch_format="pyarrow"))
-    return slim.groupby("__kb").map_groups(pick_bucket, batch_format="pyarrow")
+    return _seed_empty(
+        slim.groupby("__kb").map_groups(pick_bucket, batch_format="pyarrow"),
+        [("canon_key", pa.string()), ("best_url", pa.string()), ("n_variants", pa.int64())],
+    )
 
 
 def exact_dedup_losers(ds: "ray.data.Dataset", id_col: str, text_col: str, num_buckets: int = 64):

@@ -126,10 +126,16 @@ def paragraph_dedup(
             }
         )
 
-    keep_lists = (
+    from .join import _seed_empty
+
+    # schema-pinned empty seed: a legitimately-empty corpus (empty delta
+    # crawl) must not strip keep_lists' schema — the join builds its
+    # output schema from it (the generalized r3 hash_join finding)
+    keep_lists = _seed_empty(
         winners.map_batches(add_db, batch_format="pyarrow")
         .groupby("__db")
-        .map_groups(collect_bucket, batch_format="pyarrow")
+        .map_groups(collect_bucket, batch_format="pyarrow"),
+        [(id_col, pa.int64()), ("kept_idx", pa.list_(pa.int64()))],
     )
 
     joined = hash_join(ds, keep_lists, on=id_col, how="left")
@@ -158,4 +164,12 @@ def paragraph_dedup(
             }
         )
 
-    return joined.map_batches(rebuild, batch_format="pyarrow")
+    return _seed_empty(
+        joined.map_batches(rebuild, batch_format="pyarrow"),
+        [
+            (id_col, pa.int64()),
+            (text_col, pa.string()),
+            ("n_paras", pa.int64()),
+            ("n_dropped", pa.int64()),
+        ],
+    )

@@ -255,13 +255,18 @@ def weighted_sample_topk(
         order = np.lexsort((t[id_col].to_numpy(zero_copy_only=False), keys))[:k]
         return t.take(pa.array(np.sort(order)))
 
-    from ..stages.join import shuffle_coalesce
+    from ..stages.join import _schema_types, _seed_empty, shuffle_coalesce
 
     # coalesce: per-block prunes emit many small blocks; without it the
     # sort's sub-inline-threshold chunks accumulate in the driver store
     # (sf1 proof: +190 MB driver RssAnon at this stage)
     pruned = shuffle_coalesce(ds.map_batches(prune, batch_format="pyarrow"))
-    return pruned.sort([key_col, id_col]).limit(k)
+    out = pruned.sort([key_col, id_col]).limit(k)
+    tmap = _schema_types(pruned, ds)
+    if tmap is None:
+        return out
+    fields = [(c, tmap.get(c, pa.float64())) for c in cols] + [(key_col, pa.float64())]
+    return _seed_empty(out, fields)
 
 
 def temperature_sample(

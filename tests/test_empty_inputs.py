@@ -113,6 +113,38 @@ class TestEmptyInputOperators:
             ["doc_id", "cleaned"],
         )
 
+    def test_paragraph_dedup(self, ray_session):
+        from deepcrawl4ai_ray.stages.paradedup import paragraph_dedup
+
+        _assert_schema(
+            paragraph_dedup(_docs_empty()),
+            ["doc_id", "text", "n_paras", "n_dropped"],
+        )
+
+    def test_canonical_url_dedup(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.dedup import canonical_url_dedup
+
+        urls = rd.from_pandas(pd.DataFrame({"url": pd.Series(dtype=str)}))
+        _assert_schema(
+            canonical_url_dedup(urls), ["canon_key", "best_url", "n_variants"]
+        )
+
+    def test_weighted_sample_topk(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.sample import weighted_sample_topk
+
+        w = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "w": pd.Series(dtype="int64")}
+            )
+        )
+        _assert_schema(
+            weighted_sample_topk(w, "doc_id", "w", 5), ["doc_id", "w", "sample_key"]
+        )
+
     def test_c4filter(self, ray_session):
         from deepcrawl4ai_ray.stages.c4filter import boilerplate_line_dedup, c4_line_stats
 
