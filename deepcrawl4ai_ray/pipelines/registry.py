@@ -400,3 +400,57 @@ def _recrawl_priority(ds, key_col: str = "url", text_col: str = "text"):
         for s in snaps
     ]
     return recrawl_priority(parts, key_col, text_col)
+
+
+@register("paragraph_dedup")
+def _paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text", sep: str = "\n"):
+    from ..stages.paradedup import paragraph_dedup
+
+    return paragraph_dedup(ds, id_col, text_col, sep)
+
+
+@register("canonical_url_dedup")
+def _canonical_url_dedup(ds, url_col: str = "url"):
+    from ..stages.dedup import canonical_url_dedup
+
+    return canonical_url_dedup(ds, url_col)
+
+
+@register("weighted_sample")
+def _weighted_sample(ds, id_col: str, weight_col: str, k: int):
+    from ..stages.sample import weighted_sample_topk
+
+    return weighted_sample_topk(ds, id_col, weight_col, k)
+
+
+@register("quantile_gate")
+def _quantile_gate(ds, group_col: str, score_col: str, q: float = 0.9):
+    """Keep rows with score >= the group's q-th DISCRETE quantile (the
+    FineWeb-style top-X% selection; quantile_disc semantics so the
+    threshold is an actual data value).  Thresholds (one per group) are
+    broadcast once; the gate is a map-side filter."""
+    import numpy as _np
+    import pandas as _pd
+    import pyarrow as _pa
+
+    import ray as _ray
+
+    def thr_g(g: "_pd.DataFrame") -> "_pd.DataFrame":
+        v = g[score_col].to_numpy(dtype=_np.float64)
+        return _pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "__thr": [float(_np.quantile(v, q, method="inverted_cdf"))],
+            }
+        )
+
+    rows = ds.groupby(group_col).map_groups(thr_g, batch_format="pandas").take_all()
+    ref = _ray.put({r[group_col]: r["__thr"] for r in rows})
+
+    def gate(t: "_pa.Table") -> "_pa.Table":
+        th = _ray.get(ref)
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        tv = _np.array([th[g] for g in t[group_col].to_pylist()], dtype=_np.float64)
+        return t.filter(_pa.array(s >= tv))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

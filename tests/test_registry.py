@@ -188,3 +188,49 @@ class TestRound3Steps:
             .sort_values("url")
         )
         assert got.n_changes.tolist() == [1, 1]
+
+
+class TestSecondPassR4Steps:
+    def test_new_dedup_sample_gate_steps(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.pipelines.registry import available_steps, build_pipeline
+
+        for s in ("paragraph_dedup", "canonical_url_dedup", "weighted_sample", "quantile_gate"):
+            assert s in available_steps()
+
+        docs = pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["shared p\nown one", "shared p\nown two"]}
+        )
+        out = (
+            build_pipeline(rd.from_pandas(docs), [{"step": "paragraph_dedup"}])
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out.text.tolist() == ["shared p\nown one", "own two"]
+
+        urls = pd.DataFrame({"url": ["http://h.ex/p", "https://h.ex/p", "https://solo.ex"]})
+        out = (
+            build_pipeline(rd.from_pandas(urls), [{"step": "canonical_url_dedup"}])
+            .to_pandas()
+            .sort_values("canon_key")
+        )
+        assert out.best_url.tolist() == ["https://h.ex/p", "https://solo.ex"]
+
+        w = pd.DataFrame({"doc_id": np.arange(50), "w": np.full(50, 7)})
+        out = build_pipeline(
+            rd.from_pandas(w),
+            [{"step": "weighted_sample", "params": {"id_col": "doc_id", "weight_col": "w", "k": 5}}],
+        ).to_pandas()
+        assert len(out) == 5
+
+        g = pd.DataFrame({"g": ["a"] * 10 + ["b"] * 10, "s": list(range(10)) * 2})
+        out = build_pipeline(
+            rd.from_pandas(g),
+            [{"step": "quantile_gate", "params": {"group_col": "g", "score_col": "s", "q": 0.9}}],
+        ).to_pandas()
+        # p90 (inverted_cdf ≡ quantile_disc) of 0..9 = 8 (ceil(0.9·10)=9th
+        # smallest) → rows 8 and 9 kept per group
+        assert sorted(out.s.tolist()) == [8, 8, 9, 9]
