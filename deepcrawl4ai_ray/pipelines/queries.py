@@ -4577,6 +4577,32 @@ FROM kept ORDER BY doc_id
 """
 
 
+def _make_paras_batch(batch: pa.Table) -> pa.Table:
+    """Shared paragraph synthesis for the paragraph-dedup family: 8-word
+    paragraphs + two SQL-reproducibly planted boilerplate paragraphs
+    (doc_id%3: share-footer; doc_id%5: per-lang rights line).  Keeps
+    (doc_id, text, lang)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    out = []
+    for i, t, lg in zip(ids, batch["text"].to_pylist(), batch["lang"].to_pylist()):
+        w = (t or "").split(" ")
+        paras = [" ".join(w[j : j + 8]) for j in range(0, len(w), 8)]
+        t2 = "\n".join(paras)
+        i = int(i)
+        if i % 3 == 0:
+            t2 += "\nshare this article on social media"
+        if i % 5 == 0:
+            t2 += f"\nall rights reserved by {lg}"
+        out.append(t2)
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "text": pa.array(out, pa.string()),
+            "lang": batch["lang"],
+        }
+    )
+
+
 def para_deduped_docs(sf_dir: str) -> pd.DataFrame:
     """Paragraph-level exact dedup (stages/paradedup.paragraph_dedup):
     every repeated non-empty paragraph keeps only its first
@@ -4593,28 +4619,11 @@ def para_deduped_docs(sf_dir: str) -> pd.DataFrame:
     from ..stages.paradedup import paragraph_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-
-    def make_paras(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out = []
-        for i, t, lg in zip(ids, batch["text"].to_pylist(), batch["lang"].to_pylist()):
-            w = (t or "").split(" ")
-            paras = [" ".join(w[j : j + 8]) for j in range(0, len(w), 8)]
-            t2 = "\n".join(paras)
-            i = int(i)
-            if i % 3 == 0:
-                t2 += "\nshare this article on social media"
-            if i % 5 == 0:
-                t2 += f"\nall rights reserved by {lg}"
-            out.append(t2)
-        return pa.table(
-            {
-                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                "text": pa.array(out, pa.string()),
-            }
+    clean = paragraph_dedup(
+        ds.map_batches(_make_paras_batch, batch_format="pyarrow").drop_columns(
+            ["lang"]
         )
-
-    clean = paragraph_dedup(ds.map_batches(make_paras, batch_format="pyarrow"))
+    )
 
     def digest(t: pa.Table) -> pa.Table:
         md5s = [
@@ -4670,6 +4679,163 @@ SELECT doc_id,
        CAST(COUNT(*) FILTER (WHERE para <> '') AS BIGINT) AS n_paras,
        CAST(COUNT(*) FILTER (WHERE para <> '' AND kept = 0) AS BIGINT) AS n_dropped
 FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def fineweb_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Composed FineWeb-style cleaning pipeline — the second-pass
+    operators chained end-to-end under ONE SQL oracle:
+
+      paragraph re-shape + planted boilerplate
+        → paragraph_dedup (first-occurrence-wins, cross-doc)
+        → per-lang MEDIAN discrete-quantile quality gate on the CLEANED
+          text (mean-token-length score, thresholds broadcast once)
+        → exact dedup of the cleaned text (min doc_id per md5 — a
+          bucketed keep-set semi-join, text never re-shuffles)
+        → length-weighted sequential-Poisson top-200 draw (the
+          token-budget selection).
+
+    Every stage's arithmetic is the already-hash-green primitive, so
+    the composition check is about stage INTERACTION (column
+    propagation through paragraph_dedup, gating on rebuilt text,
+    dedup-after-gate ordering), not new kernels."""
+    from ..stages.dedup import exact_dedup_stats
+    from ..stages.paradedup import paragraph_dedup
+    from ..stages.sample import weighted_sample_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    clean = paragraph_dedup(
+        ds.map_batches(_make_paras_batch, batch_format="pyarrow")
+    ).materialize()  # consumed by the quantile pass AND the gate pass
+
+    def score(batch: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
+        spaces = pc.cast(pc.count_substring(batch["text"], " "), pa.float64())
+        mtl = pc.divide(pc.subtract(chars, spaces), pc.add(spaces, 1.0))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "text": batch["text"],
+                "mtl": mtl,
+            }
+        )
+
+    scored = clean.map_batches(score, batch_format="pyarrow").materialize()
+
+    def p50(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["mtl"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "thr": [float(np.quantile(v, 0.5, method="inverted_cdf"))],
+            }
+        )
+
+    thr_rows = scored.groupby("lang").map_groups(p50, batch_format="pandas").take_all()
+    thr_ref = ray.put({r["lang"]: r["thr"] for r in thr_rows})
+
+    def gate(batch: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        mtl = batch["mtl"].to_numpy(zero_copy_only=False)
+        tv = np.array([th[lg] for lg in batch["lang"].to_pylist()], dtype=np.float64)
+        return batch.filter(pa.array(mtl >= tv)).drop_columns(["mtl"])
+
+    gated = scored.map_batches(gate, batch_format="pyarrow").materialize()
+
+    # exact dedup of cleaned text: keep-set as a Dataset, applied by a
+    # bucketed semi-join (clean_corpus_stats discipline)
+    keep_ds = exact_dedup_stats(gated, "doc_id", "text").map_batches(
+        lambda t: pa.table({"keep_doc_id": t["keep_doc_id"]}), batch_format="pyarrow"
+    )
+    kept = hash_join(gated, keep_ds, on="doc_id", right_on="keep_doc_id", num_buckets=16)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        n = pc.cast(pc.max_element_wise(pc.utf8_length(batch["text"]), 1), pa.int64())
+        md5s = [
+            _hl.md5((x or "").encode("utf-8")).hexdigest()
+            for x in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_chars": n,
+                "clean_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    sampled = weighted_sample_topk(
+        kept.map_batches(weigh, batch_format="pyarrow"),
+        "doc_id", "n_chars", k=200,
+        keep_cols=["doc_id", "lang", "n_chars", "clean_md5"],
+    ).to_pandas()
+    return sampled.sort_values(["sample_key", "doc_id"]).reset_index(drop=True)
+
+
+_FINEWEB_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, lang,
+         list_aggregate(
+           list_transform(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+                          i -> array_to_string(w[i*8+1 : i*8+8], ' ')),
+           'string_agg', chr(10))
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'share this article on social media' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'all rights reserved by ' || lang ELSE '' END AS t
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+),
+segs AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM aug),
+p AS (
+  SELECT s.doc_id, CAST(z[2] AS BIGINT) AS idx, z[1] AS para
+  FROM segs s, UNNEST(list_zip(s.ps, range(1, len(s.ps) + 1))) AS u(z)
+),
+keep AS (
+  SELECT doc_id, idx FROM (
+    SELECT doc_id, idx,
+           ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+    FROM p WHERE para <> ''
+  ) WHERE rn = 1
+),
+j AS (
+  SELECT p.doc_id, p.idx, p.para,
+         CASE WHEN p.para = '' OR k.idx IS NOT NULL THEN 1 ELSE 0 END AS kept
+  FROM p LEFT JOIN keep k ON k.doc_id = p.doc_id AND k.idx = p.idx
+),
+cleaned AS (
+  SELECT j.doc_id,
+         md5(COALESCE(string_agg(para, chr(10) ORDER BY idx)
+                      FILTER (WHERE kept = 1), '')) AS clean_md5,
+         COALESCE(string_agg(para, chr(10) ORDER BY idx)
+                  FILTER (WHERE kept = 1), '') AS ct
+  FROM j GROUP BY j.doc_id
+),
+s AS (
+  SELECT c.doc_id, d.lang, c.ct, c.clean_md5,
+         (length(c.ct) - (length(c.ct) - length(replace(c.ct, ' ', ''))))
+           / ((length(c.ct) - length(replace(c.ct, ' ', ''))) + 1.0) AS mtl
+  FROM cleaned c JOIN documents d USING (doc_id)
+),
+thr AS (SELECT lang, quantile_disc(mtl, 0.5) AS thr FROM s GROUP BY lang),
+gated AS (SELECT s.* FROM s JOIN thr t USING (lang) WHERE s.mtl >= t.thr),
+dedup AS (
+  SELECT * FROM (
+    SELECT g.*, ROW_NUMBER() OVER (PARTITION BY md5(ct) ORDER BY doc_id) AS rn
+    FROM gated g
+  ) WHERE rn = 1
+),
+keyed AS (
+  SELECT doc_id, lang,
+         CAST(GREATEST(length(ct), 1) AS BIGINT) AS n_chars, clean_md5,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+           / CAST(GREATEST(length(ct), 1) AS DOUBLE) AS sample_key
+  FROM dedup
+)
+SELECT doc_id, lang, n_chars, clean_md5, sample_key
+FROM keyed ORDER BY sample_key, doc_id LIMIT 200
 """
 
 
@@ -5179,6 +5345,7 @@ QUERIES = {
     "boilerplate_removed_docs": boilerplate_removed_docs,
     "para_deduped_docs": para_deduped_docs,
     "quality_top_decile": quality_top_decile,
+    "fineweb_pipeline": fineweb_pipeline,
     "ngram_perplexity": ngram_perplexity,
     "ngram_perplexity_join": ngram_perplexity_join,
     "dsir_selected_docs": dsir_selected_docs,
@@ -5280,6 +5447,7 @@ ORACLES = {
     "boilerplate_removed_docs": _BOILERPLATE_SQL,
     "para_deduped_docs": _PARA_DEDUP_SQL,
     "quality_top_decile": _QUALITY_TOP_DECILE_SQL,
+    "fineweb_pipeline": _FINEWEB_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
     "simhash_near_dups": _SIMHASH_PAIRS_SQL,
     "ngram_perplexity": _NGRAM_PPL_SQL,

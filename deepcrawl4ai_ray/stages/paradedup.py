@@ -155,21 +155,31 @@ def paragraph_dedup(
             out_text.append(sep.join(out_segs))
             out_np.append(n_paras)
             out_drop.append(n_paras - len(ks))
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                text_col: pa.array(out_text, pa.string()),
-                "n_paras": pa.array(out_np, pa.int64()),
-                "n_dropped": pa.array(out_drop, pa.int64()),
-            }
-        )
+        # preserve every other input column (lang, source, ...) so the
+        # operator composes mid-pipeline; text is replaced in place
+        cols = {
+            c: batch[c]
+            for c in batch.schema.names
+            if c not in (text_col, "kept_idx")
+        }
+        cols[id_col] = pa.array(ids, pa.int64())
+        cols[text_col] = pa.array(out_text, pa.string())
+        cols["n_paras"] = pa.array(out_np, pa.int64())
+        cols["n_dropped"] = pa.array(out_drop, pa.int64())
+        order = [c for c in batch.schema.names if c != "kept_idx"] + [
+            "n_paras",
+            "n_dropped",
+        ]
+        return pa.table({c: cols[c] for c in order})
 
+    from .join import _schema_types
+
+    tmap = _schema_types(ds) or {}
+    in_fields = [
+        (c, pa.int64() if c == id_col else (pa.string() if c == text_col else tmap.get(c, pa.string())))
+        for c in (ds.schema().names if ds.schema() is not None else [id_col, text_col])
+    ]
     return _seed_empty(
         joined.map_batches(rebuild, batch_format="pyarrow"),
-        [
-            (id_col, pa.int64()),
-            (text_col, pa.string()),
-            ("n_paras", pa.int64()),
-            ("n_dropped", pa.int64()),
-        ],
+        in_fields + [("n_paras", pa.int64()), ("n_dropped", pa.int64())],
     )
