@@ -223,6 +223,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "image_decode_meta",
         "para_deduped_docs",
         "weighted_doc_sample",
+        "fineweb_pipeline",
     ]
     for name in bench_queries:
         t0 = time.time()

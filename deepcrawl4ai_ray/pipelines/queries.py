@@ -906,13 +906,22 @@ def quality_top_decile(sf_dir: str) -> pd.DataFrame:
 
     # K rows (the language vocabulary) — driver-held by design, broadcast once
     thr_rows = scored.groupby("lang").map_groups(p90, batch_format="pandas").take_all()
-    thr_ref = ray.put({r["lang"]: r["thr"] for r in thr_rows})
+    thr_ref = ray.put(
+        (
+            pa.array([r["lang"] for r in thr_rows], pa.string()),
+            np.array([r["thr"] for r in thr_rows], dtype=np.float64),
+        )
+    )
 
     def gate(batch: pa.Table) -> pa.Table:
-        th = ray.get(thr_ref)
+        # vectorized broadcast lookup: index_in + take (the J2 pattern),
+        # not a Python dict probe per row
+        keys, vals = ray.get(thr_ref)
         mtl = batch["mtl"].to_numpy(zero_copy_only=False)
-        langs = batch["lang"].to_pylist()
-        thv = np.array([th[lg] for lg in langs], dtype=np.float64)
+        pos = pc.index_in(batch["lang"].combine_chunks(), value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
+        thv = vals[pos.astype(np.int64)]
         return pa.table(
             {
                 "lang": batch["lang"],
@@ -4733,12 +4742,20 @@ def fineweb_pipeline(sf_dir: str) -> pd.DataFrame:
         )
 
     thr_rows = scored.groupby("lang").map_groups(p50, batch_format="pandas").take_all()
-    thr_ref = ray.put({r["lang"]: r["thr"] for r in thr_rows})
+    thr_ref = ray.put(
+        (
+            pa.array([r["lang"] for r in thr_rows], pa.string()),
+            np.array([r["thr"] for r in thr_rows], dtype=np.float64),
+        )
+    )
 
     def gate(batch: pa.Table) -> pa.Table:
-        th = ray.get(thr_ref)
+        keys, vals = ray.get(thr_ref)  # index_in + take: the J2 pattern
         mtl = batch["mtl"].to_numpy(zero_copy_only=False)
-        tv = np.array([th[lg] for lg in batch["lang"].to_pylist()], dtype=np.float64)
+        pos = pc.index_in(batch["lang"].combine_chunks(), value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
+        tv = vals[pos.astype(np.int64)]
         return batch.filter(pa.array(mtl >= tv)).drop_columns(["mtl"])
 
     gated = scored.map_batches(gate, batch_format="pyarrow").materialize()

@@ -445,12 +445,22 @@ def _quantile_gate(ds, group_col: str, score_col: str, q: float = 0.9):
         )
 
     rows = ds.groupby(group_col).map_groups(thr_g, batch_format="pandas").take_all()
-    ref = _ray.put({r[group_col]: r["__thr"] for r in rows})
+    ref = _ray.put(
+        (
+            _pa.array([r[group_col] for r in rows]),
+            _np.array([r["__thr"] for r in rows], dtype=_np.float64),
+        )
+    )
 
     def gate(t: "_pa.Table") -> "_pa.Table":
-        th = _ray.get(ref)
+        import pyarrow.compute as _pc
+
+        keys, vals = _ray.get(ref)  # index_in + take: the J2 pattern
         s = t[score_col].to_numpy(zero_copy_only=False)
-        tv = _np.array([th[g] for g in t[group_col].to_pylist()], dtype=_np.float64)
+        pos = _pc.index_in(t[group_col].combine_chunks(), value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
+        tv = vals[pos.astype(_np.int64)]
         return t.filter(_pa.array(s >= tv))
 
     return ds.map_batches(gate, batch_format="pyarrow")
