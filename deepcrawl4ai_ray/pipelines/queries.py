@@ -4713,9 +4713,9 @@ def fineweb_pipeline(sf_dir: str) -> pd.DataFrame:
     from ..stages.sample import weighted_sample_topk
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    clean = paragraph_dedup(
-        ds.map_batches(_make_paras_batch, batch_format="pyarrow")
-    ).materialize()  # consumed by the quantile pass AND the gate pass
+    # no materialize: `clean` has ONE consumer (the score map); the
+    # two-consumer fan-out point is `scored` below
+    clean = paragraph_dedup(ds.map_batches(_make_paras_batch, batch_format="pyarrow"))
 
     def score(batch: pa.Table) -> pa.Table:
         chars = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
