@@ -345,3 +345,68 @@ class TestBucketedAggsRandomized:
         want = df.drop_duplicates(["k", "v"]).sort_values(["k", "v"]).reset_index(drop=True)
         assert len(got) == len(want)
         assert got["k"].astype(str).tolist() == want["k"].astype(str).tolist()
+
+
+class TestCrossEngineKeys:
+    """The second-pass operators' oracle claims rest on two cross-engine
+    invariants: (a) canonical_url_key ≡ the oracle's chained
+    regexp_replace (both RE2), (b) the sequential-Poisson key u/w is
+    bit-identical between numpy and DuckDB.  Pin both on random input."""
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1,
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_canonical_url_key_matches_duckdb(self, urls):
+        import duckdb
+        import pyarrow as pa
+
+        from deepcrawl4ai_ray.functions.urlnorm import canonical_url_key
+
+        got = canonical_url_key(pa.array(urls, pa.string())).to_pylist()
+        want = [
+            duckdb.sql(
+                r"""SELECT lower(regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(?, '^https?://', ''), '^www\.', ''),
+                      '\?.*$', ''), '/+$', ''))""",
+                params=[u],
+            ).fetchone()[0]
+            for u in urls
+        ]
+        assert got == want
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**62),
+                st.integers(min_value=1, max_value=10**9),
+            ),
+            min_size=1,
+            max_size=50,
+            unique_by=lambda t: t[0],
+        )
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_poisson_key_bit_identical_to_duckdb(self, rows):
+        import duckdb
+
+        from deepcrawl4ai_ray.stages.sample import _poisson_keys
+
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        ws = np.array([r[1] for r in rows], dtype=np.int64)
+        got = _poisson_keys(ids, ws)
+        for i, w, g in zip(ids, ws, got):
+            want = duckdb.sql(
+                "SELECT CAST(('0x' || substr(md5(CAST(? AS VARCHAR)), 1, 16)) AS UBIGINT)"
+                " / CAST(? AS DOUBLE)",
+                params=[int(i), int(w)],
+            ).fetchone()[0]
+            assert g == want  # exact float equality — IEEE ops only
