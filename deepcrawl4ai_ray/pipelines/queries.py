@@ -2775,6 +2775,90 @@ ORDER BY c.host
 """
 
 
+def warc_export_hosts(sf_dir: str) -> pd.DataFrame:
+    """WARC archival round-trip (sources/warc.warc_export +
+    write_warc_file): the tiny corpus is exported as one
+    host-partitioned .warc.gz per host (response records with real
+    HTTP payload blocks, deterministic record order, atomic publish),
+    then read BACK with the engine's own from-scratch WARC parser —
+    per-host record counts and an order-pinned md5 over the recovered
+    URLs must match the source-of-truth parquet the oracle reads.
+    Exercises writer ⇄ reader symmetry end-to-end, not just the reader."""
+    import glob as _glob
+    import hashlib as _hl
+    import os as _os
+    import shutil
+
+    from ..sources.corpus import ensure
+    from ..sources.warc import read_wet, warc_export
+
+    corpus = ensure("tiny")
+    sig = _hl.md5(
+        "|".join(
+            f"{f}:{_os.stat(f).st_mtime_ns}"
+            for f in sorted(_glob.glob(f"{corpus}/pages/*.parquet"))
+        ).encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/dc4r_warc_export/{sig}"
+    done = f"{out_dir}/_DONE"
+
+    def add_host(t: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(t["url"], pattern="^[a-z]+://", replacement=""),
+            pattern="/.*$",
+            replacement="",
+        )
+        return t.append_column("host", host)
+
+    if not _os.path.exists(done):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
+        warc_export(
+            pages.map_batches(add_host, batch_format="pyarrow"), out_dir
+        ).materialize()  # consume the manifest: files are the side effect
+        open(done, "w").close()
+
+    files = sorted(_glob.glob(f"{out_dir}/*.warc.gz"))
+    back = read_wet(files, conversion_only=False)
+
+    def resp_urls(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["record_type"], "response"))
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(sub["url"], pattern="^[a-z]+://", replacement=""),
+            pattern="/.*$",
+            replacement="",
+        )
+        return pa.table({"host": host, "url": sub["url"]})
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        urls = sorted(g["url"].tolist())
+        return pd.DataFrame(
+            {
+                "host": [g["host"].iloc[0]],
+                "n_records": [np.int64(len(urls))],
+                "urls_md5": [_hl.md5("|".join(urls).encode("utf-8")).hexdigest()],
+            }
+        )
+
+    out = (
+        back.map_batches(resp_urls, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(per_host, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_records"] = out["n_records"].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+_WARC_EXPORT_SQL = rf"""
+SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       md5(string_agg(url, '|' ORDER BY url)) AS urls_md5
+FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+GROUP BY host ORDER BY host
+"""
+
+
 def canonical_url_groups(sf_dir: str) -> pd.DataFrame:
     """URL-variant dedup (stages/dedup.canonical_url_dedup): http/https,
     www/apex, query-string and trailing-slash spellings of one logical
@@ -5371,6 +5455,7 @@ QUERIES = {
     "hostrank_corpus": hostrank_corpus,
     "host_components": host_components,
     "canonical_url_groups": canonical_url_groups,
+    "warc_export_hosts": warc_export_hosts,
     "bpe_merges": bpe_merges,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
@@ -5475,6 +5560,7 @@ ORACLES = {
     "hostrank_corpus": _hostrank_sql(3),
     "host_components": _HOST_COMPONENTS_SQL,
     "canonical_url_groups": _CANONICAL_URL_SQL,
+    "warc_export_hosts": _WARC_EXPORT_SQL,
     "nfc_normalized_docs": _NFC_SQL,
     "ccnet_pipeline": _CCNET_PIPELINE_SQL,
     # rows-only (non-SQL-expressible): knn_pq_top10 (approximate by

@@ -286,3 +286,110 @@ def write_wet_file(
         else:
             f.write(gzip.compress(b"".join(recs), compresslevel=1, mtime=0))
     return path
+
+
+def write_warc_file(
+    path: str,
+    urls: List[str],
+    htmls: List[str],
+    dates: Optional[List[str]] = None,
+    member_per_record: bool = True,
+) -> str:
+    """Write one full .warc.gz: warcinfo record + one ``response``
+    record per (url, html), each payload a minimal HTTP/1.1 response
+    block (status line + Content-Type/Length + CRLF CRLF + body) — the
+    Common-Crawl raw-capture layout, one gzip member per record so
+    readers can split archives at member boundaries."""
+    recs = [
+        _warc_record(
+            [("WARC-Type", "warcinfo"), ("Content-Type", "application/warc-fields")],
+            b"software: deepcrawl4ai-ray-warc-writer/1.0\r\n",
+        )
+    ]
+    for i, (u, h) in enumerate(zip(urls, htmls)):
+        date = (dates[i] if dates else None) or "2020-01-01T00:00:00Z"
+        body = h if isinstance(h, bytes) else (h or "").encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        recs.append(
+            _warc_record(
+                [
+                    ("WARC-Type", "response"),
+                    ("WARC-Target-URI", u),
+                    ("WARC-Date", date),
+                    ("Content-Type", "application/http; msgtype=response"),
+                ],
+                http,
+            )
+        )
+    with open(path, "wb") as f:
+        if member_per_record:
+            for r in recs:
+                f.write(gzip.compress(r, compresslevel=1, mtime=0))
+        else:
+            f.write(gzip.compress(b"".join(recs), compresslevel=1, mtime=0))
+    return path
+
+
+def split_http_payload(payload: bytes) -> tuple:
+    """``response`` record payload → (status_code, header dict, body
+    bytes).  Raises WarcFormatError on a payload without an HTTP block."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0 or not payload.startswith(b"HTTP/"):
+        raise WarcFormatError("response payload has no HTTP header block")
+    head = payload[:sep].decode("utf-8", "replace").split("\r\n")
+    try:
+        status = int(head[0].split(" ")[1])
+    except (IndexError, ValueError):
+        raise WarcFormatError(f"bad HTTP status line {head[0][:40]!r}")
+    headers = {}
+    for line in head[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return status, headers, payload[sep + 4 :]
+
+
+def _part_slug(value: str) -> str:
+    import re as _re
+
+    return _re.sub(r"[^a-zA-Z0-9_.-]", "-", str(value)) or "part"
+
+
+def warc_export(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    partition_col: str = "host",
+) -> "ray.data.Dataset":
+    """Distributed archival sink: pages → one ``<partition>.warc.gz``
+    per partition value (records sorted by URL inside a file, so the
+    archive set is DETERMINISTIC across block layouts), written
+    tmp+rename so a rerun republishes atomically — the resumable-sink
+    discipline of the parquet writer applied to the crawl's canonical
+    interchange format.  Returns the manifest
+    Dataset(partition, path, n_records).
+
+    Partition choice is the caller's: host for politeness-aligned
+    archives (one group per host; a pathological mega-host makes one
+    large file — bucket upstream if that matters)."""
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as _pd
+
+        part = str(g[partition_col].iloc[0])
+        g = g.sort_values(url_col, kind="mergesort")
+        path = _os.path.join(out_dir, f"{_part_slug(part)}.warc.gz")
+        tmp = f"{path}.tmp.{_os.getpid()}"
+        write_warc_file(tmp, g[url_col].tolist(), g[html_col].tolist())
+        _os.replace(tmp, path)
+        return _pd.DataFrame(
+            {"partition": [part], "path": [path], "n_records": [len(g)]}
+        )
+
+    return ds.groupby(partition_col).map_groups(write_group, batch_format="pandas")
