@@ -4940,6 +4940,103 @@ FROM keyed ORDER BY sample_key, doc_id LIMIT 200
 """
 
 
+def langid_model_scores(sf_dir: str) -> pd.DataFrame:
+    """Trained language-ID model (stages/langid_model): naive-Bayes
+    char-trigram classifier trained DISTRIBUTED on the doc_id%4==0
+    slice (two bucketed sums over slim (lang, trigram, count) partials),
+    persisted to an npz model file, then scored on the doc_id%7==3
+    slice by an actor pool that loads the FILE once per actor — the
+    train→persist→load→batch-score lifecycle of a real fastText-style
+    deployment, with the entire computation (training counts, top-512
+    vocabulary, add-one smoothing, per-occurrence OOV terms, 6dp
+    argmax) reproduced by the SQL oracle."""
+    import hashlib as _hl
+    import os as _os
+
+    from ..stages.langid_model import save_langid_model, score_langid, train_langid_model
+
+    doc_path = _p(sf_dir, "documents")
+    st = _os.stat(doc_path)
+    key = f"langid|{sf_dir}|{st.st_mtime_ns}|{st.st_size}|v512"
+    model_path = f"/tmp/dc4r_langid/{_hl.md5(key.encode()).hexdigest()[:12]}.npz"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    if not _os.path.exists(model_path):
+        _os.makedirs(_os.path.dirname(model_path), exist_ok=True)
+        train = ds.map_batches(
+            lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 3), 0)),
+            batch_format="pyarrow",
+        )
+        model = train_langid_model(train, vocab_size=512)
+        save_langid_model(model_path, model)
+
+    def eval_slice(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (ids % 7 == 3) & (
+            pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False) >= 3
+        )
+        return t.filter(pa.array(keep))
+
+    evald = ds.map_batches(eval_slice, batch_format="pyarrow")
+    out = score_langid(evald, model_path).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_LANGID_SQL = r"""
+WITH train AS (
+  SELECT lang, lower(text) AS t FROM documents WHERE doc_id % 4 = 0
+),
+tri AS (
+  SELECT lang, unnest([substr(t, i, 3) for i in range(1, length(t) - 1)]) AS g
+  FROM train WHERE length(t) >= 3
+),
+cnt AS (SELECT lang, g, COUNT(*) * 1.0 AS c FROM tri GROUP BY lang, g),
+tot AS (SELECT g, SUM(c) AS total FROM cnt GROUP BY g),
+vocab AS (SELECT g FROM tot ORDER BY total DESC, g LIMIT 512),
+nl AS (SELECT c.lang, SUM(c.c) AS n FROM cnt c JOIN vocab v USING (g) GROUP BY c.lang),
+vs AS (SELECT COUNT(*) * 1.0 AS v FROM vocab),  -- actual |vocab| (may be < the LIMIT)
+langs AS (SELECT DISTINCT lang FROM train),
+logp AS (
+  SELECT l.lang, v.g, ln((COALESCE(c.c, 0) + 1.0) / (n.n + (SELECT v FROM vs))) AS lp
+  FROM langs l CROSS JOIN vocab v
+  LEFT JOIN cnt c ON c.lang = l.lang AND c.g = v.g
+  JOIN nl n ON n.lang = l.lang
+),
+oov AS (SELECT lang, ln(1.0 / (n + (SELECT v FROM vs))) AS lp FROM nl),
+ev AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE doc_id % 7 = 3 AND length(text) >= 3
+),
+etri AS (
+  SELECT doc_id, unnest([substr(t, i, 3) for i in range(1, length(t) - 1)]) AS g
+  FROM ev
+),
+escore AS (
+  SELECT e.doc_id, l.lang, ROUND(SUM(COALESCE(p.lp, o.lp)), 6) AS s
+  FROM etri e
+  CROSS JOIN langs l
+  LEFT JOIN logp p ON p.lang = l.lang AND p.g = e.g
+  JOIN oov o ON o.lang = l.lang
+  GROUP BY e.doc_id, l.lang
+),
+pred AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+    FROM escore
+  ) WHERE rn = 1
+)
+SELECT e.doc_id,
+       MAX(CASE WHEN lang = 'de' THEN s END) AS score_de,
+       MAX(CASE WHEN lang = 'en' THEN s END) AS score_en,
+       MAX(CASE WHEN lang = 'es' THEN s END) AS score_es,
+       MAX(CASE WHEN lang = 'fr' THEN s END) AS score_fr,
+       MAX(CASE WHEN lang = 'zh' THEN s END) AS score_zh,
+       MAX(p.pred_lang) AS pred_lang
+FROM escore e JOIN pred p USING (doc_id)
+GROUP BY e.doc_id ORDER BY e.doc_id
+"""
+
+
 def _ngram_ppl(sf_dir: str, mode: str) -> pd.DataFrame:
     """Shared body of the two ngram_perplexity entries: train the CCNet
     bigram LM on the doc_id%7==0 slice, score EVERY scoreable doc."""
@@ -5447,6 +5544,7 @@ QUERIES = {
     "para_deduped_docs": para_deduped_docs,
     "quality_top_decile": quality_top_decile,
     "fineweb_pipeline": fineweb_pipeline,
+    "langid_model_scores": langid_model_scores,
     "ngram_perplexity": ngram_perplexity,
     "ngram_perplexity_join": ngram_perplexity_join,
     "dsir_selected_docs": dsir_selected_docs,
@@ -5550,6 +5648,7 @@ ORACLES = {
     "para_deduped_docs": _PARA_DEDUP_SQL,
     "quality_top_decile": _QUALITY_TOP_DECILE_SQL,
     "fineweb_pipeline": _FINEWEB_SQL,
+    "langid_model_scores": _LANGID_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
     "simhash_near_dups": _SIMHASH_PAIRS_SQL,
     "ngram_perplexity": _NGRAM_PPL_SQL,
