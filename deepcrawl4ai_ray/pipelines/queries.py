@@ -1692,6 +1692,160 @@ ORDER BY id_a, id_b
 """
 
 
+def _kmeans_seed_init(sf_dir: str, k: int = 8) -> np.ndarray:
+    """k-means init for the ORACLE-BACKED queries: the RAW (unrounded,
+    un-normalized) embeddings of vec_ids 1..k, so the SQL twin's c0 CTE
+    is literally the same data rows (cosine assignment is
+    scale-invariant, so normalization is unnecessary)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.knn import _to_matrix
+
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    t = t.filter(pc.and_(pc.greater_equal(t["vec_id"], 1), pc.less_equal(t["vec_id"], k)))
+    return _to_matrix(t.sort_by("vec_id")["embedding"])
+
+
+def _unrolled_kmeans_sql(src: str, k: int, iters: int) -> str:
+    """CTE chain mirroring stages/semdedup.kmeans_fit bit-for-bit (the
+    pagerank-oracle unrolling trick): c0 = raw seed rows, each round =
+    (assignment: argmax ROUND(cos,4), ties -> smaller cluster) then
+    (update: per-dim AVG ROUNDed to 6dp, empty clusters keep their old
+    centroid), and `af` is the final assignment against c{iters}.
+    ``src`` must be a CTE named `e` exposing (vec_id, v DOUBLE[])."""
+    parts = [
+        f"c0 AS (SELECT vec_id - 1 AS cl, v AS c FROM {src} "
+        f"WHERE vec_id BETWEEN 1 AND {k})"
+    ]
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (SELECT vec_id, cl FROM (
+  SELECT e.vec_id, c.cl,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY ROUND(list_cosine_similarity(e.v, c.c), 4) DESC, c.cl) AS rn
+  FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    for t in range(iters):
+        parts.append(assign(f"a{t}", f"c{t}"))
+        parts.append(
+            f"""m{t} AS (SELECT cl, i, ROUND(AVG(x), 6) AS x FROM (
+  SELECT a.cl, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
+  FROM {src} e JOIN a{t} a USING (vec_id)) GROUP BY cl, i)"""
+        )
+        parts.append(
+            f"n{t} AS (SELECT cl, list(x ORDER BY i) AS c FROM m{t} GROUP BY cl)"
+        )
+        parts.append(
+            f"c{t + 1} AS (SELECT c.cl, COALESCE(n.c, c.c) AS c "
+            f"FROM c{t} c LEFT JOIN n{t} n USING (cl))"
+        )
+    parts.append(assign("af", f"c{iters}"))
+    return ",\n".join(parts)
+
+
+def kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd k-means over the embeddings (k=8, 3 rounds,
+    seeds = vec_ids 1..8): centroids broadcast per round, k slim partial
+    rows per block, driver holds only the k x d matrix.  Output is the
+    final (vec_id, cluster) assignment — the training LOOP itself is
+    oracle-checked via the unrolled-CTE twin."""
+    from ..stages.semdedup import assign_clusters, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = kmeans_fit(ds, "embedding", _kmeans_seed_init(sf_dir, 8), iters=3)
+    df = assign_clusters(ds, "vec_id", "embedding", C).to_pandas()
+    df = df.sort_values("vec_id").reset_index(drop=True)
+    for c in ("vec_id", "cluster"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+_KMEANS_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_unrolled_kmeans_sql("e", 8, 3)}
+SELECT vec_id, cl AS cluster FROM af ORDER BY vec_id
+"""
+
+
+def _aug_embeddings(sf_dir: str) -> "rd.Dataset":
+    """embeddings ∪ planted near-identical copies (vec_id % 50 == 0 →
+    vec_id + 10M with the first component scaled 1.01 + 0.001) — the
+    same plant as emb_near_dup_pairs, giving semdedup a recoverable dup
+    population; everything widened to list<double> so both branches and
+    the SQL aug CTE hold identical values."""
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": pc.cast(batch["embedding"], pa.list_(pa.float64())),
+            }
+        )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        from ..stages.knn import _to_matrix
+
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % 50 == 0))
+        X = _to_matrix(sub["embedding"])  # float64
+        if len(X):
+            X = X.copy()
+            X[:, 0] = X[:, 0] * 1.01 + 0.001
+        return pa.table(
+            {
+                "vec_id": pc.add(sub["vec_id"], 10_000_000),
+                "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(widen, batch_format="pyarrow").union(
+        ds.map_batches(plant, batch_format="pyarrow")
+    )
+
+
+def semdedup_docs(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023) over embeddings ∪ planted
+    near-copies: k-means (k=8, 2 rounds) bounds the pairwise step to
+    within-cluster, then every row with a smaller-id same-cluster
+    neighbor at ROUND(cos,4) >= 0.95 is dropped.  Training, assignment
+    AND the keep/drop pass are all under one unrolled SQL oracle."""
+    from ..stages.semdedup import kmeans_fit, semantic_dedup
+
+    aug = _aug_embeddings(sf_dir)
+    C = kmeans_fit(aug, "embedding", _kmeans_seed_init(sf_dir, 8), iters=2)
+    out = semantic_dedup(aug, "vec_id", "embedding", C, threshold=0.95)
+    df = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    for c in ("vec_id", "cluster", "kept"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+_SEMDEDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+         list_prepend(CAST(embedding[1] AS DOUBLE) * 1.01 + 0.001,
+                      CAST(embedding[2:] AS DOUBLE[]))
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+{_unrolled_kmeans_sql("e", 8, 2)},
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a JOIN af b ON a.cl = b.cl AND b.vec_id > a.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= 0.95
+)
+SELECT vec_id, cl AS cluster,
+       CAST(CASE WHEN vec_id IN (SELECT vec_id FROM drops)
+            THEN 0 ELSE 1 END AS BIGINT) AS kept
+FROM af ORDER BY vec_id
+"""
+
+
 # =========================================================================
 # F. Near-dup text dedup (rows-only: not SQL-expressible)
 # =========================================================================
@@ -5480,6 +5634,8 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "dedup_exact_docs": dedup_exact_docs,
     "knn_cosine_top10": knn_cosine_top10,
+    "kmeans_clusters": kmeans_clusters,
+    "semdedup_docs": semdedup_docs,
     "knn_ivf_top10": knn_ivf_top10,
     "knn_ivf_indexed_top10": knn_ivf_indexed_top10,
     "knn_ivf_appended_top10": knn_ivf_appended_top10,
@@ -5587,6 +5743,8 @@ ORACLES = {
     "doc_fingerprints": _FINGERPRINT_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "knn_cosine_top10": _KNN_SQL,
+    "kmeans_clusters": _KMEANS_SQL,
+    "semdedup_docs": _SEMDEDUP_SQL,
     "knn_ivf_top10": _IVF_SQL,
     "knn_ivf_indexed_top10": _IVF_SQL,
     "knn_ivf_appended_top10": _IVF_SQL,
