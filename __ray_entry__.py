@@ -33,7 +33,13 @@ implementation file → queries() key → check type).  Summary:
   embedding_near_dup_pairs (cosine)
 - similarity search ...................... knn_cosine_top10 (brute
   force), knn_ivf_top10 (IVF scale path), knn_ivf_indexed_top10
-  (persisted partition-pruned inverted file)
+  (persisted partition-pruned inverted file), knn_join_top5 (batched
+  ANN kNN-JOIN, cluster-co-partitioned)
+- semantic dedup / clustering ............ kmeans_clusters (distributed
+  Lloyd, training loop SQL-oracled), semdedup_docs (SemDeDup,
+  Abbas et al. 2023)
+- eval hygiene ........................... source_disjoint_split
+  (leakage-free keyed 80/10/10 split)
 - text analysis .......................... token_stats_by_lang,
   bpe_token_stats (RE2 sub-word counts), quality_by_lang,
   doc_fingerprints, simhash, lang_id_counts (bigram language ID)

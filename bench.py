@@ -224,6 +224,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "para_deduped_docs",
         "weighted_doc_sample",
         "fineweb_pipeline",
+        "semdedup_docs",
+        "knn_join_top5",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -1846,6 +1846,105 @@ FROM af ORDER BY vec_id
 """
 
 
+def knn_join_top5(sf_dir: str) -> pd.DataFrame:
+    """ANN kNN-JOIN (batched ivf_topk): queries = every 25th vector,
+    base = the rest; both sides cluster-partitioned once (queries
+    replicated nprobe=2 ways), per-cluster query x member cosine blocks,
+    slim per-qid top-k merge.  The whole approximate PLAN is mirrored in
+    SQL (seeded centroids, same rounding/tie rules), like _IVF_SQL."""
+    from ..stages.knn import knn_join
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def qside(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % 25 == 0))
+        return pa.table({"qid": sub["vec_id"], "embedding": sub["embedding"]})
+
+    def bside(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 25 != 0))
+
+    out = knn_join(
+        ds.map_batches(bside, batch_format="pyarrow"),
+        ds.map_batches(qside, batch_format="pyarrow"),
+        "vec_id",
+        "qid",
+        "embedding",
+        _kmeans_seed_init(sf_dir, 8),
+        k=5,
+        nprobe=2,
+    )
+    df = out.to_pandas().sort_values(["qid", "vec_id"]).reset_index(drop=True)
+    for c in ("qid", "vec_id"):
+        df[c] = df[c].astype("int64")
+    return df[["qid", "vec_id", "cos_sim"]]
+
+
+_KNN_JOIN_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id - 1 AS cl, v AS c FROM e WHERE vec_id BETWEEN 1 AND 8),
+q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 25 = 0),
+b AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
+ab AS (SELECT vec_id, cl FROM (
+    SELECT b.vec_id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      ORDER BY ROUND(list_cosine_similarity(b.v, c.c), 4) DESC, c.cl) AS rn
+    FROM b CROSS JOIN cents c) WHERE rn = 1),
+aq AS (SELECT qid, cl FROM (
+    SELECT q.qid, c.cl, ROW_NUMBER() OVER (PARTITION BY q.qid
+      ORDER BY ROUND(list_cosine_similarity(q.v, c.c), 4) DESC, c.cl) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 2),
+cand AS (
+  SELECT aq.qid, ab.vec_id,
+         ROUND(list_cosine_similarity(qe.v, be.v), 4) AS cos_sim
+  FROM aq JOIN ab ON aq.cl = ab.cl
+  JOIN q qe ON qe.qid = aq.qid
+  JOIN b be ON be.vec_id = ab.vec_id
+)
+SELECT qid, vec_id, cos_sim FROM (
+  SELECT cand.*, ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM cand) WHERE rn <= 5
+ORDER BY qid, vec_id
+"""
+
+
+def source_disjoint_split(sf_dir: str) -> pd.DataFrame:
+    """Leakage-free 80/10/10 split of documents keyed by `source`: every
+    document of a source lands in the same split (map-side hash-interval
+    assignment, zero shuffles) — the standard guard against one site's
+    near-duplicates straddling train and eval."""
+    from ..stages.sample import keyed_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = keyed_split(ds, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df[["doc_id", "source", "split"]]
+
+
+def _split_sql() -> str:
+    # the SQL literals are generated by the SAME numpy bound computation
+    # keyed_split uses (cumsum in float64, floor to 2^63 range), so the
+    # two engines compare against bit-identical integers
+    fracs = np.array([0.8, 0.1, 0.1])
+    b = np.floor(np.cumsum(fracs) * float(2**63)).astype(np.uint64)
+    return f"""
+SELECT doc_id, source,
+       CASE WHEN h < {int(b[0])} THEN 'train'
+            WHEN h < {int(b[1])} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+             CAST(md5_number_lower(COALESCE(source, '')) & 9223372036854775807
+                  AS BIGINT) AS h
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+_SPLIT_SQL = _split_sql()
+
+
 # =========================================================================
 # F. Near-dup text dedup (rows-only: not SQL-expressible)
 # =========================================================================
@@ -5636,6 +5735,8 @@ QUERIES = {
     "knn_cosine_top10": knn_cosine_top10,
     "kmeans_clusters": kmeans_clusters,
     "semdedup_docs": semdedup_docs,
+    "knn_join_top5": knn_join_top5,
+    "source_disjoint_split": source_disjoint_split,
     "knn_ivf_top10": knn_ivf_top10,
     "knn_ivf_indexed_top10": knn_ivf_indexed_top10,
     "knn_ivf_appended_top10": knn_ivf_appended_top10,
@@ -5745,6 +5846,8 @@ ORACLES = {
     "knn_cosine_top10": _KNN_SQL,
     "kmeans_clusters": _KMEANS_SQL,
     "semdedup_docs": _SEMDEDUP_SQL,
+    "knn_join_top5": _KNN_JOIN_SQL,
+    "source_disjoint_split": _SPLIT_SQL,
     "knn_ivf_top10": _IVF_SQL,
     "knn_ivf_indexed_top10": _IVF_SQL,
     "knn_ivf_appended_top10": _IVF_SQL,

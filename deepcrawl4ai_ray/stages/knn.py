@@ -377,3 +377,135 @@ def pq_topk(
     cand = sorted(int(x) for x in parts.head(refine)[id_col])
     filtered = broadcast_filter(full_ds, id_col, ray.put(cand), keep_in=True)
     return brute_force_topk(filtered, id_col, vec_col, query, k=k, exclude_id=exclude_id)
+
+
+def knn_join(
+    base: "ray.data.Dataset",
+    queries: "ray.data.Dataset",
+    id_col: str,
+    qid_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    round_sims: int = 4,
+) -> "ray.data.Dataset":
+    """ANN kNN-JOIN: for EVERY query row, the top-k base rows by cosine —
+    the batched form of ivf_topk for when the query side is itself a
+    dataset (retrieval decontamination, cluster-rep lookup, embedding
+    self-join), where a per-query broadcast loop would be O(|Q|) driver
+    round-trips.
+
+    Plan (both sides shuffle ONCE, by cluster): base rows are assigned
+    to their nearest centroid; query rows are REPLICATED to their
+    ``nprobe`` nearest centroid groups; one groupby(cluster) co-locates
+    them and each group computes its queries x members cosine block and
+    keeps per-query partial top-k; a second slim groupby(qid) merges the
+    ≤ nprobe*k partials per query.  Only (id, vector) rows move — at
+    corpus scale the payload stays behind and joins back on id.
+
+    Determinism contract (shared with ivf_topk / the SQL twin):
+    assignment and probe ranking use ROUND(cos, 4) with ties -> smaller
+    cluster; the top-k comparator is (ROUND(cos, 4) DESC, id ASC).
+    Candidates are unique per (qid, id) because each base row lives in
+    exactly one cluster group."""
+    from .join import _seed_empty, shuffle_coalesce
+    from .semdedup import _cos_sims, _vec_column
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_ref = ray.put(C)
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        X = _to_matrix(batch[vec_col])
+        a = (
+            np.argmax(np.round(_cos_sims(X, cents), round_sims), axis=1)
+            if len(X)
+            else np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "rid": pa.array(
+                    batch[id_col].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "qid": pa.array(np.full(len(X), -1, np.int64), pa.int64()),
+                "v": _vec_column(X, C.shape[1] if not len(X) else X.shape[1]),
+            }
+        )
+
+    def tag_query(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        X = _to_matrix(batch[vec_col])
+        qids = batch[qid_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(X):
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "rid": pa.array([], pa.int64()),
+                    "qid": pa.array([], pa.int64()),
+                    "v": _vec_column(np.zeros((0, C.shape[1])), C.shape[1]),
+                }
+            )
+        sims = np.round(_cos_sims(X, cents), round_sims)
+        # top-nprobe clusters per query: ROUND(cos,4) desc, cluster asc
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        rep = np.repeat(np.arange(len(X)), order.shape[1])
+        return pa.table(
+            {
+                "cluster": pa.array(order.reshape(-1).astype(np.int64), pa.int64()),
+                "rid": pa.array(np.full(len(rep), -1, np.int64), pa.int64()),
+                "qid": pa.array(qids[rep], pa.int64()),
+                "v": _vec_column(X[rep], X.shape[1]),
+            }
+        )
+
+    out_schema = [(qid_col, pa.int64()), (id_col, pa.int64()), ("cos_sim", pa.float64())]
+
+    def group_topk(t: pa.Table) -> pa.Table:
+        qmask = t["qid"].to_numpy(zero_copy_only=False) != -1
+        if not qmask.any() or qmask.all():
+            return pa.schema(out_schema).empty_table()
+        V = _to_matrix(t["v"])
+        Q, B = V[qmask], V[~qmask]
+        qids = t["qid"].to_numpy(zero_copy_only=False)[qmask]
+        rids = t["rid"].to_numpy(zero_copy_only=False)[~qmask]
+        sims = np.round(_cos_sims(Q, B), round_sims)
+        kk = min(k, len(rids))
+        rows_q, rows_r, rows_s = [], [], []
+        for i in range(len(qids)):
+            idx = _topk_idx(sims[i], rids, kk)
+            rows_q.append(np.full(len(idx), qids[i]))
+            rows_r.append(rids[idx])
+            rows_s.append(sims[i][idx])
+        return pa.table(
+            {
+                qid_col: pa.array(np.concatenate(rows_q), pa.int64()),
+                id_col: pa.array(np.concatenate(rows_r), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(rows_s), pa.float64()),
+            }
+        )
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = t["cos_sim"].to_numpy(zero_copy_only=False)
+        idx = _topk_idx(sims, ids, min(k, len(ids)))
+        return pa.table(
+            {
+                qid_col: t[qid_col].take(pa.array(idx)),
+                id_col: pa.array(ids[idx], pa.int64()),
+                "cos_sim": pa.array(sims[idx], pa.float64()),
+            }
+        )
+
+    tagged = base.map_batches(tag_base, batch_format="pyarrow").union(
+        queries.map_batches(tag_query, batch_format="pyarrow")
+    )
+    cand = (
+        shuffle_coalesce(tagged)
+        .groupby("cluster")
+        .map_groups(group_topk, batch_format="pyarrow")
+    )
+    cand = _seed_empty(cand, out_schema)
+    out = cand.groupby(qid_col).map_groups(merge_topk, batch_format="pyarrow")
+    return _seed_empty(out, out_schema)

@@ -288,3 +288,41 @@ def temperature_sample(
     counts = {r[group_col]: int(r["n"]) for r in cnt_rows}
     targets = temperature_targets(counts, frac)
     return stratified_targets_sample(ds, group_col, id_col, targets, keep_cols)
+
+
+def keyed_split(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    splits: "dict[str, float]",
+    salt: str = "",
+) -> "ray.data.Dataset":
+    """Leakage-free train/val/test assignment: EVERY row with the same
+    key (host, source, url-domain) lands in the same split — the
+    standard guard against near-duplicate pages of one site straddling
+    train and eval.  Pure map-side (zero shuffles): split =
+    hash-interval of md5_int63(key || salt), with integer interval
+    bounds floor(cum_frac * 2^63) so the DuckDB twin
+    (md5_number_lower & mask63 compared to the same literals) is
+    bit-identical.  Proportions are approximate in KEY-mass (a heavy key
+    drags its whole row-mass with it — that is the point); ``salt``
+    re-rolls the assignment without touching the data."""
+    from ..functions.hashing import md5_int63
+
+    names = list(splits)
+    fracs = np.array([splits[n] for n in names], dtype=np.float64)
+    if not np.isclose(fracs.sum(), 1.0):
+        raise ValueError(f"split fractions must sum to 1, got {fracs.sum()}")
+    # upper bounds of each split's hash interval; the last is clamped to
+    # the full range so float rounding can never orphan the top hashes
+    bounds = np.floor(np.cumsum(fracs) * float(2**63)).astype(np.uint64)
+    bounds[-1] = np.uint64(2**63)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        h = md5_int63([(k or "") + salt for k in keys]).astype(np.uint64)
+        idx = np.searchsorted(bounds, h, side="right")
+        return batch.append_column(
+            "split", pa.array([names[i] for i in idx], pa.string())
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -58,6 +58,14 @@ MAX_CLUSTER_SIZE = 100_000
 _PAIR_CHUNK_ROWS = 2048  # rows of the n_c x n_c sim matrix per slab
 
 
+def _vec_column(X: np.ndarray, d: int) -> pa.Array:
+    """(n, d) float64 matrix -> fixed_size_list<double, d> WITHOUT a
+    python-float round-trip (the tolist() path measured 2M x 64 floats
+    as the dominant cost of the 2M-vector scale proof's tag stage)."""
+    flat = pa.array(np.ascontiguousarray(X, dtype=np.float64).reshape(-1), pa.float64())
+    return pa.FixedSizeListArray.from_arrays(flat, d)
+
+
 def _cos_sims(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     """(n, k) cosine matrix with DuckDB's bracketing:
     dot / sqrt(|a|^2 * |b|^2)."""
@@ -204,7 +212,9 @@ def semantic_dedup(
     comparison is slabbed (_PAIR_CHUNK_ROWS rows at a time) so the peak
     matrix is bounded regardless of cluster size, and clusters above
     ``max_cluster`` raise rather than silently going quadratic."""
-    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    C = np.asarray(centroids, dtype=np.float64)
+    c_ref = ray.put(C)
+    d = C.shape[1]
 
     def tag(batch: pa.Table) -> pa.Table:
         cents = ray.get(c_ref)
@@ -220,9 +230,7 @@ def semantic_dedup(
                     batch[id_col].to_numpy(zero_copy_only=False), pa.int64()
                 ),
                 "cluster": pa.array(a.astype(np.int64), pa.int64()),
-                "v": pa.array(
-                    [r.tolist() for r in X], pa.list_(pa.float64())
-                ),
+                "v": _vec_column(X, d),
             }
         )
 
@@ -241,7 +249,14 @@ def semantic_dedup(
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         X = _to_matrix(t["v"])[order]
-        nsq = np.einsum("ij,ij->i", X, X)
+        # normalize ONCE and fold the 4dp round into the threshold:
+        # ROUND(s, 4) >= t  <=>  s >= t - 0.5e-4 up to ~1e-15 fp noise,
+        # 10 orders of magnitude below the 5e-5 margin — this removes
+        # three elementwise passes (round, sqrt, divide) over the n^2
+        # matrix, which dominated the matmul in the 2M-vector proof
+        nrm = np.sqrt(np.maximum(np.einsum("ij,ij->i", X, X), 1e-300))
+        X = X / nrm[:, None]
+        thr = threshold - 0.5 * 10.0 ** (-round_sims)
         n = len(ids)
         dropped = np.zeros(n, dtype=bool)
         for lo in range(0, n, _PAIR_CHUNK_ROWS):
@@ -249,11 +264,7 @@ def semantic_dedup(
             if lo == 0 and hi <= 1:
                 continue
             # rows lo..hi vs ALL strictly-smaller-id columns 0..hi
-            S = (X[lo:hi] @ X[:hi].T) / np.sqrt(
-                np.maximum(np.outer(nsq[lo:hi], nsq[:hi]), 1e-300)
-            )
-            S = np.round(S, round_sims)
-            hit = S >= threshold
+            hit = X[lo:hi] @ X[:hi].T >= thr
             # mask the diagonal and upper triangle of this slab: only
             # j < i (smaller id) may drop i — NOT gated on j itself
             # surviving, same as the training-pipeline drop rule
@@ -278,7 +289,7 @@ def semantic_dedup(
                 {
                     id_col: pa.array([], pa.int64()),
                     "cluster": pa.array([], pa.int64()),
-                    "v": pa.array([], pa.list_(pa.float64())),
+                    "v": _vec_column(np.zeros((0, d)), d),
                 }
             )
         )
