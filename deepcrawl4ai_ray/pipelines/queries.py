@@ -1846,6 +1846,68 @@ FROM af ORDER BY vec_id
 """
 
 
+def semdedup_reps(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup with the PAPER's keep rule (Abbas et al. 2023 §2): per
+    connected component of the within-cluster >=0.95 graph, keep exactly
+    the member with the LOWEST rounded centroid similarity (the least
+    prototypical example), ties -> smaller id.  Same augmented input /
+    trained k-means as semdedup_docs."""
+    from ..stages.semdedup import kmeans_fit, semantic_dedup
+
+    aug = _aug_embeddings(sf_dir)
+    C = kmeans_fit(aug, "embedding", _kmeans_seed_init(sf_dir, 8), iters=2)
+    out = semantic_dedup(
+        aug, "vec_id", "embedding", C, threshold=0.95, keep="low_centroid_sim"
+    )
+    df = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    for c in ("vec_id", "cluster", "kept"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+_SEMDEDUP_REPS_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+         list_prepend(CAST(embedding[1] AS DOUBLE) * 1.01 + 0.001,
+                      CAST(embedding[2:] AS DOUBLE[]))
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+{_unrolled_kmeans_sql("e", 8, 2)},
+cs AS (
+  SELECT a.vec_id, a.cl,
+         ROUND(list_cosine_similarity(e.v, c.c), 4) AS csim
+  FROM af a JOIN e ON e.vec_id = a.vec_id JOIN c2 c ON c.cl = a.cl
+),
+prs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM af a JOIN af b ON a.cl = b.cl AND b.vec_id > a.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= 0.95
+),
+sym AS (SELECT ida AS a, idb AS b FROM prs UNION ALL SELECT idb, ida FROM prs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+lbl AS (SELECT a AS v, LEAST(a, MIN(b)) AS lbl FROM reach GROUP BY a),
+pick AS (
+  SELECT v FROM (
+    SELECT l.v, ROW_NUMBER() OVER (
+        PARTITION BY l.lbl ORDER BY cs.csim ASC, l.v ASC) AS rn
+    FROM lbl l JOIN cs ON cs.vec_id = l.v) WHERE rn = 1
+)
+SELECT af.vec_id, af.cl AS cluster,
+       CAST(CASE WHEN af.vec_id NOT IN (SELECT v FROM lbl) THEN 1
+                 WHEN af.vec_id IN (SELECT v FROM pick) THEN 1
+                 ELSE 0 END AS BIGINT) AS kept
+FROM af ORDER BY vec_id
+"""
+
+
 def knn_join_top5(sf_dir: str) -> pd.DataFrame:
     """ANN kNN-JOIN (batched ivf_topk): queries = every 25th vector,
     base = the rest; both sides cluster-partitioned once (queries
@@ -5735,6 +5797,7 @@ QUERIES = {
     "knn_cosine_top10": knn_cosine_top10,
     "kmeans_clusters": kmeans_clusters,
     "semdedup_docs": semdedup_docs,
+    "semdedup_reps": semdedup_reps,
     "knn_join_top5": knn_join_top5,
     "source_disjoint_split": source_disjoint_split,
     "knn_ivf_top10": knn_ivf_top10,
@@ -5846,6 +5909,7 @@ ORACLES = {
     "knn_cosine_top10": _KNN_SQL,
     "kmeans_clusters": _KMEANS_SQL,
     "semdedup_docs": _SEMDEDUP_SQL,
+    "semdedup_reps": _SEMDEDUP_REPS_SQL,
     "knn_join_top5": _KNN_JOIN_SQL,
     "source_disjoint_split": _SPLIT_SQL,
     "knn_ivf_top10": _IVF_SQL,

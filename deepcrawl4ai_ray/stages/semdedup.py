@@ -202,16 +202,28 @@ def semantic_dedup(
     threshold: float = 0.95,
     round_sims: int = 4,
     max_cluster: int = MAX_CLUSTER_SIZE,
+    keep: str = "smallest_id",
 ) -> "ray.data.Dataset":
     """SemDeDup keep/drop pass -> Dataset(id, cluster, kept).
 
-    Drop rule (shared with the minhash/training-pipeline queries and
-    their SQL twins): a row is dropped iff SOME smaller-id row in the
-    same cluster has ROUND(cos_sim, 4) >= threshold.  Only (id, cluster,
-    vector) rows enter the per-cluster shuffle; the in-cluster n_c^2
-    comparison is slabbed (_PAIR_CHUNK_ROWS rows at a time) so the peak
-    matrix is bounded regardless of cluster size, and clusters above
-    ``max_cluster`` raise rather than silently going quadratic."""
+    Two keep rules:
+    - ``keep="smallest_id"`` (default, shared with the minhash /
+      training-pipeline queries and their SQL twins): a row is dropped
+      iff SOME smaller-id row in the same cluster has ROUND(cos_sim, 4)
+      >= threshold.
+    - ``keep="low_centroid_sim"`` (the rule of the SemDeDup paper,
+      Abbas et al. 2023 §2): within each connected component of the
+      within-cluster >=threshold graph, keep exactly the member with the
+      LOWEST ROUND(cos-to-centroid, 4) (ties -> smaller id) — the least
+      prototypical example survives; singletons always keep.
+
+    Only (id, cluster, vector) rows enter the per-cluster shuffle; the
+    in-cluster n_c^2 comparison is slabbed (_PAIR_CHUNK_ROWS rows at a
+    time) so the peak matrix is bounded regardless of cluster size, and
+    clusters above ``max_cluster`` raise rather than silently going
+    quadratic."""
+    if keep not in ("smallest_id", "low_centroid_sim"):
+        raise ValueError(f"unknown keep rule {keep!r}")
     C = np.asarray(centroids, dtype=np.float64)
     c_ref = ray.put(C)
     d = C.shape[1]
@@ -259,6 +271,14 @@ def semantic_dedup(
         thr = threshold - 0.5 * 10.0 ** (-round_sims)
         n = len(ids)
         dropped = np.zeros(n, dtype=bool)
+        parent = np.arange(n) if keep == "low_centroid_sim" else None
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
         for lo in range(0, n, _PAIR_CHUNK_ROWS):
             hi = min(lo + _PAIR_CHUNK_ROWS, n)
             if lo == 0 and hi <= 1:
@@ -271,7 +291,32 @@ def semantic_dedup(
             cols = np.arange(hi)
             rows = np.arange(lo, hi)
             hit &= cols[None, :] < rows[:, None]
-            dropped[lo:hi] |= hit.any(axis=1)
+            if parent is None:
+                dropped[lo:hi] |= hit.any(axis=1)
+            else:
+                ri, cj = np.nonzero(hit)
+                for i, j in zip((ri + lo).tolist(), cj.tolist()):
+                    a, b = find(i), find(j)
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+        if parent is not None and n:
+            roots = np.array([find(i) for i in range(n)])
+            # paper rule: per component keep the member with the LOWEST
+            # rounded centroid similarity (ties -> smaller id); X is
+            # already normalized so cos(x, c) needs only c normalized
+            cid = int(t["cluster"][0].as_py())
+            c = ray.get(c_ref)[cid]
+            cs = np.round(X @ (c / max(np.linalg.norm(c), 1e-300)), round_sims)
+            order2 = np.lexsort((np.arange(n), cs))  # cs asc, idx(=id) asc
+            seen: set = set()
+            is_pick = np.zeros(n, dtype=bool)
+            for i in order2.tolist():
+                r = int(roots[i])
+                if r not in seen:
+                    seen.add(r)
+                    is_pick[i] = True
+            comp_size = np.bincount(roots, minlength=n)
+            dropped = (comp_size[roots] > 1) & ~is_pick
         return pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),

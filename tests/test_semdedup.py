@@ -105,6 +105,53 @@ class TestSemanticDedup:
         )
         assert out.to_dict() == {1: 1, 2: 0, 3: 0}
 
+    def test_paper_keep_rule_low_centroid_sim(self, ray_session):
+        """keep="low_centroid_sim" (Abbas et al. 2023 §2): the chain
+        a~b~c is ONE component; the survivor is the member FARTHEST from
+        the centroid (30 degrees), not the smallest id."""
+        from deepcrawl4ai_ray.stages.semdedup import semantic_dedup
+
+        th = np.deg2rad([0.0, 15.0, 30.0, 80.0])  # 80deg = singleton
+        X = np.stack([np.cos(th), np.sin(th)], axis=1)
+        ds = _emb_ds([1, 2, 3, 4], X)
+        C = np.array([[1.0, 0.0]])
+        out = (
+            semantic_dedup(ds, "vec_id", "embedding", C, threshold=0.95,
+                           keep="low_centroid_sim")
+            .to_pandas()
+            .set_index("vec_id")["kept"]
+        )
+        assert out.to_dict() == {1: 0, 2: 0, 3: 1, 4: 1}
+
+    def test_paper_rule_one_survivor_per_component(self, ray_session):
+        from deepcrawl4ai_ray.stages.semdedup import kmeans_fit, semantic_dedup
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(60, 12))
+        ids = list(range(60)) + [100 + i for i in range(5)]
+        X = np.vstack([X, X[:5]])  # exact copies: 5 two-member components
+        ds = _emb_ds(ids, X, blocks=5)
+        C = kmeans_fit(ds, "embedding", X[:3], iters=2)
+        out = semantic_dedup(
+            ds, "vec_id", "embedding", C, threshold=0.99, keep="low_centroid_sim"
+        ).to_pandas()
+        out = out.set_index("vec_id")["kept"]
+        # exactly one of {i, 100+i} survives (exact copies tie on
+        # centroid sim -> smaller id wins), everything else keeps
+        for i in range(5):
+            assert out[i] + out[100 + i] == 1
+            assert out[i] == 1  # tie-break: smaller id
+        assert out.sum() == 60
+
+    def test_bad_keep_rule_raises(self, ray_session):
+        from deepcrawl4ai_ray.stages.semdedup import semantic_dedup
+
+        with pytest.raises(ValueError, match="keep rule"):
+            semantic_dedup(
+                _emb_ds([1], np.ones((1, 4))), "vec_id", "embedding",
+                np.ones((1, 4)), keep="bogus",
+            )
+
     def test_empty_input_keeps_schema(self, ray_session):
         from deepcrawl4ai_ray.stages.semdedup import semantic_dedup
 
