@@ -177,3 +177,32 @@ def extract_links(
             seen.add(u)
             out.append(u)
     return out
+
+
+def page_metadata_columns(html):
+    """Per-page metadata columns (the reference's ``CrawlResult.metadata``
+    and ``result.media`` counts, consumed at triggers.py:220-226): page
+    title, first <h1>, and heading/link/paragraph/image tallies.
+
+    Fully vectorized — every column is a pyarrow.compute RE2 kernel
+    (``extract_regex`` / ``count_substring_regex``) over the raw html
+    array, so the spec is engine-independent: a DuckDB ``regexp_extract``
+    / ``regexp_extract_all`` oracle runs the *same* RE2 patterns and must
+    agree bit-for-bit.  Accepts a binary or string Array/ChunkedArray;
+    returns a dict of (title, h1: string; n_*: int64) arrays.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = html if pa.types.is_string(html.type) or pa.types.is_large_string(html.type) else pc.cast(html, pa.string())
+    title = pc.struct_field(pc.extract_regex(s, r"(?s)<title[^>]*>(?P<v>.*?)</title>"), "v")
+    h1 = pc.struct_field(pc.extract_regex(s, r"(?s)<h1[^>]*>(?P<v>.*?)</h1>"), "v")
+    n = lambda pat: pc.cast(pc.count_substring_regex(s, pat), pa.int64())
+    return {
+        "title": pc.fill_null(title, ""),  # DuckDB regexp_extract → '' on no match
+        "h1": pc.fill_null(h1, ""),
+        "n_headings": n(r"<h[1-6][\s>]"),
+        "n_links": n(r"<a[\s>]"),
+        "n_paragraphs": n(r"<p[\s>]"),
+        "n_images": n(r"<img[\s>]"),
+    }

@@ -2726,6 +2726,37 @@ def selector_tag_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("tag").reset_index(drop=True)
 
 
+_PAGE_META_SQL = rf"""
+WITH p AS (SELECT url, decode(html) AS h FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet'))
+SELECT url,
+       regexp_extract(h, '(?s)<title[^>]*>(.*?)</title>', 1)       AS title,
+       regexp_extract(h, '(?s)<h1[^>]*>(.*?)</h1>', 1)             AS h1,
+       CAST(len(regexp_extract_all(h, '<h[1-6][\s>]')) AS BIGINT)  AS n_headings,
+       CAST(len(regexp_extract_all(h, '<a[\s>]')) AS BIGINT)       AS n_links,
+       CAST(len(regexp_extract_all(h, '<p[\s>]')) AS BIGINT)       AS n_paragraphs,
+       CAST(len(regexp_extract_all(h, '<img[\s>]')) AS BIGINT)     AS n_images
+FROM p ORDER BY url
+"""
+
+
+def page_metadata(sf_dir: str) -> pd.DataFrame:
+    """Per-page metadata extraction (the reference's CrawlResult.metadata
+    / media counts, triggers.py:220-226) over the tiny corpus: title,
+    first h1, heading/link/paragraph/image counts — RE2 kernels on both
+    sides, so the oracle is bit-exact."""
+    from ..functions.extract import page_metadata_columns
+    from ..sources.corpus import ensure
+
+    corpus = ensure("tiny")
+    ds = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
+
+    def meta(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch["url"], **page_metadata_columns(batch["html"])})
+
+    df = ds.map_batches(meta, batch_format="pyarrow").to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 # =========================================================================
 # H. Crawl pipelines (north star; rows-only — conformance is pytest's)
 # =========================================================================
@@ -5825,6 +5856,7 @@ QUERIES = {
     "users_in_both_types": users_in_both_types,
     "llm_extract_stub": llm_extract_stub,
     "selector_tag_counts": selector_tag_counts,
+    "page_metadata": page_metadata,
     "crawl_tiny_e2e": crawl_tiny_e2e,
     "crawl_reachability": crawl_reachability,
     "extract_corpus_text": extract_corpus_text,
@@ -5935,6 +5967,7 @@ ORACLES = {
     "frame_samples": _FRAME_SAMPLES_SQL,
     "lang_id_counts": _LANG_ID_SQL,
     "selector_tag_counts": _SELECTOR_SQL,
+    "page_metadata": _PAGE_META_SQL,
     "extract_corpus_text": _EXTRACT_CORPUS_SQL,
     "crawl_reachability": _REACH_SQL,
     "pii_redacted_docs": _PII_SQL,

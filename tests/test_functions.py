@@ -206,3 +206,34 @@ class TestTextStats:
     def test_lang_id(self):
         assert lang_id("") == "und"
         assert lang_id("the weather is nice and the children are in the garden") == "en"
+
+
+class TestPageMetadata:
+    def test_crafted_html(self):
+        import pyarrow as pa
+
+        from deepcrawl4ai_ray.functions.extract import page_metadata_columns
+
+        html = (
+            b"<html><head><title>My Page</title></head><body>"
+            b"<h1 class='x'>Main Head</h1><h2>sub</h2>"
+            b"<p>one</p><p>two</p><a href='/u'>l</a><a\nhref='/v'>m</a>"
+            b"<img src='a.png'></body></html>"
+        )
+        cols = page_metadata_columns(pa.array([html, b"<html><body>bare</body></html>"]))
+        assert cols["title"].to_pylist() == ["My Page", ""]
+        assert cols["h1"].to_pylist() == ["Main Head", ""]
+        assert cols["n_headings"].to_pylist() == [2, 0]
+        assert cols["n_links"].to_pylist() == [2, 0]
+        assert cols["n_paragraphs"].to_pylist() == [2, 0]
+        assert cols["n_images"].to_pylist() == [1, 0]
+
+    def test_empty_input_schema(self):
+        import pyarrow as pa
+
+        from deepcrawl4ai_ray.functions.extract import page_metadata_columns
+
+        cols = page_metadata_columns(pa.array([], pa.binary()))
+        assert set(cols) == {"title", "h1", "n_headings", "n_links", "n_paragraphs", "n_images"}
+        for v in cols.values():
+            assert len(v) == 0
