@@ -56,6 +56,18 @@ def md5_int63(texts: Iterable[str]) -> np.ndarray:
     )
 
 
+def md5_u64(texts: Iterable[str]) -> np.ndarray:
+    """Full-width uint64 per string: md5 digest bytes [8:16]
+    little-endian — exactly DuckDB ``md5_number_lower(s)`` (the tested
+    convention behind :func:`md5_int63`, without the sign-bit mask).
+    The hash feeding oracle-reproducible sketches (HyperLogLog)."""
+    md5 = hashlib.md5
+    return np.array(
+        [int.from_bytes(md5(t.encode("utf-8")).digest()[8:16], "little") for t in texts],
+        dtype=np.uint64,
+    )
+
+
 def token_hashes(text: str) -> np.ndarray:
     """uint64 hash per word token — ONE C-level pass (pandas siphash
     with its fixed default key: deterministic across processes and

@@ -5793,6 +5793,124 @@ def bpe_merges(sf_dir: str) -> pd.DataFrame:
     return learn_bpe(word_counts(train), 24)
 
 
+def hll_user_registers(sf_dir: str) -> pd.DataFrame:
+    """Grouped approximate-distinct SKETCH — per event_type, the nonzero
+    HyperLogLog registers (p=12) over user_id (state/hll.py).  The
+    sketch a 10^10-URL frontier uses where exact per-host distinct
+    counts would shuffle every key: partials merge register-wise, only
+    4 KiB per (block, group) crosses the all-to-all.  The oracle pins
+    the ENTIRE register state integer-exactly (md5_number_lower hash,
+    top-12-bit index, bit_length rank) — not just the estimate, so any
+    hash/merge/rank drift fails the gate.  estimate() accuracy vs exact
+    COUNT(DISTINCT) is pytest-pinned separately (tests/test_state.py)."""
+    from ..state.hll import hll_register_rows
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_register_rows(ds, "event_type", "user_id", p=12)
+
+
+_HLL_REGISTERS_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS h64
+  FROM events
+), parts AS (
+  SELECT event_type,
+         CAST(h64 >> 52 AS INTEGER) AS reg,
+         h64 % (1::UBIGINT << 52) AS rest
+  FROM h
+)
+SELECT event_type, reg,
+       CAST(MAX(CASE WHEN rest = 0 THEN 53
+                     ELSE 53 - length(bin(rest)) END) AS INTEGER) AS reg_rank
+FROM parts GROUP BY event_type, reg
+ORDER BY event_type, reg
+"""
+
+
+def crawl_trap_hosts(sf_dir: str) -> pd.DataFrame:
+    """Spider-trap detection over the frontier's URL table
+    (stages/traps.py) — the diagnosis behind a per-host page budget
+    (the reference caps blindly at MAX_PAGES, server.py:67; a
+    10^10-URL frontier must instead find WHICH hosts explode).  Trap
+    URL families are planted SQL-reproducibly on the tiny corpus
+    (the repo's ghost-row convention): session-id query explosions on
+    md5-selected hosts, calendar-style deep paths on md5-selected
+    URLs.  Signals are Arrow-RE2 vectorized; the per-host report is
+    integer-only so the SQL twin is ulp-proof."""
+    from ..functions.hashing import md5_u64
+    from ..sources.corpus import ensure
+    from ..stages.traps import trap_host_report
+
+    corpus = ensure("tiny")
+    base = rd.read_parquet(f"{corpus}/pages", columns=["url"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        col = batch["url"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        rest = pc.replace_substring_regex(col, pattern="^[a-z]+://", replacement="")
+        hosts = pc.replace_substring_regex(rest, pattern="/.*$", replacement="").to_pylist()
+        urls = col.to_pylist()
+        hu = md5_u64(hosts)
+        uu = md5_u64(urls)
+        out = list(urls)
+        # session-id explosion on md5-selected (host, url) pairs
+        for u in (np.asarray(urls, dtype=object)[(hu % 7 == 0) & (uu % 3 == 0)]):
+            out.extend(f"{u}?sid={k}" for k in range(8))
+        # calendar-trap deep paths on md5-selected urls
+        for u in (np.asarray(urls, dtype=object)[uu % 53 == 0]):
+            out.extend(f"{u}/cal/2024/01/{k}" for k in range(2))
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    planted = base.map_batches(plant, batch_format="pyarrow")
+    return trap_host_report(planted, min_urls=16, depth_cap=6)
+
+
+_TRAP_HOSTS_SQL = rf"""
+WITH base AS (
+  SELECT url FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+),
+qsel AS (
+  SELECT url FROM base
+  WHERE md5_number_lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) % 7 = 0
+    AND md5_number_lower(url) % 3 = 0
+),
+qvar AS (SELECT url || '?sid=' || k AS url FROM qsel, UNNEST(range(8)) AS t(k)),
+dsel AS (SELECT url FROM base WHERE md5_number_lower(url) % 53 = 0),
+dvar AS (SELECT url || '/cal/2024/01/' || k AS url FROM dsel, UNNEST(range(2)) AS t(k)),
+urls AS (
+  SELECT url FROM base
+  UNION ALL SELECT url FROM qvar
+  UNION ALL SELECT url FROM dvar
+),
+sig AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         regexp_replace(regexp_replace(url, '^[a-z]+://[^/]+', ''), '\?.*$', '') AS pnq,
+         CAST(contains(url, '?') AS INTEGER) AS has_q
+  FROM urls
+),
+sig2 AS (
+  SELECT host,
+         regexp_replace(pnq, '[0-9]+', 'N', 'g') AS template,
+         length(pnq) - length(replace(pnq, '/', '')) AS depth,
+         has_q
+  FROM sig
+),
+agg AS (
+  SELECT host, COUNT(*) AS n_urls, COUNT(DISTINCT template) AS n_templates,
+         SUM(has_q) AS n_query_urls, MAX(depth) AS max_depth
+  FROM sig2 GROUP BY host
+)
+SELECT host, n_urls, n_templates,
+       CAST(n_query_urls AS BIGINT) AS n_query_urls,
+       CAST(max_depth AS BIGINT) AS max_depth,
+       CAST(((2 * n_query_urls >= n_urls AND n_urls >= 16) OR max_depth >= 6)
+            AS INTEGER) AS is_trap
+FROM agg ORDER BY host
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -5907,6 +6025,8 @@ QUERIES = {
     "canonical_url_groups": canonical_url_groups,
     "warc_export_hosts": warc_export_hosts,
     "bpe_merges": bpe_merges,
+    "hll_user_registers": hll_user_registers,
+    "crawl_trap_hosts": crawl_trap_hosts,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
 }
@@ -5999,6 +6119,8 @@ ORACLES = {
     "recrawl_priority_plan": _RECRAWL_SQL,
     "dup_cluster_reps": _DUP_CLUSTER_REPS_SQL,
     "link_degree_stats": _LINK_DEGREE_SQL,
+    "hll_user_registers": _HLL_REGISTERS_SQL,
+    "crawl_trap_hosts": _TRAP_HOSTS_SQL,
     "gopher_quality_gate": _gopher_sql(),
     "training_data_pipeline": _training_pipeline_sql(),
     "hits_corpus": _hits_sql(2),

@@ -113,3 +113,58 @@ def hll_grouped_distinct(ds, key_col: str, value_col: str, p: int = 12):
         .to_pandas()
     )
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def hll_register_rows(ds, key_col: str, value_col: str, p: int = 12):
+    """The sketch STATE as an exact integer table — the oracle-checkable
+    form of :func:`hll_grouped_distinct`.
+
+    Values hash via md5 digest bytes [8:16] little-endian (exactly
+    DuckDB ``md5_number_lower(CAST(v AS VARCHAR))``), so every register
+    value is reproducible by a pure-SQL twin: register index = top ``p``
+    hash bits, rank = (64-p) - bit_length(low 64-p bits) + 1 (with the
+    all-zero remainder mapping to 64-p+1), merged with MAX per (key,
+    register).  Distribution shape is the mergeable-sketch plan: each
+    map task folds its batch into one 2^p-byte blob per (task, key); the
+    groupby(key) all-to-all moves sketch blobs, never the raw values —
+    at 10^10 frontier URLs per-group traffic is blocks x 4 KiB.
+
+    Returns pandas (key, reg:int32, reg_rank:int32), nonzero registers
+    only, sorted by (key, reg).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.hashing import md5_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, value_col]).to_pandas()
+        hashes = md5_u64(df[value_col].astype(str).tolist())
+        keys, blobs = [], []
+        for k, idx in df.groupby(key_col, sort=False).indices.items():
+            h = HyperLogLog(p)
+            h.add_many(hashes[idx])
+            keys.append(k)
+            blobs.append(h.to_bytes())
+        return pa.table({key_col: pa.array(keys), "sketch": pa.array(blobs, pa.binary())})
+
+    def merge_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        acc = HyperLogLog.from_bytes(g["sketch"].iloc[0])
+        for b in g["sketch"].iloc[1:]:
+            acc.merge(HyperLogLog.from_bytes(b))
+        nz = np.flatnonzero(acc.registers)
+        return pd.DataFrame(
+            {
+                key_col: np.repeat(g[key_col].iloc[0], nz.size),
+                "reg": nz.astype(np.int32),
+                "reg_rank": acc.registers[nz].astype(np.int32),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values([key_col, "reg"]).reset_index(drop=True)

@@ -223,6 +223,48 @@ class TestHyperLogLog:
             assert abs(row["approx_distinct"] - t) / t < 0.05
 
 
+    def test_register_rows_match_single_process(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.functions.hashing import md5_u64
+        from deepcrawl4ai_ray.state.hll import HyperLogLog, hll_register_rows
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame(
+            {
+                "k": np.where(rng.integers(0, 2, size=20_000) == 0, "a", "b"),
+                "v": rng.integers(0, 3_000, size=20_000),
+            }
+        )
+        got = hll_register_rows(rd.from_pandas(df), "k", "v", p=12)
+        # single-process reference with the same md5 hash contract
+        frames = []
+        for k, grp in df.groupby("k"):
+            ref = HyperLogLog(12)
+            ref.add_many(md5_u64(grp["v"].astype(str).tolist()))
+            nz = np.flatnonzero(ref.registers)
+            frames.append(
+                pd.DataFrame({"k": k, "reg": nz.astype(np.int32), "reg_rank": ref.registers[nz].astype(np.int32)})
+            )
+        want = pd.concat(frames).sort_values(["k", "reg"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_register_rows_block_layout_invariant(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.state.hll import hll_register_rows
+
+        rng = np.random.default_rng(8)
+        df = pd.DataFrame({"k": ["g"] * 5_000, "v": rng.integers(0, 800, size=5_000)})
+        one = hll_register_rows(rd.from_pandas(df), "k", "v", p=10)
+        many = hll_register_rows(rd.from_pandas(df).repartition(13), "k", "v", p=10)
+        pd.testing.assert_frame_equal(one, many)
+
+
 class TestTDigest:
     def _rank_err(self, values, est, q):
         """|empirical CDF position of est − q| — the t-digest guarantee
