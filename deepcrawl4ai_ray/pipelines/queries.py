@@ -5911,6 +5911,44 @@ FROM agg ORDER BY host
 """
 
 
+def phrase_search_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase retrieval ("table window") from the persisted
+    inverted index (stages/textindex.phrase_search_indexed) — the
+    AND-prefilter-then-verify plan positional-postings-free engines run:
+    bucket-pruned postings reads give the all-terms candidate set, a
+    map-side bloom semi-join drops non-candidates in place, and only the
+    candidate minority pays the vectorized RE2 adjacency match.  Shares
+    the mtime-keyed index cache with bm25_indexed_top10 (same build)."""
+    import hashlib
+    import os as _os
+    import shutil
+
+    from ..stages.textindex import build_text_index, phrase_search_indexed
+
+    doc_path = _p(sf_dir, "documents")
+    st = _os.stat(doc_path)
+    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    idx_dir = f"/tmp/dc4r_text_index/{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    done = f"{idx_dir}/_DONE"
+    if not _os.path.exists(done):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        build_text_index(ds, "doc_id", "text", idx_dir, num_buckets=32)
+        open(done, "w").close()
+    corpus = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return phrase_search_indexed(
+        idx_dir, "doc_id", ["table", "window"], corpus, extra_cols=["lang"], num_buckets=32
+    )
+
+
+_PHRASE_SEARCH_SQL = r"""
+SELECT doc_id, lang FROM documents
+WHERE regexp_matches(lower(text),
+      '(^|[^\p{L}\p{N}_])table[^\p{L}\p{N}_]+window([^\p{L}\p{N}_]|$)')
+ORDER BY doc_id
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -6027,6 +6065,7 @@ QUERIES = {
     "bpe_merges": bpe_merges,
     "hll_user_registers": hll_user_registers,
     "crawl_trap_hosts": crawl_trap_hosts,
+    "phrase_search_docs": phrase_search_docs,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
 }
@@ -6121,6 +6160,7 @@ ORACLES = {
     "link_degree_stats": _LINK_DEGREE_SQL,
     "hll_user_registers": _HLL_REGISTERS_SQL,
     "crawl_trap_hosts": _TRAP_HOSTS_SQL,
+    "phrase_search_docs": _PHRASE_SEARCH_SQL,
     "gopher_quality_gate": _gopher_sql(),
     "training_data_pipeline": _training_pipeline_sql(),
     "hits_corpus": _hits_sql(2),

@@ -265,3 +265,111 @@ def bm25_topk_indexed(
     ).to_pandas()
     # identical output contract to textsearch.bm25_topk (shared comparator)
     return merge_topk(parts, id_col, "bm25", k)
+
+
+def phrase_search_indexed(
+    index_dir: str,
+    id_col: str,
+    phrase: Sequence[str],
+    corpus_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    num_buckets: int = 32,
+    extra_cols: Sequence[str] = (),
+) -> pd.DataFrame:
+    """Exact phrase search without positional postings: the classic
+    AND-prefilter-then-verify plan.
+
+    1. Conjunctive prefilter from the persisted index: read ONLY the
+       buckets the phrase terms hash to, keep doc ids whose posting-row
+       count equals the distinct term count (postings are one row per
+       (term, doc) by construction) — candidates = docs containing ALL
+       terms, a superset of phrase matches.
+    2. Exact verify on the candidate minority: corpus rows semi-join the
+       candidate ids MAP-SIDE (join.bloom_semi_anti — bloom-negative
+       rows drop in place, no all-to-all for the non-matching bulk),
+       then one vectorized RE2 match of the adjacency pattern
+       ``(^|B)t1 B+ t2 ... (B|$)`` with boundary class
+       B = ``[^\\p{L}\\p{N}_]`` over the lowercased text.  The SQL twin
+       runs the same RE2 pattern, so adjacency semantics are pinned by
+       construction.
+
+    Contract: terms must be ascii word tokens (``[a-z0-9_]+``) — for
+    those, a pattern match implies every term is also a token of the
+    index's tokenizer, so the prefilter never drops a true match: the
+    tokenizer's ``\\w`` and the RE2 boundary class agree on unicode
+    edges too (combining marks are boundaries to both, accented letters
+    word-chars to both — pinned by the unicode boundary test).  At
+    100 TB the verify cost is candidate-proportional: the
+    postings read is |terms|/num_buckets of the index, the corpus scan
+    drops non-candidates map-side at the bloom, and only candidate rows
+    pay the regex.
+
+    Returns pandas (id_col, *extra_cols) sorted by id.
+    """
+    import re as _re
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .join import bloom_semi_anti, bucketed_sum
+
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("phrase_search_indexed needs at least one term")
+    for t in terms:
+        if not _re.fullmatch(r"[a-z0-9_]+", t):
+            raise ValueError(f"phrase terms must be ascii word tokens, got {t!r}")
+    uniq = sorted(set(terms))
+
+    buckets = sorted(set(int(x) for x in _term_buckets(uniq, num_buckets)))
+    paths = [
+        f
+        for bb in buckets
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, "postings", f"bucket={bb}", "*.parquet"))
+        )
+    ]
+    out_cols = [id_col, *extra_cols]
+
+    def _empty() -> pd.DataFrame:
+        sch = dict(zip(corpus_ds.schema().names, corpus_ds.schema().types))
+        return pd.DataFrame(
+            {c: pd.Series(dtype=sch[c].to_pandas_dtype() if c in sch else "object") for c in out_cols}
+        )
+
+    if not paths:
+        return _empty()
+
+    tset = pa.array(uniq, pa.string())
+    rows = rd.read_parquet(paths, columns=["term", id_col]).map_batches(
+        lambda t: t.filter(pc.is_in(t["term"], value_set=tset)),
+        batch_format="pyarrow",
+    )
+    counts = bucketed_sum(rows, [id_col], "term", "n_terms", count=True)
+    need = len(uniq)
+    cand = counts.map_batches(
+        lambda t: t.filter(pc.equal(t["n_terms"], need)).select([id_col]),
+        batch_format="pyarrow",
+    )
+
+    boundary = r"[^\p{L}\p{N}_]"
+    pattern = (
+        "(^|" + boundary + ")" + (boundary + "+").join(terms) + "(" + boundary + "|$)"
+    )
+
+    verified = bloom_semi_anti(
+        corpus_ds.select_columns(list(dict.fromkeys(out_cols + [text_col]))),
+        id_col,
+        cand,
+        id_col,
+        keep_in=True,
+    ).map_batches(
+        lambda t: t.filter(
+            pc.match_substring_regex(pc.utf8_lower(t[text_col]), pattern)
+        ).select(out_cols),
+        batch_format="pyarrow",
+    )
+    got = verified.to_pandas()
+    if got.empty:
+        return _empty()
+    return got[out_cols].sort_values(id_col).reset_index(drop=True)

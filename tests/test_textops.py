@@ -827,3 +827,91 @@ class TestBoilerplateLineDedup:
         df = pd.DataFrame({"url": list("abcdef"), "text": ["x"] * 6})
         with _pytest.raises(ValueError, match="max_boiler"):
             boilerplate_line_dedup(rd.from_pandas(df), "url", "text", min_docs=2, max_boiler=0)
+
+
+class TestPhraseSearch:
+    def _index(self, df, tmp_path, buckets=8):
+        from deepcrawl4ai_ray.stages.textindex import build_text_index
+
+        idx = str(tmp_path / "pidx")
+        build_text_index(_ds(df, 5), "doc_id", "text", idx, num_buckets=buckets)
+        return idx
+
+    def test_adjacency_semantics(self, ray_session, tmp_path):
+        from deepcrawl4ai_ray.stages.textindex import phrase_search_indexed
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(7, dtype=np.int64),
+                "text": [
+                    "x alpha beta y",          # plain adjacency -> match
+                    "alpha-beta",               # punctuation separator -> match
+                    "Alpha  BETA",              # case + multi-space -> match
+                    "alpha x beta",             # interposed token -> no
+                    "alphabeta",                # fused -> no
+                    "xalpha beta",              # left boundary violated -> no
+                    "alpha betax",              # right boundary violated -> no
+                ],
+            }
+        )
+        idx = self._index(df, tmp_path)
+        got = phrase_search_indexed(idx, "doc_id", ["alpha", "beta"], _ds(df, 3), num_buckets=8)
+        assert got["doc_id"].tolist() == [0, 1, 2]
+
+    def test_matches_bruteforce_regex(self, ray_session, tmp_path):
+        import re
+
+        from deepcrawl4ai_ray.stages.textindex import phrase_search_indexed
+
+        rng = np.random.default_rng(11)
+        words = ["alpha", "beta", "gamma", "delta"]
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(300, dtype=np.int64),
+                "text": [
+                    " ".join(rng.choice(words, size=rng.integers(3, 12)))
+                    for _ in range(300)
+                ],
+            }
+        )
+        idx = self._index(df, tmp_path)
+        got = phrase_search_indexed(idx, "doc_id", ["beta", "gamma"], _ds(df, 4), num_buckets=8)
+        pat = re.compile(r"(^|[^\w])beta[^\w]+gamma([^\w]|$)", re.ASCII)
+        want = df[df["text"].map(lambda t: bool(pat.search(t)))]["doc_id"].tolist()
+        assert got["doc_id"].tolist() == want
+
+    def test_ascii_term_contract_and_empty(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from deepcrawl4ai_ray.stages.textindex import phrase_search_indexed
+
+        df = pd.DataFrame({"doc_id": np.array([0], dtype=np.int64), "text": ["alpha beta"]})
+        idx = self._index(df, tmp_path)
+        with _pytest.raises(ValueError):
+            phrase_search_indexed(idx, "doc_id", ["naïve"], _ds(df, 1), num_buckets=8)
+        # no candidate docs -> typed empty frame, not a crash
+        out = phrase_search_indexed(idx, "doc_id", ["gamma", "delta"], _ds(df, 1), num_buckets=8)
+        assert len(out) == 0 and list(out.columns) == ["doc_id"]
+
+    def test_unicode_boundary_pinned(self, ray_session, tmp_path):
+        """Contract pin for unicode adjacency: a COMBINING mark (NFD)
+        is a word boundary to both the tokenizer (\\w excludes Mn) and
+        the RE2 class [^\\p{L}\\p{N}_] -> both engines match; a
+        PRECOMPOSED accented letter extends the token and is \\p{L}
+        -> both engines exclude.  Either way the index prefilter and
+        the verify regex agree with the SQL twin."""
+        from deepcrawl4ai_ray.stages.textindex import phrase_search_indexed
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.array([0, 1, 2], dtype=np.int64),
+                "text": [
+                    "alpha\u0301 beta",   # NFD combining acute: boundary -> match
+                    "alph\u00e1 beta",    # precomposed á inside the token -> no
+                    "alpha beta",
+                ],
+            }
+        )
+        idx = self._index(df, tmp_path)
+        got = phrase_search_indexed(idx, "doc_id", ["alpha", "beta"], _ds(df, 1), num_buckets=8)
+        assert got["doc_id"].tolist() == [0, 2]
