@@ -5949,6 +5949,61 @@ ORDER BY doc_id
 """
 
 
+def cms_user_est(sf_dir: str) -> pd.DataFrame:
+    """Count-Min frequency estimates (state/cms.py) — bounded-memory
+    per-key occurrence counts where an exact per-key groupby would carry
+    O(distinct keys) state (per-host hit counts at 10^10 frontier
+    URLs).  Each block folds into a 4x2048 int64 grid shipped as slim
+    nonzero (r, b, n) rows; partials SUM-merge; estimate = MIN over the
+    4 rows (an overestimate by construction, pinned by property tests).
+    The md5 / 11-bit-slice hashing makes grid AND estimates
+    integer-exact vs the SQL twin.  Probe set = distinct user_id
+    multiples of 7 (deterministic, drawn from the data so every probed
+    cell is populated)."""
+    from ..state.cms import cms_counters, cms_estimate
+    from ..stages.join import bucketed_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    counters = cms_counters(ds, "user_id", depth=4, width=2048)
+
+    def sel(batch: pa.Table) -> pa.Table:
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 7 == 0)).select(["user_id"])
+
+    probes = (
+        bucketed_distinct(ds.map_batches(sel, batch_format="pyarrow"), ["user_id"])
+        .to_pandas()["user_id"]
+        .sort_values()
+        .reset_index(drop=True)
+    )
+    est = cms_estimate(counters, probes.astype(str).tolist(), depth=4, width=2048)
+    return pd.DataFrame({"user_id": probes.astype("int64"), "est_count": est.astype("int64")})
+
+
+_CMS_EST_SQL = """
+WITH h AS (
+  SELECT md5_number_lower(CAST(user_id AS VARCHAR)) AS h64 FROM events
+), rows4 AS (
+  SELECT UNNEST(range(4)) AS r
+), cells AS (
+  SELECT r, CAST((h64 >> (11 * r)) % 2048 AS INTEGER) AS b, COUNT(*) AS n
+  FROM h CROSS JOIN rows4
+  GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT user_id,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS h64
+  FROM events WHERE user_id % 7 = 0
+)
+SELECT p.user_id, CAST(MIN(c.n) AS BIGINT) AS est_count
+FROM probes p
+CROSS JOIN rows4 t
+JOIN cells c
+  ON c.r = t.r AND c.b = CAST((p.h64 >> (11 * t.r)) % 2048 AS INTEGER)
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -6066,6 +6121,7 @@ QUERIES = {
     "hll_user_registers": hll_user_registers,
     "crawl_trap_hosts": crawl_trap_hosts,
     "phrase_search_docs": phrase_search_docs,
+    "cms_user_est": cms_user_est,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
 }
@@ -6161,6 +6217,7 @@ ORACLES = {
     "hll_user_registers": _HLL_REGISTERS_SQL,
     "crawl_trap_hosts": _TRAP_HOSTS_SQL,
     "phrase_search_docs": _PHRASE_SEARCH_SQL,
+    "cms_user_est": _CMS_EST_SQL,
     "gopher_quality_gate": _gopher_sql(),
     "training_data_pipeline": _training_pipeline_sql(),
     "hits_corpus": _hits_sql(2),

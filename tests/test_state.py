@@ -327,3 +327,86 @@ class TestTDigest:
         d2 = TDigest()
         d2.add_many(np.arange(10, dtype=float))
         assert d2.quantile(0.0) == 0.0 and d2.quantile(1.0) == 9.0
+
+
+class TestCountMinSketch:
+    def test_overestimates_never_under(self):
+        import numpy as np
+        import pandas as pd
+
+        from deepcrawl4ai_ray.functions.hashing import md5_u64
+        from deepcrawl4ai_ray.state.cms import CountMinSketch
+
+        rng = np.random.default_rng(12)
+        vals = rng.zipf(1.5, size=50_000).astype(str)
+        h = md5_u64(list(vals))
+        sk = CountMinSketch(4, 2048)
+        sk.add_many(h)
+        truth = pd.Series(vals).value_counts()
+        probes = truth.index[:200].tolist()
+        est = sk.estimate_many(md5_u64(probes))
+        want = truth[probes].to_numpy()
+        assert (est >= want).all()
+        # heavy hitters stay accurate: top-20 overestimate bounded by
+        # the CMS guarantee scale (eps*N with eps = e/width)
+        import math
+
+        eps_n = math.e / 2048 * len(vals)
+        assert (est[:20] - want[:20] <= 3 * eps_n).all()
+
+    def test_merge_equals_single_pass(self):
+        import numpy as np
+
+        from deepcrawl4ai_ray.functions.hashing import md5_u64
+        from deepcrawl4ai_ray.state.cms import CountMinSketch
+
+        rng = np.random.default_rng(13)
+        h = md5_u64([str(x) for x in rng.integers(0, 500, size=10_000)])
+        whole = CountMinSketch(4, 2048)
+        whole.add_many(h)
+        parts = [CountMinSketch(4, 2048) for _ in range(7)]
+        for i, p in enumerate(parts):
+            p.add_many(h[i::7])
+        acc = parts[0]
+        for p in parts[1:]:
+            acc.merge(p)
+        assert (acc.counters == whole.counters).all()
+
+    def test_distributed_counters_layout_invariant(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.state.cms import cms_counters
+
+        rng = np.random.default_rng(14)
+        df = pd.DataFrame({"v": rng.integers(0, 300, size=8_000)})
+        one = cms_counters(rd.from_pandas(df), "v")
+        many = cms_counters(rd.from_pandas(df).repartition(11), "v")
+        pd.testing.assert_frame_equal(one, many)
+        # grid total == depth * rows (every value lands once per row)
+        assert one["n"].sum() == 4 * len(df)
+
+    def test_exact_when_collision_free(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.state.cms import cms_counters, cms_estimate
+
+        df = pd.DataFrame({"v": np.repeat([1, 2, 3], [5, 9, 2])})
+        counters = cms_counters(rd.from_pandas(df), "v")
+        est = cms_estimate(counters, ["1", "2", "3"])
+        assert est.tolist() == [5, 9, 2]
+
+    def test_shape_guards(self):
+        import pytest as _pytest
+
+        from deepcrawl4ai_ray.state.cms import CountMinSketch
+
+        with _pytest.raises(ValueError):
+            CountMinSketch(4, 1000)  # not a power of two
+        with _pytest.raises(ValueError):
+            CountMinSketch(6, 2048)  # > 64/11 rows
+        with _pytest.raises(ValueError):
+            CountMinSketch(4, 4096)  # slice wider than 11 bits
