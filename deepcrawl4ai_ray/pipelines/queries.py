@@ -6004,6 +6004,70 @@ ORDER BY p.user_id
 """
 
 
+def link_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle counting over the page link graph
+    (stages/triangles.py, Schank-Wagner degree orientation) — per-host
+    triangle-corner counts, the community-density signal next to
+    link_degree_stats.  Edges reduce to slim DISTINCT undirected pairs
+    map-side; orientation caps every node's wedge fan-out at O(sqrt m)
+    (the hot-host guard); wedge→edge matching is the exact map-side
+    bloom semi-join, so non-closing wedges drop in place and never
+    shuffle.  The oracle enumerates the same (algorithm-independent)
+    triangle set with a 3-way self-join and unnests corners."""
+    from ..functions.extract import extract_links
+    from ..sources.corpus import ensure
+    from ..stages.triangles import triangle_corner_hosts
+
+    corpus = ensure("tiny")
+    pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs: list = []
+        dsts: list = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            for link in extract_links(h, u):
+                srcs.append(u)
+                dsts.append(link)
+        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
+
+    return triangle_corner_hosts(pages.map_batches(edges, batch_format="pyarrow"))
+
+
+_LINK_TRIANGLES_SQL = rf"""
+WITH pages AS (
+  SELECT url, decode(html) AS html,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+),
+links AS (
+  SELECT DISTINCT p.url AS src,
+         CASE WHEN href LIKE 'http%' THEN href
+              WHEN href = '/' THEN 'https://' || p.host
+              ELSE 'https://' || p.host || href END AS dst
+  FROM pages p, UNNEST(regexp_extract_all(p.html,
+       '<a\s[^>]*?href\s*=\s*["'']([^"''<>]+)["'']', 1)) AS u(href)
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM links WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT regexp_extract(node, '^[a-z]+://([^/]+)', 1) AS host,
+       COUNT(*) AS n_corners
+FROM corners GROUP BY host ORDER BY host
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -6122,6 +6186,7 @@ QUERIES = {
     "crawl_trap_hosts": crawl_trap_hosts,
     "phrase_search_docs": phrase_search_docs,
     "cms_user_est": cms_user_est,
+    "link_triangles": link_triangles,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
 }
@@ -6218,6 +6283,7 @@ ORACLES = {
     "crawl_trap_hosts": _TRAP_HOSTS_SQL,
     "phrase_search_docs": _PHRASE_SEARCH_SQL,
     "cms_user_est": _CMS_EST_SQL,
+    "link_triangles": _LINK_TRIANGLES_SQL,
     "gopher_quality_gate": _gopher_sql(),
     "training_data_pipeline": _training_pipeline_sql(),
     "hits_corpus": _hits_sql(2),

@@ -224,6 +224,18 @@ def bloom_semi_anti(
         return split
 
     positives = ds.map_batches(make_split(True), batch_format="pyarrow")
+    # an all-negative (or all-empty) probe side leaves positives — and
+    # the verified output — with zero blocks; Ray drops them, the join
+    # would see no schema and to_pandas() would go column-less.  Seed
+    # both from the probe schema so the plan stays total.
+    ds_schema = ds.schema()
+    seed_fields = (
+        [(n, _arrow_type(t)) for n, t in zip(ds_schema.names, ds_schema.types)]
+        if ds_schema is not None
+        else None
+    )
+    if seed_fields is not None:
+        positives = _seed_empty(positives, seed_fields)
     marked = keys_ds.map_batches(
         lambda t: pa.table(
             {key_col: t[key_col], "__hit": pa.array(np.ones(len(t), dtype=np.int8))}
@@ -239,6 +251,8 @@ def bloom_semi_anti(
         return batch.filter(keep).select(out_cols)
 
     checked = j.map_batches(finish, batch_format="pyarrow")
+    if seed_fields is not None:
+        checked = _seed_empty(checked, seed_fields)
     if keep_in:
         return checked
     negatives = ds.map_batches(make_split(False), batch_format="pyarrow")

@@ -64,9 +64,9 @@ def trap_host_report(
     is_trap:int32) sorted by host.
     """
     import pandas as pd
+    from ray.data.aggregate import Max, Sum
 
-    from .agg import partial_grouped_sum
-    from .join import bucketed_distinct, bucketed_sum
+    from .join import bucketed_distinct, bucketed_sum, shuffle_coalesce
 
     signals = urls_ds.map_batches(
         lambda t: url_trap_signals(t, url_col), batch_format="pyarrow"
@@ -74,14 +74,26 @@ def trap_host_report(
 
     cols = ["host", "n_urls", "n_templates", "n_query_urls", "max_depth", "is_trap"]
 
-    # counts + max depth + query-url count: one partial-agg groupby
-    stats = partial_grouped_sum(
-        signals,
-        ["host"],
-        sums=["has_q"],
-        count_alias="n_urls",
-        maxs=["depth"],
-    ).to_pandas()
+    # counts + max depth + query-url count: per-batch Arrow pre-agg,
+    # COALESCED before the all-to-all — per-block partials are sub-100KB
+    # host tables, which Ray inlines into the DRIVER's in-process store
+    # (the r4 sf1-proof pathology); integer sums/max, so combine order
+    # is immaterial
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["host"]).aggregate(
+            [("has_q", "sum"), ("host", "count"), ("depth", "max")]
+        )
+
+    stats = (
+        shuffle_coalesce(signals.map_batches(pre, batch_format="pyarrow"))
+        .groupby("host")
+        .aggregate(
+            Sum("has_q_sum", alias_name="sum_has_q"),
+            Sum("host_count", alias_name="n_urls"),
+            Max("depth_max", alias_name="max_depth"),
+        )
+        .to_pandas()
+    )
     if stats.empty:  # all-empty blocks drop the grouped schema entirely
         return pd.DataFrame(
             {

@@ -106,8 +106,10 @@ def hll_grouped_distinct(ds, key_col: str, value_col: str, p: int = 12):
             {key_col: [g[key_col].iloc[0]], "approx_distinct": [np.int64(round(acc.estimate()))]}
         )
 
+    from ..stages.join import shuffle_coalesce
+
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        shuffle_coalesce(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby(key_col)
         .map_groups(merge_group, batch_format="pandas")
         .to_pandas()
@@ -115,7 +117,7 @@ def hll_grouped_distinct(ds, key_col: str, value_col: str, p: int = 12):
     return out.sort_values(key_col).reset_index(drop=True)
 
 
-def hll_register_rows(ds, key_col: str, value_col: str, p: int = 12):
+def hll_register_rows(ds, key_col: str, value_col: str, p: int = 12, as_pandas: bool = True):
     """The sketch STATE as an exact integer table — the oracle-checkable
     form of :func:`hll_grouped_distinct`.
 
@@ -130,7 +132,9 @@ def hll_register_rows(ds, key_col: str, value_col: str, p: int = 12):
     at 10^10 frontier URLs per-group traffic is blocks x 4 KiB.
 
     Returns pandas (key, reg:int32, reg_rank:int32), nonzero registers
-    only, sorted by (key, reg).
+    only, sorted by (key, reg) — or, with ``as_pandas=False``, the
+    unsorted register Dataset (the 100-TB form: O(groups x 2^p) rows
+    belong in a parquet sink, not on the driver).
     """
     import pandas as pd
     import pyarrow as pa
@@ -161,10 +165,14 @@ def hll_register_rows(ds, key_col: str, value_col: str, p: int = 12):
             }
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+    from ..stages.join import shuffle_coalesce
+
+    merged = (
+        shuffle_coalesce(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby(key_col)
         .map_groups(merge_group, batch_format="pandas")
-        .to_pandas()
     )
+    if not as_pandas:
+        return merged
+    out = merged.to_pandas()
     return out.sort_values([key_col, "reg"]).reset_index(drop=True)

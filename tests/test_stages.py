@@ -160,6 +160,27 @@ class TestBloomSemiAnti:
         # values rode along intact
         assert (anti.sort_values("k")["v"].to_numpy() == np.array(want_anti) + 1).all()
 
+    def test_all_negative_probe_keeps_schema(self):
+        """Regression (r4 triangles): when NO probe row is bloom-positive
+        (disjoint key sets) the positives dataset is all-empty — the
+        verify join must still see the probe schema, semi must return a
+        typed empty frame and anti must pass everything through."""
+        import ray.data as rd
+        from deepcrawl4ai_ray.stages.join import bloom_semi_anti
+
+        probe_ds = rd.from_pandas(
+            pd.DataFrame({"k": np.arange(50, dtype=np.int64), "v": np.arange(50) * 2})
+        ).repartition(3)
+        keys_ds = rd.from_pandas(
+            pd.DataFrame({"k": np.arange(1000, 1030, dtype=np.int64)})
+        )
+        from deepcrawl4ai_ray.convert import to_pandas as _tp
+
+        semi = _tp(bloom_semi_anti(probe_ds, "k", keys_ds, "k", keep_in=True))
+        assert len(semi) == 0 and list(semi.columns) == ["k", "v"]
+        anti = bloom_semi_anti(probe_ds, "k", keys_ds, "k", keep_in=False).to_pandas()
+        assert sorted(anti["k"]) == list(range(50))
+
     def test_tree_reduce_bits_identical_to_serial(self):
         """The tree-reduced OR-merge must produce bit-identical filter
         contents to a serial single-process build (OR is associative +
