@@ -50,6 +50,18 @@ implementation file → queries() key → check type).  Summary:
 - deterministic hash sampling ............ hash_sampled_events
 - set intersection ....................... users_in_both_types
 - dup clusters (label propagation) ....... minhash_dup_clusters
+- sketches ............................... hll_user_registers
+  (HyperLogLog registers, integer-exact), cms_user_est (Count-Min
+  frequency estimates)
+- graph metrics .......................... link_triangles (degree-
+  oriented triangle counting), link_clustering (local clustering
+  coefficient), link_degree_stats, pagerank_corpus, hits_corpus,
+  host_components, hostrank_corpus
+- frontier hygiene ....................... crawl_trap_hosts (spider-
+  trap detection), canonical_url_groups
+- retrieval .............................. phrase_search_docs (indexed
+  exact phrase search), bm25_top10 / bm25_indexed_top10 /
+  bm25_appended_top10
 - end-to-end cleaning pipeline ........... clean_corpus_stats
 - JSON field extraction .................. props_k_stats
 - part/supplier rollups .................. parts_by_brand,

@@ -6068,6 +6068,73 @@ FROM corners GROUP BY host ORDER BY host
 """
 
 
+def link_clustering(sf_dir: str) -> pd.DataFrame:
+    """Per-page local clustering coefficient over the link graph
+    (stages/triangles.local_clustering, Watts-Strogatz 1998) for every
+    node in at least one triangle — degrees and triangle-corner counts
+    are slim groupby products, cc = 2*T/(d*(d-1)) is one IEEE double op
+    on exact ints so the SQL twin is bit-identical."""
+    from ..functions.extract import extract_links
+    from ..sources.corpus import ensure
+    from ..stages.triangles import local_clustering
+
+    corpus = ensure("tiny")
+    pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs: list = []
+        dsts: list = []
+        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            for link in extract_links(h, u):
+                srcs.append(u)
+                dsts.append(link)
+        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
+
+    return local_clustering(pages.map_batches(edges, batch_format="pyarrow"))
+
+
+_LINK_CLUSTERING_SQL = rf"""
+WITH pages AS (
+  SELECT url, decode(html) AS html,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+),
+links AS (
+  SELECT DISTINCT p.url AS src,
+         CASE WHEN href LIKE 'http%' THEN href
+              WHEN href = '/' THEN 'https://' || p.host
+              ELSE 'https://' || p.host || href END AS dst
+  FROM pages p, UNNEST(regexp_extract_all(p.html,
+       '<a\s[^>]*?href\s*=\s*["'']([^"''<>]+)["'']', 1)) AS u(href)
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM links WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tcount AS (SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+)
+SELECT t.node, d.degree, t.n_triangles,
+       2.0 * t.n_triangles / (d.degree * (d.degree - 1.0)) AS cc
+FROM tcount t JOIN deg d USING (node)
+ORDER BY node
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -6187,6 +6254,7 @@ QUERIES = {
     "phrase_search_docs": phrase_search_docs,
     "cms_user_est": cms_user_est,
     "link_triangles": link_triangles,
+    "link_clustering": link_clustering,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
 }
@@ -6284,6 +6352,7 @@ ORACLES = {
     "phrase_search_docs": _PHRASE_SEARCH_SQL,
     "cms_user_est": _CMS_EST_SQL,
     "link_triangles": _LINK_TRIANGLES_SQL,
+    "link_clustering": _LINK_CLUSTERING_SQL,
     "gopher_quality_gate": _gopher_sql(),
     "training_data_pipeline": _training_pipeline_sql(),
     "hits_corpus": _hits_sql(2),

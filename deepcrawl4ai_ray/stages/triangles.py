@@ -185,3 +185,61 @@ def triangle_corner_hosts(edges_ds, src: str = "src", dst: str = "dst"):
         )
     out["n_corners"] = out["n_corners"].astype("int64")
     return out.sort_values("host").reset_index(drop=True)
+
+
+def local_clustering(edges_ds, src: str = "src", dst: str = "dst"):
+    """Per-node local clustering coefficient c_v = 2*T_v / (d_v*(d_v-1))
+    (Watts & Strogatz 1998) for every node in at least one triangle —
+    degrees and triangle-corner counts are both slim groupby products of
+    the machinery above; the division is one IEEE double op on exact
+    ints, so the SQL twin reproduces it bit-for-bit.
+
+    Returns pandas (node, degree:int64, n_triangles:int64, cc:float64)
+    sorted by node.
+    """
+    from .join import bucketed_sum, hash_join
+
+    und = _canonical_edges(edges_ds, src, dst)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.string()), t["b"].combine_chunks().cast(pa.string())]
+        )})
+
+    deg = bucketed_sum(
+        und.map_batches(endpoints, batch_format="pyarrow"), ["node"], "node", "deg", count=True
+    )
+
+    tri = triangle_corners(edges_ds, src, dst)
+
+    def corners(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t[c].combine_chunks().cast(pa.string()) for c in ("x", "y", "z")]
+        )})
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype="object"),
+                "degree": pd.Series(dtype="int64"),
+                "n_triangles": pd.Series(dtype="int64"),
+                "cc": pd.Series(dtype="float64"),
+            }
+        )
+
+    tcount = bucketed_sum(
+        tri.map_batches(corners, batch_format="pyarrow"), ["node"], "node", "n_tri", count=True
+    )
+    if tcount.schema() is None:  # triangle-free graph: all corner blocks empty
+        return _empty()
+    j = hash_join(tcount, deg, on="node", how="inner").to_pandas()
+    if j.empty:
+        return _empty()
+    j["degree"] = j["deg"].astype("int64")
+    j["n_triangles"] = j["n_tri"].astype("int64")
+    j["cc"] = 2.0 * j["n_triangles"] / (j["degree"] * (j["degree"] - 1.0))
+    return (
+        j[["node", "degree", "n_triangles", "cc"]]
+        .sort_values("node")
+        .reset_index(drop=True)
+    )

@@ -86,3 +86,53 @@ class TestTriangles:
         one = triangle_corner_hosts(_ds(df, 1))
         many = triangle_corner_hosts(_ds(df, 13))
         pd.testing.assert_frame_equal(one, many)
+
+
+class TestLocalClustering:
+    def test_k4_cc_is_one(self, ray_session):
+        from deepcrawl4ai_ray.stages.triangles import local_clustering
+
+        nodes = [f"https://a.x/{i}" for i in range(4)]
+        edges = [(nodes[i], nodes[j]) for i in range(4) for j in range(i + 1, 4)]
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        out = local_clustering(_ds(df, 2))
+        assert len(out) == 4
+        assert (out["degree"] == 3).all()
+        assert (out["n_triangles"] == 3).all()
+        assert (out["cc"] == 1.0).all()
+
+    def test_matches_bruteforce(self, ray_session):
+        from deepcrawl4ai_ray.stages.triangles import local_clustering
+
+        rng = np.random.default_rng(23)
+        edges = [
+            (f"https://h.x/{a}", f"https://h.x/{b}")
+            for a, b in rng.integers(0, 25, size=(180, 2))
+            if a != b
+        ]
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        got = local_clustering(_ds(df, 5))
+        und = {tuple(sorted(e)) for e in edges}
+        tris = _brute_triangles(edges)
+        tcount: dict = {}
+        for t in tris:
+            for n in t:
+                tcount[n] = tcount.get(n, 0) + 1
+        deg: dict = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        for _, row in got.iterrows():
+            n = row["node"]
+            assert row["n_triangles"] == tcount[n]
+            assert row["degree"] == deg[n]
+            assert row["cc"] == 2.0 * tcount[n] / (deg[n] * (deg[n] - 1.0))
+        assert set(got["node"]) == set(tcount)
+
+    def test_triangle_free_empty(self, ray_session):
+        from deepcrawl4ai_ray.stages.triangles import local_clustering
+
+        path = [(f"https://p.x/{i}", f"https://p.x/{i+1}") for i in range(6)]
+        out = local_clustering(_ds(pd.DataFrame(path, columns=["src", "dst"]), 2))
+        assert len(out) == 0
+        assert list(out.columns) == ["node", "degree", "n_triangles", "cc"]
