@@ -88,8 +88,8 @@ def triangle_corners(edges_ds, src: str = "src", dst: str = "dst"):
         db = t["deg_b"].to_numpy(zero_copy_only=False)
         a = np.asarray(t["a"].to_pylist(), dtype=object)
         b = np.asarray(t["b"].to_pylist(), dtype=object)
-        # a < b lexicographically already; a leads unless deg says otherwise
-        a_first = (da < db) | ((da == db))  # ties break by id: a < b holds
+        # a < b lexicographically already, so deg ties break to a (= by id)
+        a_first = da <= db
         u = np.where(a_first, a, b)
         v = np.where(a_first, b, a)
         dv = np.where(a_first, db, da).astype(np.int64)
