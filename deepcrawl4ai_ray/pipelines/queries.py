@@ -2689,6 +2689,51 @@ FROM documents ORDER BY doc_id
 
 _TINY_CORPUS = "/tmp/dc4r_corpus/tiny"  # deterministic path of ensure("tiny")
 
+
+def _link_edges(batch: "pa.Table") -> "pa.Table":
+    """Shared (src, dst) link-edge extraction batch adapter for the
+    graph queries (pagerank / degree / triangles / clustering) — ONE
+    definition so the graph family can never diverge on link semantics."""
+    from ..functions.extract import extract_links
+
+    srcs: list = []
+    dsts: list = []
+    for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        for link in extract_links(h, u):
+            srcs.append(u)
+            dsts.append(link)
+    return pa.table(
+        {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+    )
+
+
+def _ensure_text_index(sf_dir: str, prefix: str = "", build=None) -> str:
+    """Build-once cache of the persisted documents text index, keyed by
+    (prefix, sf_dir, parquet mtime+size) — bm25_indexed_top10,
+    bm25_appended_top10 (with a prefix) and phrase_search_docs must
+    share ONE copy of this protocol or the cache silently splits."""
+    import hashlib
+    import os as _os
+    import shutil
+
+    from ..stages.textindex import build_text_index
+
+    doc_path = _p(sf_dir, "documents")
+    st = _os.stat(doc_path)
+    key = f"{prefix}{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    idx_dir = f"/tmp/dc4r_text_index/{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    done = f"{idx_dir}/_DONE"
+    if not _os.path.exists(done):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        if build is None:
+            build_text_index(ds, "doc_id", "text", idx_dir, num_buckets=32)
+        else:
+            build(ds, idx_dir)
+        open(done, "w").close()
+    return idx_dir
+
+
 # element counts per tag: the engine's stack-based tag scanner counts
 # every OPENING tag (selectors._TAG_RE, closing tags skipped), capped at
 # 500 elements per document in document order — expressed in SQL as a
@@ -2906,18 +2951,7 @@ def pagerank_corpus(sf_dir: str) -> pd.DataFrame:
     corpus = ensure("tiny")
     pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
 
-    def edges(batch: pa.Table) -> pa.Table:
-        srcs: list = []
-        dsts: list = []
-        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            for link in extract_links(h, u):
-                srcs.append(u)
-                dsts.append(link)
-        return pa.table(
-            {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
-        )
-
-    pr = pagerank(pages.map_batches(edges, batch_format="pyarrow"), iters=3)
+    pr = pagerank(pages.map_batches(_link_edges, batch_format="pyarrow"), iters=3)
     df = pr.to_pandas().rename(columns={"node": "url"})
     df["pr"] = df["pr"].round(6)
     return df.sort_values("url").reset_index(drop=True)
@@ -3534,22 +3568,9 @@ def bm25_indexed_top10(sf_dir: str) -> pd.DataFrame:
     the query terms hash to.  Same query/contract as bm25_top10, so the
     same SQL oracle applies — the build/query split must not change one
     row."""
-    import hashlib
-    import os as _os
-    import shutil
+    from ..stages.textindex import bm25_topk_indexed
 
-    from ..stages.textindex import bm25_topk_indexed, build_text_index
-
-    doc_path = _p(sf_dir, "documents")
-    st = _os.stat(doc_path)
-    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
-    idx_dir = f"/tmp/dc4r_text_index/{hashlib.md5(key.encode()).hexdigest()[:12]}"
-    done = f"{idx_dir}/_DONE"
-    if not _os.path.exists(done):
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-        build_text_index(ds, "doc_id", "text", idx_dir, num_buckets=32)
-        open(done, "w").close()
+    idx_dir = _ensure_text_index(sf_dir)
     return bm25_topk_indexed(
         idx_dir, "doc_id", ["customer", "vector", "window"], k=10, num_buckets=32
     )
@@ -3562,20 +3583,9 @@ def bm25_appended_top10(sf_dir: str) -> pd.DataFrame:
     path (snapshot_diff supplies the delta at production scale).  The
     oracle is the same full-corpus BM25 SQL as bm25_top10: segment
     append must not change one row vs indexing everything at once."""
-    import hashlib
-    import os as _os
-    import shutil
-
     from ..stages.textindex import append_text_index, bm25_topk_indexed, build_text_index
 
-    doc_path = _p(sf_dir, "documents")
-    st = _os.stat(doc_path)
-    key = f"append|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
-    idx_dir = f"/tmp/dc4r_text_index/{hashlib.md5(key.encode()).hexdigest()[:12]}"
-    done = f"{idx_dir}/_DONE"
-    if not _os.path.exists(done):
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    def build_then_append(ds, idx_dir):
         def parity(keep_odd: int):
             def fn(t: pa.Table) -> pa.Table:
                 return t.filter(
@@ -3588,7 +3598,8 @@ def bm25_appended_top10(sf_dir: str) -> pd.DataFrame:
         odd = ds.map_batches(parity(1), batch_format="pyarrow")
         build_text_index(even, "doc_id", "text", idx_dir, num_buckets=32)
         append_text_index(idx_dir, odd, "doc_id", "text", num_buckets=32)
-        open(done, "w").close()
+
+    idx_dir = _ensure_text_index(sf_dir, prefix="append|", build=build_then_append)
     return bm25_topk_indexed(
         idx_dir, "doc_id", ["customer", "vector", "window"], k=10, num_buckets=32
     )
@@ -4524,17 +4535,8 @@ def link_degree_stats(sf_dir: str) -> pd.DataFrame:
     corpus = ensure("tiny")
     pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
 
-    def edges(batch: pa.Table) -> pa.Table:
-        srcs: list = []
-        dsts: list = []
-        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            for link in extract_links(h, u):
-                srcs.append(u)
-                dsts.append(link)
-        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
-
     indeg = (
-        pages.map_batches(edges, batch_format="pyarrow")
+        pages.map_batches(_link_edges, batch_format="pyarrow")
         .groupby(["src", "dst"])
         .aggregate(Count(alias_name="__dup"))  # distinct (src,dst)
         .groupby("dst")
@@ -4896,16 +4898,7 @@ def hits_corpus(sf_dir: str) -> pd.DataFrame:
     corpus = ensure("tiny")
     pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
 
-    def edges(batch: pa.Table) -> pa.Table:
-        srcs: list = []
-        dsts: list = []
-        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            for link in extract_links(h, u):
-                srcs.append(u)
-                dsts.append(link)
-        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
-
-    out = hits(pages.map_batches(edges, batch_format="pyarrow"), iters=2).to_pandas()
+    out = hits(pages.map_batches(_link_edges, batch_format="pyarrow"), iters=2).to_pandas()
     out = out.rename(columns={"node": "url"})
     out["hub"] = out["hub"].round(6)
     out["authority"] = out["authority"].round(6)
@@ -5919,22 +5912,9 @@ def phrase_search_docs(sf_dir: str) -> pd.DataFrame:
     map-side bloom semi-join drops non-candidates in place, and only the
     candidate minority pays the vectorized RE2 adjacency match.  Shares
     the mtime-keyed index cache with bm25_indexed_top10 (same build)."""
-    import hashlib
-    import os as _os
-    import shutil
+    from ..stages.textindex import phrase_search_indexed
 
-    from ..stages.textindex import build_text_index, phrase_search_indexed
-
-    doc_path = _p(sf_dir, "documents")
-    st = _os.stat(doc_path)
-    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
-    idx_dir = f"/tmp/dc4r_text_index/{hashlib.md5(key.encode()).hexdigest()[:12]}"
-    done = f"{idx_dir}/_DONE"
-    if not _os.path.exists(done):
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-        build_text_index(ds, "doc_id", "text", idx_dir, num_buckets=32)
-        open(done, "w").close()
+    idx_dir = _ensure_text_index(sf_dir)
     corpus = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return phrase_search_indexed(
         idx_dir, "doc_id", ["table", "window"], corpus, extra_cols=["lang"], num_buckets=32
@@ -6021,16 +6001,7 @@ def link_triangles(sf_dir: str) -> pd.DataFrame:
     corpus = ensure("tiny")
     pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
 
-    def edges(batch: pa.Table) -> pa.Table:
-        srcs: list = []
-        dsts: list = []
-        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            for link in extract_links(h, u):
-                srcs.append(u)
-                dsts.append(link)
-        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
-
-    return triangle_corner_hosts(pages.map_batches(edges, batch_format="pyarrow"))
+    return triangle_corner_hosts(pages.map_batches(_link_edges, batch_format="pyarrow"))
 
 
 _LINK_TRIANGLES_SQL = rf"""
@@ -6081,16 +6052,7 @@ def link_clustering(sf_dir: str) -> pd.DataFrame:
     corpus = ensure("tiny")
     pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
 
-    def edges(batch: pa.Table) -> pa.Table:
-        srcs: list = []
-        dsts: list = []
-        for u, h in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            for link in extract_links(h, u):
-                srcs.append(u)
-                dsts.append(link)
-        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
-
-    return local_clustering(pages.map_batches(edges, batch_format="pyarrow"))
+    return local_clustering(pages.map_batches(_link_edges, batch_format="pyarrow"))
 
 
 _LINK_CLUSTERING_SQL = rf"""

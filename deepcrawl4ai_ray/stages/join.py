@@ -223,19 +223,21 @@ def bloom_semi_anti(
 
         return split
 
-    positives = ds.map_batches(make_split(True), batch_format="pyarrow")
     # an all-negative (or all-empty) probe side leaves positives — and
     # the verified output — with zero blocks; Ray drops them, the join
     # would see no schema and to_pandas() would go column-less.  Seed
     # both from the probe schema so the plan stays total.
     ds_schema = ds.schema()
-    seed_fields = (
-        [(n, _arrow_type(t)) for n, t in zip(ds_schema.names, ds_schema.types)]
-        if ds_schema is not None
-        else None
+    if ds_schema is None:
+        raise ValueError(
+            "bloom_semi_anti probe side has no schema (all-empty dataset "
+            "whose blocks were dropped) — seed it with a schema-pinned "
+            "empty block (_seed_empty) first"
+        )
+    seed_fields = [(n, _arrow_type(t)) for n, t in zip(ds_schema.names, ds_schema.types)]
+    positives = _seed_empty(
+        ds.map_batches(make_split(True), batch_format="pyarrow"), seed_fields
     )
-    if seed_fields is not None:
-        positives = _seed_empty(positives, seed_fields)
     marked = keys_ds.map_batches(
         lambda t: pa.table(
             {key_col: t[key_col], "__hit": pa.array(np.ones(len(t), dtype=np.int8))}
@@ -243,16 +245,14 @@ def bloom_semi_anti(
         batch_format="pyarrow",
     )
     j = hash_join(positives, marked, on=column, right_on=key_col, how="left", num_buckets=num_buckets)
-    out_cols = list(ds.schema().names)
+    out_cols = list(ds_schema.names)
 
     def finish(batch: pa.Table) -> pa.Table:
         hit = pc.is_valid(batch["__hit"])
         keep = hit if keep_in else pc.invert(hit)
         return batch.filter(keep).select(out_cols)
 
-    checked = j.map_batches(finish, batch_format="pyarrow")
-    if seed_fields is not None:
-        checked = _seed_empty(checked, seed_fields)
+    checked = _seed_empty(j.map_batches(finish, batch_format="pyarrow"), seed_fields)
     if keep_in:
         return checked
     negatives = ds.map_batches(make_split(False), batch_format="pyarrow")

@@ -40,11 +40,16 @@ _SEP = "\x1f"  # never appears in normalized URLs/hosts
 
 
 def _canonical_edges(edges_ds, src: str, dst: str):
-    """DISTINCT undirected (a, b) with a < b, self-loops dropped."""
+    """DISTINCT undirected (a, b) with a < b, self-loops dropped.  Node
+    ids are cast to string up front so the downstream degree join and
+    wedge keys are type-stable for any input id type (an int64 edge
+    table would otherwise silently match nothing against the
+    string-typed degree table)."""
     from .join import bucketed_distinct
 
     def canon(t: pa.Table) -> pa.Table:
-        s, d = t[src], t[dst]
+        s = t[src].combine_chunks().cast(pa.string())
+        d = t[dst].combine_chunks().cast(pa.string())
         a = pc.min_element_wise(s, d)
         b = pc.max_element_wise(s, d)
         tbl = pa.table({"a": a, "b": b})
@@ -53,23 +58,33 @@ def _canonical_edges(edges_ds, src: str, dst: str):
     return bucketed_distinct(edges_ds.map_batches(canon, batch_format="pyarrow"), ["a", "b"])
 
 
-def triangle_corners(edges_ds, src: str = "src", dst: str = "dst"):
-    """Dataset of one row per triangle: (x, y, z) corner node ids in
-    (degree, id) orientation order.  See module docstring for the plan.
-    """
-    from .join import bloom_semi_anti, bucketed_sum, hash_join, shuffle_coalesce
+def _und_deg(edges_ds, src: str, dst: str):
+    """(undirected edges, degree table), both MATERIALIZED — each is
+    consumed by more than one downstream branch, and Ray does not cache
+    shared un-materialized lineage (the edge extraction + distinct +
+    degree shuffles would re-execute per consumer)."""
+    from .join import bucketed_sum
 
-    und = _canonical_edges(edges_ds, src, dst)
+    und = _canonical_edges(edges_ds, src, dst).materialize()
 
-    # degree = how many undirected edges touch the node
     def endpoints(t: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays(
-            [t["a"].combine_chunks().cast(pa.string()), t["b"].combine_chunks().cast(pa.string())]
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
         )})
 
     deg = bucketed_sum(
         und.map_batches(endpoints, batch_format="pyarrow"), ["node"], "node", "deg", count=True
-    )
+    ).materialize()
+    return und, deg
+
+
+def triangle_corners(edges_ds, src: str = "src", dst: str = "dst", _und_deg_pair=None):
+    """Dataset of one row per triangle: (x, y, z) corner node ids in
+    (degree, id) orientation order.  See module docstring for the plan.
+    """
+    from .join import bloom_semi_anti, hash_join, shuffle_coalesce
+
+    und, deg = _und_deg_pair if _und_deg_pair is not None else _und_deg(edges_ds, src, dst)
 
     # attach order keys to both endpoints, then orient low -> high
     j1 = hash_join(und, deg, on="a", right_on="node", how="inner").map_batches(
@@ -101,7 +116,10 @@ def triangle_corners(edges_ds, src: str = "src", dst: str = "dst"):
             }
         )
 
-    oriented = j2.map_batches(orient, batch_format="pyarrow")
+    # materialized: consumed by BOTH wedge generation and the edge-key
+    # side of the semi-join — without this the distinct/degree/joins
+    # pipeline above executes twice (measured ~2x at sf1)
+    oriented = j2.map_batches(orient, batch_format="pyarrow").materialize()
 
     # wedge generation, two-level: bucket by source node, pandas inside
     def add_pb(t: pa.Table) -> pa.Table:
@@ -199,18 +217,9 @@ def local_clustering(edges_ds, src: str = "src", dst: str = "dst"):
     """
     from .join import bucketed_sum, hash_join
 
-    und = _canonical_edges(edges_ds, src, dst)
-
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.table({"node": pa.concat_arrays(
-            [t["a"].combine_chunks().cast(pa.string()), t["b"].combine_chunks().cast(pa.string())]
-        )})
-
-    deg = bucketed_sum(
-        und.map_batches(endpoints, batch_format="pyarrow"), ["node"], "node", "deg", count=True
-    )
-
-    tri = triangle_corners(edges_ds, src, dst)
+    pair = _und_deg(edges_ds, src, dst)
+    deg = pair[1]
+    tri = triangle_corners(edges_ds, src, dst, _und_deg_pair=pair)
 
     def corners(t: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays(

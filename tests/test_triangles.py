@@ -136,3 +136,21 @@ class TestLocalClustering:
         out = local_clustering(_ds(pd.DataFrame(path, columns=["src", "dst"]), 2))
         assert len(out) == 0
         assert list(out.columns) == ["node", "degree", "n_triangles", "cc"]
+
+
+class TestIntNodeIds:
+    def test_int64_edge_table(self, ray_session):
+        """Type-stability regression: an int64 edge table must count the
+        same triangles as its string spelling (node ids are cast to
+        string inside _canonical_edges, not silently join-mismatched)."""
+        import numpy as np
+
+        from deepcrawl4ai_ray.stages.triangles import triangle_corners
+
+        edges_i = pd.DataFrame(
+            {"src": np.array([1, 2, 1, 4], dtype=np.int64),
+             "dst": np.array([2, 3, 3, 5], dtype=np.int64)}
+        )
+        got = triangle_corners(_ds(edges_i, 2)).to_pandas()
+        assert len(got) == 1
+        assert sorted(got.iloc[0].tolist()) == ["1", "2", "3"]
