@@ -6097,6 +6097,74 @@ ORDER BY node
 """
 
 
+def robots_audit(sf_dir: str) -> pd.DataFrame:
+    """Batch robots.txt audit — runs the SAME RobotsCache/RobotsPolicy
+    the fetch actors enforce (state/robots.py, J2 broadcast pattern:
+    the per-host policy table ships once via ray.put, each worker
+    materializes the dict once) over every corpus URL, so the crawler's
+    disallow-prefix and crawl-delay semantics are driver-oracle-checked,
+    not just fixture-replayed.  Output: (url, allowed, crawl_delay_ms)."""
+    import pyarrow.parquet as pq_
+
+    from ..sources.corpus import ensure
+    from ..state.robots import DEFAULT_DELAY_MS, RobotsCache
+
+    corpus = ensure("tiny")
+    cache_ref = ray.put(RobotsCache.from_arrow(pq_.read_table(f"{corpus}/robots.parquet")))
+    urls = rd.read_parquet(f"{corpus}/pages", columns=["url"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        from ..functions.urlnorm import host_of
+        from ..stages.join import cached_get
+
+        cache = cached_get(cache_ref, "robots_audit")
+        us = batch["url"].to_pylist()
+        pols = [cache.get(host_of(u)) for u in us]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "allowed": pa.array(
+                    np.array([p.allows(u) for p, u in zip(pols, us)], dtype=np.int32)
+                ),
+                "crawl_delay_ms": pa.array(
+                    np.array([p.crawl_delay_ms for p in pols], dtype=np.int64)
+                ),
+            }
+        )
+
+    out = urls.map_batches(audit, batch_format="pyarrow").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+_ROBOTS_AUDIT_SQL = rf"""
+WITH urls AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         CASE WHEN regexp_replace(regexp_replace(url, '^[a-z]+://[^/]+', ''),
+                                  '\?.*$', '') = ''
+              THEN '/'
+              ELSE regexp_replace(regexp_replace(url, '^[a-z]+://[^/]+', ''),
+                                  '\?.*$', '') END AS path
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+),
+rules AS (
+  SELECT host, UNNEST(disallow) AS rule
+  FROM read_parquet('{_TINY_CORPUS}/robots.parquet')
+  WHERE len(disallow) > 0
+),
+denied AS (
+  SELECT DISTINCT u.url
+  FROM urls u JOIN rules r ON r.host = u.host AND starts_with(u.path, r.rule)
+)
+SELECT u.url,
+       CAST(u.url NOT IN (SELECT url FROM denied) AS INTEGER) AS allowed,
+       COALESCE(rb.crawl_delay_ms, 1000) AS crawl_delay_ms
+FROM urls u
+LEFT JOIN read_parquet('{_TINY_CORPUS}/robots.parquet') rb ON rb.host = u.host
+ORDER BY u.url
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -6217,6 +6285,7 @@ QUERIES = {
     "cms_user_est": cms_user_est,
     "link_triangles": link_triangles,
     "link_clustering": link_clustering,
+    "robots_audit": robots_audit,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
 }
@@ -6315,6 +6384,7 @@ ORACLES = {
     "cms_user_est": _CMS_EST_SQL,
     "link_triangles": _LINK_TRIANGLES_SQL,
     "link_clustering": _LINK_CLUSTERING_SQL,
+    "robots_audit": _ROBOTS_AUDIT_SQL,
     "gopher_quality_gate": _gopher_sql(),
     "training_data_pipeline": _training_pipeline_sql(),
     "hits_corpus": _hits_sql(2),
