@@ -1050,8 +1050,13 @@ def delta_novel_docs(sf_dir: str) -> pd.DataFrame:
     the 10^9-key path), so a mostly-novel delta stream never shuffles."""
 
     def fp_batch(batch: pa.Table) -> pa.Table:
+        from itertools import islice
+
+        # early-exit after 5 token matches instead of tokenizing the
+        # whole document (same first-5 semantics as the SQL [1:5] slice)
         fps = [
-            " ".join(H.tokens(t or "")[:5]) for t in batch["text"].to_pylist()
+            " ".join(m.group(0) for m in islice(H._TOKEN_RE.finditer((t or "").lower()), 5))
+            for t in batch["text"].to_pylist()
         ]
         return pa.table(
             {"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())}
@@ -6165,6 +6170,104 @@ ORDER BY u.url
 """
 
 
+def webgraph_report(sf_dir: str) -> pd.DataFrame:
+    """COMPOSED per-host web-graph report — the host authority/density
+    table a crawl scheduler consumes: inlink shape (link_degree_stats),
+    community density (link_triangles corner counts) and domain
+    authority (hostrank_corpus) joined per host.  Each input is an
+    already-oracle-green distributed pipeline; this query checks their
+    INTERACTION (host-key agreement across page-level, undirected and
+    host-contracted edge derivations) under ONE SQL oracle, the
+    fineweb/ccnet composition discipline applied to the graph family."""
+    deg = link_degree_stats(sf_dir)
+    tri = link_triangles(sf_dir)
+    hr = hostrank_corpus(sf_dir).rename(columns={"pr": "host_pr"})
+    out = deg.merge(tri, on="host", how="left")
+    out["n_corners"] = out["n_corners"].fillna(0).astype("int64")
+    out = out.merge(hr, on="host", how="inner")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _webgraph_sql(iters: int = 3) -> str:
+    """webgraph_report oracle: link_degree + triangle-corner + the
+    host-contracted unrolled PageRank chain (renamed h{k} CTEs), joined
+    per host."""
+    parts = [
+        rf"""
+WITH pages AS (
+  SELECT url, decode(html) AS html,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+), plinks AS (
+  SELECT DISTINCT p.url AS src,
+         CASE WHEN href LIKE 'http%' THEN href
+              WHEN href = '/' THEN 'https://' || p.host
+              ELSE 'https://' || p.host || href END AS dst
+  FROM pages p, UNNEST(regexp_extract_all(p.html,
+       '<a\s[^>]*?href\s*=\s*["'']([^"''<>]+)["'']', 1)) AS u(href)
+), indeg AS (SELECT dst, COUNT(*) AS indegree FROM plinks GROUP BY dst),
+degstats AS (
+  SELECT regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS host,
+         COUNT(*) AS n_targets,
+         CAST(SUM(indegree) AS BIGINT) AS total_inlinks,
+         MAX(indegree) AS max_indegree
+  FROM indeg GROUP BY host
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM plinks WHERE src <> dst
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+), tri_host AS (
+  SELECT regexp_extract(node, '^[a-z]+://([^/]+)', 1) AS host,
+         COUNT(*) AS n_corners
+  FROM (SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY host
+), hraw AS (
+  SELECT p.host AS src,
+         CASE WHEN href LIKE 'http%' THEN regexp_extract(href, '^[a-z]+://([^/]+)', 1)
+              ELSE p.host END AS dst
+  FROM pages p, UNNEST(regexp_extract_all(p.html,
+       '<a\s[^>]*?href\s*=\s*["'']([^"''<>]+)["'']', 1)) AS u(href)
+), hlinks AS (SELECT DISTINCT src, dst FROM hraw),
+hnodes AS (SELECT src AS node FROM hlinks UNION SELECT dst FROM hlinks),
+hnn AS (SELECT COUNT(*) * 1.0 AS n FROM hnodes),
+houtdeg AS (SELECT src, COUNT(*) * 1.0 AS deg FROM hlinks GROUP BY src),
+h0 AS (SELECT node, 1.0 / (SELECT n FROM hnn) AS pr FROM hnodes)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""",
+h{k} AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM hnn)
+         + 0.85 * (COALESCE(s.in_pr, 0)
+            + (1 - (SELECT SUM(r.pr) FROM h{p} r JOIN houtdeg o ON o.src = r.node))
+              / (SELECT n FROM hnn)) AS pr
+  FROM hnodes nd LEFT JOIN (
+    SELECT l.dst AS node, SUM(r.pr / o.deg) AS in_pr
+    FROM hlinks l JOIN h{p} r ON r.node = l.src JOIN houtdeg o ON o.src = l.src
+    GROUP BY l.dst) s ON s.node = nd.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT d.host, d.n_targets, d.total_inlinks, d.max_indegree,
+       COALESCE(t.n_corners, 0) AS n_corners,
+       ROUND(hr.pr, 6) AS host_pr
+FROM degstats d
+LEFT JOIN tri_host t ON t.host = d.host
+JOIN h{iters} hr ON hr.node = d.host
+ORDER BY d.host"""
+    )
+    return "".join(parts)
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -6286,6 +6389,7 @@ QUERIES = {
     "link_triangles": link_triangles,
     "link_clustering": link_clustering,
     "robots_audit": robots_audit,
+    "webgraph_report": webgraph_report,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
 }
@@ -6385,6 +6489,7 @@ ORACLES = {
     "link_triangles": _LINK_TRIANGLES_SQL,
     "link_clustering": _LINK_CLUSTERING_SQL,
     "robots_audit": _ROBOTS_AUDIT_SQL,
+    "webgraph_report": _webgraph_sql(3),
     "gopher_quality_gate": _gopher_sql(),
     "training_data_pipeline": _training_pipeline_sql(),
     "hits_corpus": _hits_sql(2),
