@@ -55,10 +55,12 @@ implementation file → queries() key → check type).  Summary:
   frequency estimates)
 - graph metrics .......................... link_triangles (degree-
   oriented triangle counting), link_clustering (local clustering
-  coefficient), link_degree_stats, pagerank_corpus, hits_corpus,
+  coefficient), webgraph_report (composed per-host report),
+  link_degree_stats, pagerank_corpus, hits_corpus,
   host_components, hostrank_corpus
 - frontier hygiene ....................... crawl_trap_hosts (spider-
-  trap detection), canonical_url_groups
+  trap detection), robots_audit (the crawler's RobotsPolicy,
+  oracle-gated), canonical_url_groups
 - retrieval .............................. phrase_search_docs (indexed
   exact phrase search), bm25_top10 / bm25_indexed_top10 /
   bm25_appended_top10
