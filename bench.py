@@ -226,6 +226,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "fineweb_pipeline",
         "semdedup_docs",
         "knn_join_top5",
+        "hll_user_registers",
+        "cms_user_est",
     ]
     for name in bench_queries:
         t0 = time.time()
