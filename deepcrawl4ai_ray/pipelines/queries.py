@@ -5999,7 +5999,6 @@ def link_triangles(sf_dir: str) -> pd.DataFrame:
     bloom semi-join, so non-closing wedges drop in place and never
     shuffle.  The oracle enumerates the same (algorithm-independent)
     triangle set with a 3-way self-join and unnests corners."""
-    from ..functions.extract import extract_links
     from ..sources.corpus import ensure
     from ..stages.triangles import triangle_corner_hosts
 
@@ -6049,15 +6048,28 @@ def link_clustering(sf_dir: str) -> pd.DataFrame:
     (stages/triangles.local_clustering, Watts-Strogatz 1998) for every
     node in at least one triangle — degrees and triangle-corner counts
     are slim groupby products, cc = 2*T/(d*(d-1)) is one IEEE double op
-    on exact ints so the SQL twin is bit-identical."""
-    from ..functions.extract import extract_links
+    on exact ints so the SQL twin is bit-identical.  The stage returns a
+    Dataset (per-node rows stay distributed at web-graph scale); the
+    pandas conversion + sort here is the bounded contract edge."""
     from ..sources.corpus import ensure
     from ..stages.triangles import local_clustering
 
     corpus = ensure("tiny")
     pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
 
-    return local_clustering(pages.map_batches(_link_edges, batch_format="pyarrow"))
+    out = local_clustering(
+        pages.map_batches(_link_edges, batch_format="pyarrow")
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype="object"),
+                "degree": pd.Series(dtype="int64"),
+                "n_triangles": pd.Series(dtype="int64"),
+                "cc": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values("node").reset_index(drop=True)
 
 
 _LINK_CLUSTERING_SQL = rf"""

@@ -106,6 +106,87 @@ def broadcast_filter(
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+#: rows at which a slim lookup table still broadcasts comfortably
+#: (~100 MB for two string/int columns) — the stages/ngramlm.py
+#: guarded-broadcast budget applied to lookup joins
+_MAX_LOOKUP_BROADCAST_ROWS = 3_000_000
+
+
+def lookup_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    rename: Optional[dict] = None,
+    max_broadcast_rows: int = _MAX_LOOKUP_BROADCAST_ROWS,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """INNER join that attaches the value columns of a UNIQUE-keyed
+    right side onto ``left`` — guarded broadcast with shuffle fallback
+    (the stages/ngramlm.py discipline):
+
+    * right.count() ≤ ``max_broadcast_rows``: the right table is pulled
+      block-refs-only and ``ray.put`` ONCE; each probe batch does a
+      vectorized ``pc.index_in`` against the key column and ``pc.take``s
+      the value columns — zero shuffle, left stays streaming.
+    * larger: the bucketed ``hash_join`` (one all-to-all) — the 10^10-row
+      degree-table shape.
+
+    Both paths emit identical schemas: left columns + right value
+    columns (``rename`` maps right names → output names); the right key
+    column is never emitted.  Right keys MUST be unique (degree /
+    dimension tables) — duplicate right keys would need the hash_join's
+    row-multiplying semantics, use it directly.
+    """
+    rkey = right_on or on
+    rename = rename or {}
+    # materialize once: count() executes the lineage anyway, and both the
+    # broadcast collect and the fallback join re-consume it
+    right = right.materialize()
+    if right.count() <= max_broadcast_rows:
+        parts = [t for t in ray.get(right.to_arrow_refs()) if t.num_columns > 0]
+        rt = (
+            pa.concat_tables(parts, promote_options="default").combine_chunks()
+            if parts
+            else None
+        )
+        if rt is None:
+            return left.limit(0)
+        val_cols = [c for c in rt.schema.names if c != rkey]
+        ref = ray.put(rt)
+        slot = f"lookup:{on}->{rkey}:{','.join(val_cols)}"
+
+        def attach(batch: pa.Table) -> pa.Table:
+            r = cached_get(ref, slot)
+            idx = pc.index_in(batch[on], value_set=r[rkey].combine_chunks())
+            mask = pc.is_valid(idx)
+            batch = batch.filter(mask)
+            idx = idx.filter(mask)
+            for c in val_cols:
+                batch = batch.append_column(
+                    rename.get(c, c), pc.take(r[c].combine_chunks(), idx)
+                )
+            return batch
+
+        return left.map_batches(attach, batch_format="pyarrow")
+
+    j = hash_join(left, right, on=on, right_on=rkey, how="inner", num_buckets=num_buckets)
+    l_names = list(left.schema().names)
+    out_map = [
+        (c, rename.get(c, c))
+        for c in right.schema().names
+        if c != rkey
+    ]
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in l_names}
+        for src, dst in out_map:
+            cols[dst] = batch[src]
+        return pa.table(cols)
+
+    return j.map_batches(project, batch_format="pyarrow")
+
+
 def _hash_col(col) -> np.ndarray:
     """Deterministic uint64 hash of a key column (pandas siphash — same
     result in every process; both join sides MUST use this)."""

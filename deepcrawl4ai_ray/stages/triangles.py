@@ -36,6 +36,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 _SEP = "\x1f"  # never appears in normalized URLs/hosts
 
 
@@ -82,21 +84,16 @@ def triangle_corners(edges_ds, src: str = "src", dst: str = "dst", _und_deg_pair
     """Dataset of one row per triangle: (x, y, z) corner node ids in
     (degree, id) orientation order.  See module docstring for the plan.
     """
-    from .join import bloom_semi_anti, hash_join, shuffle_coalesce
+    from .join import bloom_semi_anti, lookup_join, shuffle_coalesce
 
     und, deg = _und_deg_pair if _und_deg_pair is not None else _und_deg(edges_ds, src, dst)
 
-    # attach order keys to both endpoints, then orient low -> high
-    j1 = hash_join(und, deg, on="a", right_on="node", how="inner").map_batches(
-        lambda t: pa.table({"a": t["a"], "b": t["b"], "deg_a": t["deg"]}),
-        batch_format="pyarrow",
-    )
-    j2 = hash_join(j1, deg, on="b", right_on="node", how="inner").map_batches(
-        lambda t: pa.table(
-            {"a": t["a"], "b": t["b"], "deg_a": t["deg_a"], "deg_b": t["deg"]}
-        ),
-        batch_format="pyarrow",
-    )
+    # attach order keys to both endpoints, then orient low -> high; the
+    # degree table is unique-keyed so lookup_join applies: broadcast
+    # index_in when it fits (zero shuffle), bucketed hash_join at
+    # 10^10-node scale
+    j1 = lookup_join(und, deg, on="a", right_on="node", rename={"deg": "deg_a"})
+    j2 = lookup_join(j1, deg, on="b", right_on="node", rename={"deg": "deg_b"})
 
     def orient(t: pa.Table) -> pa.Table:
         da = t["deg_a"].to_numpy(zero_copy_only=False)
@@ -127,27 +124,46 @@ def triangle_corners(edges_ds, src: str = "src", dst: str = "dst", _und_deg_pair
         return t.append_column("__pb", pa.array((h % np.uint64(64)).astype(np.int32)))
 
     def wedges(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["u", "dv", "v"], kind="mergesort")
-        xs: list = []
-        ys: list = []
-        zs: list = []
-        for _, grp in df.groupby("u", sort=False):
-            vs = grp["v"].tolist()
-            n = len(vs)
-            if n < 2:
-                continue
-            x = grp["u"].iloc[0]
-            for i in range(n - 1):
-                vi = vs[i]
-                for j in range(i + 1, n):
-                    xs.append(x)
-                    ys.append(vi)
-                    zs.append(vs[j])
+        """All C(d,2) neighbor pairs per source node, fully vectorized —
+        the np.repeat + offset-arithmetic pair expansion (the
+        stages/dupspans.py / stages/pack.py pattern): sort by
+        (u, dv, v) so each wedge (y, z) comes out in oriented-edge order,
+        repeat element i of a d-sized group (d-1-i) times for the y
+        side, and close the z side with a per-repeat running offset."""
+        empty = pa.table(
+            {
+                "x": pa.array([], pa.string()),
+                "y": pa.array([], pa.string()),
+                "z": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = np.asarray(t["u"].to_pylist(), dtype=object)
+        v = np.asarray(t["v"].to_pylist(), dtype=object)
+        dv = t["dv"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, dv, u))  # primary u, then dv, then v
+        u = u[order]
+        v = v[order]
+        new = np.empty(len(u), dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(u)))
+        gid = np.cumsum(new) - 1
+        pos = np.arange(len(u)) - starts[gid]
+        reps = counts[gid] - 1 - pos  # pairs each element opens as y
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        y_idx = np.repeat(np.arange(len(u)), reps)
+        off = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps) + 1
+        z_idx = y_idx + off
         return pa.table(
             {
-                "x": pa.array(xs, pa.string()),
-                "y": pa.array(ys, pa.string()),
-                "z": pa.array(zs, pa.string()),
+                "x": pa.array(u[y_idx], pa.string()),
+                "y": pa.array(v[y_idx], pa.string()),
+                "z": pa.array(v[z_idx], pa.string()),
             }
         )
 
@@ -173,7 +189,23 @@ def triangle_corners(edges_ds, src: str = "src", dst: str = "dst", _und_deg_pair
         wedge_ds.map_batches(wedge_key, batch_format="pyarrow"),
         [("x", pa.string()), ("y", pa.string()), ("z", pa.string()), ("k", pa.string())],
     )
-    tri = bloom_semi_anti(keyed, "k", keys, "k", keep_in=True)
+    # closure: wedge (x; y, z) is a triangle iff oriented edge (y, z)
+    # exists.  Guarded: a small edge set ships ONCE as an exact broadcast
+    # value set (is_in per wedge batch, zero shuffle); past the budget,
+    # the bloom-prescreened exact semi-join (the 10^10-edge path)
+    from .join import _MAX_LOOKUP_BROADCAST_ROWS, broadcast_filter
+
+    n_edges = oriented.count()  # free: oriented is materialized
+    if n_edges == 0:
+        tri = keyed.limit(0)
+    elif n_edges <= _MAX_LOOKUP_BROADCAST_ROWS:
+        parts = [t for t in ray.get(keys.to_arrow_refs()) if t.num_columns > 0]
+        key_list = (
+            pa.concat_tables(parts)["k"].combine_chunks().to_pylist() if parts else []
+        )
+        tri = broadcast_filter(keyed, "k", ray.put(sorted(key_list)), keep_in=True)
+    else:
+        tri = bloom_semi_anti(keyed, "k", keys, "k", keep_in=True)
     return tri.map_batches(lambda t: t.select(["x", "y", "z"]), batch_format="pyarrow")
 
 
@@ -182,7 +214,7 @@ def triangle_corner_hosts(edges_ds, src: str = "src", dst: str = "dst"):
     three corners): pandas (host, n_corners) sorted by host — the skew /
     community-density signal next to link_degree_stats.  Also carries
     the global invariant sum(n_corners) == 3 * triangle count."""
-    from ..functions.urlnorm import host_of
+    from ..functions.urlnorm import hosts_of
     from .agg import partial_grouped_sum
 
     tri = triangle_corners(edges_ds, src, dst)
@@ -191,7 +223,7 @@ def triangle_corner_hosts(edges_ds, src: str = "src", dst: str = "dst"):
         flat = pa.concat_arrays(
             [t[c].combine_chunks().cast(pa.string()) for c in ("x", "y", "z")]
         )
-        hosts = [host_of(u) for u in flat.to_pylist()]
+        hosts = hosts_of(flat.to_pylist())
         return pa.table({"host": pa.array(hosts, pa.string())})
 
     out = partial_grouped_sum(
@@ -212,10 +244,17 @@ def local_clustering(edges_ds, src: str = "src", dst: str = "dst"):
     the machinery above; the division is one IEEE double op on exact
     ints, so the SQL twin reproduces it bit-for-bit.
 
-    Returns pandas (node, degree:int64, n_triangles:int64, cc:float64)
-    sorted by node.
+    Returns a Dataset of (node:string, degree:int64, n_triangles:int64,
+    cc:float64) — at web-graph scale the per-node rows stay distributed;
+    callers sort/limit/aggregate or convert to pandas only at the
+    contract edge.  Empty (triangle-free) inputs yield an empty Dataset
+    whose ``schema()`` is this exact schema (bucketed_sum / hash_join /
+    the final seed pin it); note Ray's ``to_pandas()`` on a fully-empty
+    map_groups lineage can still produce a column-less frame (empty
+    blocks bypass every UDF), so pandas contract edges must rebuild the
+    typed empty frame — see pipelines/queries.link_clustering.
     """
-    from .join import bucketed_sum, hash_join
+    from .join import _seed_empty, bucketed_sum, lookup_join
 
     pair = _und_deg(edges_ds, src, dst)
     deg = pair[1]
@@ -226,29 +265,40 @@ def local_clustering(edges_ds, src: str = "src", dst: str = "dst"):
             [t[c].combine_chunks().cast(pa.string()) for c in ("x", "y", "z")]
         )})
 
-    def _empty() -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": pd.Series(dtype="object"),
-                "degree": pd.Series(dtype="int64"),
-                "n_triangles": pd.Series(dtype="int64"),
-                "cc": pd.Series(dtype="float64"),
-            }
+    # seed: a triangle-free graph leaves every corner block empty, and
+    # bucketed_sum over an all-empty input yields a schema-less Dataset
+    # that the join below cannot consume
+    tcount = _seed_empty(
+        bucketed_sum(
+            tri.map_batches(corners, batch_format="pyarrow"),
+            ["node"],
+            "node",
+            "n_tri",
+            count=True,
+        ),
+        [("node", pa.string()), ("n_tri", pa.int64())],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["deg"].cast(pa.int64())
+        n = t["n_tri"].cast(pa.int64())
+        df = d.cast(pa.float64())
+        cc = pc.divide(
+            pc.multiply(pa.scalar(2.0), n.cast(pa.float64())),
+            pc.multiply(df, pc.subtract(df, pa.scalar(1.0))),
+        )
+        return pa.table(
+            {"node": t["node"], "degree": d, "n_triangles": n, "cc": cc}
         )
 
-    tcount = bucketed_sum(
-        tri.map_batches(corners, batch_format="pyarrow"), ["node"], "node", "n_tri", count=True
-    )
-    if tcount.schema() is None:  # triangle-free graph: all corner blocks empty
-        return _empty()
-    j = hash_join(tcount, deg, on="node", how="inner").to_pandas()
-    if j.empty:
-        return _empty()
-    j["degree"] = j["deg"].astype("int64")
-    j["n_triangles"] = j["n_tri"].astype("int64")
-    j["cc"] = 2.0 * j["n_triangles"] / (j["degree"] * (j["degree"] - 1.0))
-    return (
-        j[["node", "degree", "n_triangles", "cc"]]
-        .sort_values("node")
-        .reset_index(drop=True)
+    return _seed_empty(
+        lookup_join(tcount, deg, on="node").map_batches(
+            finish, batch_format="pyarrow"
+        ),
+        [
+            ("node", pa.string()),
+            ("degree", pa.int64()),
+            ("n_triangles", pa.int64()),
+            ("cc", pa.float64()),
+        ],
     )

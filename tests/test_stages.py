@@ -132,6 +132,36 @@ class TestHashJoin:
             hash_join(_ds(l), _ds(r), on="k")
 
 
+class TestLookupJoin:
+    """lookup_join (guarded broadcast index_in with hash_join fallback):
+    both modes must emit the identical inner-join result and schema."""
+
+    def _run(self, max_rows):
+        from deepcrawl4ai_ray.stages.join import lookup_join
+
+        left = pd.DataFrame({"k": ["a", "b", "c", "b", "zz"], "v": [1, 2, 3, 4, 5]})
+        right = pd.DataFrame({"node": ["a", "b", "c", "d"], "deg": [10, 20, 30, 40]})
+        out = lookup_join(
+            _ds(left),
+            _ds(right),
+            on="k",
+            right_on="node",
+            rename={"deg": "deg_k"},
+            max_broadcast_rows=max_rows,
+        ).to_pandas()
+        return out.sort_values(["k", "v"]).reset_index(drop=True)
+
+    def test_broadcast_and_join_modes_identical(self):
+        bcast = self._run(max_rows=1000)  # broadcast path
+        joined = self._run(max_rows=0)  # forced hash_join fallback
+        pd.testing.assert_frame_equal(bcast, joined)
+        # inner semantics: the unmatched left row 'zz' is dropped; right
+        # key column never appears; rename applied
+        assert list(bcast.columns) == ["k", "v", "deg_k"]
+        assert bcast["k"].tolist() == ["a", "b", "b", "c"]
+        assert bcast["deg_k"].tolist() == [10, 20, 20, 30]
+
+
 class TestBloomSemiAnti:
     def test_exact_vs_reference_at_1e6_keys(self):
         """10^6-key anti/semi join: output must EQUAL the exact set
