@@ -78,10 +78,11 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline: the end-to-end crawl (frontier + fetch +
-    extract + parquet sink) on the deterministic tiny corpus."""
-    from deepcrawl4ai_ray.pipelines.queries import crawl_tiny_e2e
+    extract + parquet sink) on the deterministic tiny corpus, with the
+    full engine-ordered output schema (fetch_seq/round/priority)."""
+    from deepcrawl4ai_ray.pipelines.queries import crawl_full_tiny
 
-    return crawl_tiny_e2e("/root/testdata/sf0.001")
+    return crawl_full_tiny()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

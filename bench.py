@@ -189,6 +189,25 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     results["crawl_pages_fetched"] = crawl_res["total_fetched"]
     results["frontier_inserts_per_sec"] = round(inserts / t_crawl, 1)
 
+    # ---- FUSED crawl→extract (enrich_spec in the round pipeline): pages
+    # publish already fingerprinted — vs crawl_pipeline + a separate
+    # enrich pass re-reading the whole published corpus ------------------
+    if not os.environ.get("DCR_BENCH_SKIP_QUERIES"):
+        fused_out = "/tmp/dc4r_bench/crawl_fused_out"
+        shutil.rmtree(fused_out, ignore_errors=True)
+        import dataclasses
+
+        fused_cfg = dataclasses.replace(cfg, enrich_spec=[{"step": "enrich_fingerprints"}])
+        t0 = time.time()
+        cf = Crawler(corpus, fused_out, fused_cfg)
+        fused_res = cf.run()
+        t_fused = time.time() - t0
+        cf.kill_shards()
+        results["queries"]["crawl_extract_fused"] = round(t_fused, 3)
+        results["crawl_fused_pages_per_sec"] = round(
+            fused_res["total_fetched"] / t_fused, 1
+        )
+
     # ---- generic operator queries over $GRAFT_SF_DIR --------------------
     if os.environ.get("DCR_BENCH_SKIP_QUERIES"):  # scaling legs: headline only
         results.update(

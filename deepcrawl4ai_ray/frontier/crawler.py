@@ -96,6 +96,18 @@ class CrawlConfig:
     # replacing the corpus seeds: the feedback loop of a continuous
     # crawler.  Defaults to <corpus_dir>/seeds.parquet.
     seeds_path: Optional[str] = None
+    # push-based event channel (reference SSE job.py:461-487): when set,
+    # one JSON line is APPENDED here per published round (and per
+    # aborted round) — consumers block on file growth (events.tail_events,
+    # the XREAD analog) instead of re-scanning the manifest directory
+    events_file: Optional[str] = None
+    # FUSED crawl→extract (reference streaming-results UX generalized):
+    # a pipelines/registry step spec applied to each round's page rows
+    # AFTER link routing and BEFORE the parquet publish — pages land in
+    # the corpus already cleaned/fingerprinted, saving the full corpus
+    # re-read of a separate extract pass.  Plain JSON (step names +
+    # params), so it checkpoints like the rest of the config.
+    enrich_spec: list = field(default_factory=list)
     extra: dict = field(default_factory=dict)
 
 
@@ -450,6 +462,10 @@ class Crawler:
         out = out.map_batches(make_extract_stage(cfg.exclude_external), batch_format="pyarrow").map_batches(
             router, batch_format="pyarrow"
         )
+        if cfg.enrich_spec:
+            from ..pipelines.registry import build_pipeline
+
+            out = build_pipeline(out, cfg.enrich_spec)
         round_dir = os.path.join(self.out_dir, "pages", f"round={r:05d}")
         tmp_dir = round_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -474,6 +490,10 @@ class Crawler:
             if dead_tmp is not None:
                 shutil.rmtree(dead_tmp, ignore_errors=True)
             phases["aborted"] = time.perf_counter() - t0 - sum(phases.values())
+            if cfg.events_file:
+                from ..events import append_event
+
+                append_event(cfg.events_file, event="round_aborted", round=r)
             return {
                 "fetched": 0,
                 "aborted": True,
@@ -504,6 +524,18 @@ class Crawler:
         man_final = os.path.join(self.out_dir, "manifest", f"round={r:05d}.parquet")
         pq.write_table(man, man_final + ".tmp")
         os.replace(man_final + ".tmp", man_final)
+        if cfg.events_file:
+            # pushed AFTER the manifest partition is durably visible, so
+            # an event-woken consumer reading the manifest never races it
+            from ..events import append_event
+
+            append_event(
+                cfg.events_file,
+                event="round",
+                round=r,
+                fetched=rows_sel,
+                frontier_size=sum(s["frontier_size"] for s in stats),
+            )
         if cfg.checkpoint:
             self._write_checkpoint(r)
             phases["checkpoint"] = time.perf_counter() - t0 - sum(phases.values())

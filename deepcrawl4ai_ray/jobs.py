@@ -48,7 +48,18 @@ from typing import Any, Dict, Iterator, List, Optional
 
 import ray
 
+from .events import EVENTS_FILE, append_event, tail_events
+
 STATES = ("queued", "running", "succeeded", "failed", "cancelled")
+TERMINAL = ("succeeded", "failed", "cancelled")
+
+
+def _events_path(job_dir: str) -> str:
+    return os.path.join(job_dir, EVENTS_FILE)
+
+
+def _push_state(job_dir: str, job_id: str, state: str, **extra) -> None:
+    append_event(_events_path(job_dir), event="state", id=job_id, state=state, **extra)
 
 
 def _now() -> float:
@@ -84,7 +95,8 @@ class _JobWorker:
         import traceback
 
         meta_path = os.path.join(job_dir, "job.json")
-        _update_json(meta_path, state="running", started_at=_now())
+        meta = _update_json(meta_path, state="running", started_at=_now())
+        _push_state(job_dir, meta["id"], "running")
         try:
             if kind == "crawl":
                 result = self._run_crawl(job_dir, spec)
@@ -93,6 +105,7 @@ class _JobWorker:
             meta = _read_json(meta_path)
             state = "cancelled" if meta.get("cancel_requested") else "succeeded"
             _update_json(meta_path, state=state, finished_at=_now(), result=result)
+            _push_state(job_dir, meta["id"], state)
         except Exception as e:  # noqa: BLE001 — job isolation: record, don't propagate
             _update_json(
                 meta_path,
@@ -101,6 +114,7 @@ class _JobWorker:
                 error=f"{type(e).__name__}: {e}",
                 traceback=traceback.format_exc()[-4000:],
             )
+            _push_state(job_dir, _read_json(meta_path)["id"], "failed", error=f"{type(e).__name__}: {e}")
         return _read_json(meta_path)["state"]
 
     def _run_crawl(self, job_dir: str, spec: dict) -> dict:
@@ -111,6 +125,8 @@ class _JobWorker:
         cfg_kwargs = dict(spec.get("config") or {})
         cfg_kwargs["stop_file"] = os.path.join(job_dir, "_STOP")
         cfg_kwargs["abort_file"] = os.path.join(job_dir, "_ABORT")
+        # crawl rounds push into the job's event log as they publish
+        cfg_kwargs.setdefault("events_file", _events_path(job_dir))
         cfg = CrawlConfig(**cfg_kwargs)
         c = Crawler(spec["corpus"], out_dir, cfg)
         try:
@@ -206,12 +222,20 @@ class JobRegistry:
         semantics)."""
         meta = _read_json(self._meta_path(job_id))
         if meta["state"] == "queued":
-            return _update_json(self._meta_path(job_id), state="cancelled", finished_at=_now())
+            out = _update_json(self._meta_path(job_id), state="cancelled", finished_at=_now())
+            _push_state(self._dir(job_id), job_id, "cancelled")
+            return out
         if meta["state"] == "running" and meta["kind"] == "crawl":
             token = "_ABORT" if meta.get("cancel_mode") == "preemptive" else "_STOP"
             # token path is fixed at submit time — touching it from ANY
             # process cancels (the crawler polls it per round / mid-round)
             open(os.path.join(self._dir(job_id), token), "w").close()
+            append_event(
+                _events_path(self._dir(job_id)),
+                event="cancel_requested",
+                id=job_id,
+                mode=meta.get("cancel_mode", "graceful"),
+            )
             return _update_json(self._meta_path(job_id), cancel_requested=True)
         return meta  # terminal or uncancellable-running: no-op
 
@@ -251,6 +275,24 @@ class JobRegistry:
             if terminal:
                 return
             time.sleep(poll_s)
+
+    def tail_job_events(
+        self, job_id: str, from_offset: int = 0, timeout: Optional[float] = None
+    ) -> Iterator[dict]:
+        """PUSH-based event stream (reference SSE over Redis-stream XREAD,
+        job.py:461-487): tail the job's append-only ``events.jsonl`` —
+        every writer (manager submit, worker state transitions, crawler
+        round publishes, cross-process cancels) appends one line, and
+        this consumer does O(new bytes) work per wakeup: no job.json
+        re-read, no manifest directory scan (what ``iter_events`` does).
+
+        Events arrive strictly in append order; each carries ``offset``
+        (the XREAD last_id analog) — pass it back as ``from_offset`` to
+        resume after a disconnect without loss or replay.  Returns after
+        the terminal ``state`` event."""
+        yield from tail_events(
+            _events_path(self._dir(job_id)), from_offset=from_offset, timeout=timeout
+        )
 
 
 class JobManager(JobRegistry):
@@ -301,6 +343,7 @@ class JobManager(JobRegistry):
             "cancel_mode": spec.get("cancel_mode", "graceful"),
         }
         _atomic_write_json(self._meta_path(job_id), meta)
+        _push_state(jd, job_id, "queued")
         with self._lock:
             self._queue.append((job_id, kind, spec))
         self._wake.set()
@@ -363,6 +406,9 @@ class JobManager(JobRegistry):
                                     state="failed",
                                     finished_at=_now(),
                                     error="job worker actor died",
+                                )
+                                _push_state(
+                                    self._dir(jid), jid, "failed", error="job worker actor died"
                                 )
                         except OSError:
                             pass

@@ -2811,25 +2811,100 @@ def page_metadata(sf_dir: str) -> pd.DataFrame:
 # H. Crawl pipelines (north star; rows-only — conformance is pytest's)
 # =========================================================================
 
-def crawl_tiny_e2e(sf_dir: str) -> pd.DataFrame:
-    """Full crawl on the deterministic tiny corpus: frontier (cuckoo
-    seen-set, politeness, robots) → fetch actors → extract → sink.
-    sf_dir is unused (the corpus is self-generated); rows-only check —
-    ordering/seen-set/text conformance is asserted by pytest fixtures."""
+def crawl_full_tiny(
+    out_dir: str = "/tmp/dc4r_entry_crawl", max_rounds: int = 6
+) -> pd.DataFrame:
+    """Full crawl on the deterministic tiny corpus with the complete
+    engine-ordered output (fetch_seq, round, priority are engine-defined
+    — pinned by the byte-frozen pytest fixtures, not SQL-derivable).
+    This is the driver ``entry()`` smoke."""
     import shutil
 
     from ..frontier.crawler import Crawler, CrawlConfig, read_crawl_output
     from ..sources.corpus import ensure
 
     corpus = ensure("tiny")
-    out_dir = "/tmp/dc4r_query_crawl"
     shutil.rmtree(out_dir, ignore_errors=True)
-    c = Crawler(corpus, out_dir, CrawlConfig(num_shards=2, fetch_concurrency=2, max_rounds=6, per_shard_budget=500, checkpoint=False))
+    c = Crawler(
+        corpus,
+        out_dir,
+        CrawlConfig(
+            num_shards=2,
+            fetch_concurrency=2,
+            max_rounds=max_rounds,
+            per_shard_budget=500,
+            checkpoint=False,
+        ),
+    )
     c.run()
     c.kill_shards()
     out = read_crawl_output(out_dir)
-    df = out.select(["fetch_seq", "round", "url", "host", "priority", "status", "n_links"]).to_pandas()
-    return df
+    return out.select(
+        ["fetch_seq", "round", "url", "host", "priority", "status", "n_links"]
+    ).to_pandas()
+
+
+def crawl_tiny_e2e(sf_dir: str) -> pd.DataFrame:
+    """Full crawl on the deterministic tiny corpus: frontier (cuckoo
+    seen-set, politeness, robots) → fetch actors → extract → sink — run
+    to frontier EXHAUSTION so the published output is the link-graph
+    closure, then value-hash-checked per url against the recursive-CTE
+    oracle (status + host + extracted link count).  Engine-defined
+    ordering columns (fetch_seq, round, priority) stay pinned by the
+    byte-frozen pytest fixtures; sf_dir is unused (corpus is
+    self-generated).  r5: upgraded from rows-only to oracle-green."""
+    df = crawl_full_tiny(out_dir="/tmp/dc4r_query_crawl", max_rounds=50)
+    return (
+        df[["url", "host", "status", "n_links"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+_CRAWL_E2E_SQL = rf"""
+WITH pages AS (
+  SELECT url, decode(html) AS html,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         coalesce(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), '') AS path
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+),
+rob AS (SELECT host, unnest(disallow) AS d FROM read_parquet('{_TINY_CORPUS}/robots.parquet')),
+denied_pages AS (
+  SELECT DISTINCT p.url FROM pages p JOIN rob r ON r.host = p.host WHERE starts_with(p.path, r.d)
+),
+links AS (
+  SELECT p.url AS src,
+         CASE WHEN href LIKE 'http%' THEN href
+              WHEN href = '/' THEN 'https://' || p.host
+              ELSE 'https://' || p.host || href END AS dst
+  FROM pages p, UNNEST(regexp_extract_all(p.html, '<a\s[^>]*?href\s*=\s*["'']([^"''<>]+)["'']', 1)) AS u(href)
+  WHERE p.url NOT IN (SELECT url FROM denied_pages)
+),
+reach AS (
+  WITH RECURSIVE r(url) AS (
+     SELECT url FROM read_parquet('{_TINY_CORPUS}/seeds.parquet')
+     UNION
+     SELECT l.dst FROM r JOIN links l ON l.src = r.url
+  ) SELECT url FROM r
+),
+-- engine n_links = len(extract_links(...)): resolved+normalized links,
+-- FIRST-OCCURRENCE DEDUPED per page → COUNT(DISTINCT dst) per src
+plink_counts AS (
+  SELECT src AS url, CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_links
+  FROM links GROUP BY src
+)
+SELECT r.url,
+       regexp_extract(r.url, '^[a-z]+://([^/]+)', 1) AS host,
+       CASE WHEN dn.url IS NOT NULL THEN 'robots_denied'
+            WHEN p.url IS NOT NULL THEN 'ok' ELSE 'miss' END AS status,
+       CASE WHEN dn.url IS NULL AND p.url IS NOT NULL
+            THEN COALESCE(lc.n_links, 0) ELSE 0 END AS n_links
+FROM reach r
+LEFT JOIN pages p ON p.url = r.url
+LEFT JOIN denied_pages dn ON dn.url = r.url
+LEFT JOIN plink_counts lc ON lc.url = r.url
+ORDER BY r.url
+"""
 
 
 def extract_corpus_text(sf_dir: str) -> pd.DataFrame:
@@ -2863,6 +2938,84 @@ def extract_corpus_text(sf_dir: str) -> pd.DataFrame:
 _EXTRACT_CORPUS_SQL = f"""
 SELECT url, md5(text) AS text_md5
 FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet') ORDER BY url
+"""
+
+
+def crawl_extract_e2e(sf_dir: str) -> pd.DataFrame:
+    """FUSED crawl→extract (CrawlConfig.enrich_spec): the crawl round
+    pipeline applies the enrich_fingerprints registry step before each
+    round's atomic publish, so pages land already tokenized/fingerprinted
+    — one fewer full corpus read than crawl-then-extract (byte-equality
+    of the two paths is pinned by TestFusedEnrich).  Run to frontier
+    exhaustion; the oracle recomputes (url, text_md5, n_tokens) for the
+    closure's fetched pages from the corpus text (byte-identical
+    extraction by construction — FIXTURES.md §1)."""
+    import shutil
+
+    from ..frontier.crawler import Crawler, CrawlConfig, read_crawl_output
+    from ..functions import hashing as H
+    from ..sources.corpus import ensure
+
+    corpus = ensure("tiny")
+    out_dir = "/tmp/dc4r_query_crawl_fused"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    c = Crawler(
+        corpus,
+        out_dir,
+        CrawlConfig(
+            num_shards=2,
+            fetch_concurrency=2,
+            max_rounds=50,
+            per_shard_budget=500,
+            checkpoint=False,
+            enrich_spec=[{"step": "enrich_fingerprints"}],
+        ),
+    )
+    c.run()
+    c.kill_shards()
+    out = read_crawl_output(out_dir)
+    df = out.select(["url", "status", "text", "n_tokens"]).to_pandas()
+    df = df[df.status == "ok"].copy()
+    df["text_md5"] = H.md5_hex_many(df["text"].tolist())
+    return (
+        df[["url", "text_md5", "n_tokens"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+_CRAWL_EXTRACT_SQL = rf"""
+WITH pages AS (
+  SELECT url, decode(html) AS html, text,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         coalesce(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), '') AS path
+  FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+),
+rob AS (SELECT host, unnest(disallow) AS d FROM read_parquet('{_TINY_CORPUS}/robots.parquet')),
+denied_pages AS (
+  SELECT DISTINCT p.url FROM pages p JOIN rob r ON r.host = p.host WHERE starts_with(p.path, r.d)
+),
+links AS (
+  SELECT p.url AS src,
+         CASE WHEN href LIKE 'http%' THEN href
+              WHEN href = '/' THEN 'https://' || p.host
+              ELSE 'https://' || p.host || href END AS dst
+  FROM pages p, UNNEST(regexp_extract_all(p.html, '<a\s[^>]*?href\s*=\s*["'']([^"''<>]+)["'']', 1)) AS u(href)
+  WHERE p.url NOT IN (SELECT url FROM denied_pages)
+),
+reach AS (
+  WITH RECURSIVE r(url) AS (
+     SELECT url FROM read_parquet('{_TINY_CORPUS}/seeds.parquet')
+     UNION
+     SELECT l.dst FROM r JOIN links l ON l.src = r.url
+  ) SELECT url FROM r
+)
+SELECT p.url, md5(p.text) AS text_md5,
+       CAST(length(p.text) - length(replace(p.text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+FROM reach r
+JOIN pages p ON p.url = r.url
+WHERE r.url NOT IN (SELECT url FROM denied_pages)
+ORDER BY p.url
 """
 
 
@@ -3783,6 +3936,66 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN score > 1.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        ROUND(AVG(score), 4) AS avg_score
 FROM s GROUP BY lang ORDER BY lang
+"""
+
+
+_FASTTEXT_DIR = "/tmp/dc4r_models/fasttext"
+
+
+def fasttext_doc_labels(sf_dir: str) -> pd.DataFrame:
+    """REAL pretrained-model-file inference (stages/fasttext.py): a
+    fastText ``.vec``-format model (input word vectors + label output
+    vectors, the public word2vec/fastText text format) is generated on
+    disk, parsed driver-side, broadcast via ray.put, and applied by an
+    actor pool — label = argmax(out[L] · mean of known-token vectors),
+    logits rounded to 6 dp, ties to the lexicographically smallest
+    label.  The oracle reproduces the identical bag-of-means linear
+    head from exploded (token, dim, val) parquet twins of the same
+    model files (ref parity: api.py:211-227, tasks.py:173-192)."""
+    from ..stages.fasttext import fasttext_classify, make_fixture_model
+
+    paths = make_fixture_model(_FASTTEXT_DIR)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = fasttext_classify(
+        ds,
+        paths["vectors_vec"],
+        paths["labels_vec"],
+        text_col="text",
+        keep_cols=("doc_id",),
+        concurrency=4,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_FASTTEXT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+means AS (
+  SELECT t.doc_id, v.dim, AVG(v.val) AS m
+  FROM toks t JOIN read_parquet('{_FASTTEXT_DIR}/vectors.parquet') v
+    ON v.token = t.tok
+  GROUP BY t.doc_id, v.dim
+),
+logits AS (
+  SELECT m.doc_id, h.label, ROUND(SUM(m.m * h.w), 6) AS logit
+  FROM means m JOIN read_parquet('{_FASTTEXT_DIR}/labels.parquet') h
+    ON h.dim = m.dim
+  GROUP BY m.doc_id, h.label
+),
+all_logits AS (
+  SELECT d.doc_id, l.label, COALESCE(g.logit, 0.0) AS logit
+  FROM documents d
+  CROSS JOIN (SELECT DISTINCT label FROM read_parquet('{_FASTTEXT_DIR}/labels.parquet')) l
+  LEFT JOIN logits g ON g.doc_id = d.doc_id AND g.label = l.label
+),
+best AS (
+  SELECT doc_id, label, logit,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY logit DESC, label ASC) AS rn
+  FROM all_logits
+)
+SELECT doc_id, label, logit FROM best WHERE rn = 1 ORDER BY doc_id
 """
 
 
@@ -6155,13 +6368,16 @@ def robots_audit(sf_dir: str) -> pd.DataFrame:
 
 _ROBOTS_AUDIT_SQL = rf"""
 WITH urls AS (
+  -- contract-aligned with the engine's RobotsPolicy (r4 advice): scheme
+  -- match is case-insensitive (urlparse accepts 'HTTPS://'), and the
+  -- path strips BOTH query and fragment (urlparse().path excludes '#…')
   SELECT url,
-         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
-         CASE WHEN regexp_replace(regexp_replace(url, '^[a-z]+://[^/]+', ''),
-                                  '\?.*$', '') = ''
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1) AS host,
+         CASE WHEN regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+', ''),
+                                  '[?#].*$', '') = ''
               THEN '/'
-              ELSE regexp_replace(regexp_replace(url, '^[a-z]+://[^/]+', ''),
-                                  '\?.*$', '') END AS path
+              ELSE regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+', ''),
+                                  '[?#].*$', '') END AS path
   FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
 ),
 rules AS (
@@ -6345,6 +6561,7 @@ QUERIES = {
     "selector_tag_counts": selector_tag_counts,
     "page_metadata": page_metadata,
     "crawl_tiny_e2e": crawl_tiny_e2e,
+    "crawl_extract_e2e": crawl_extract_e2e,
     "crawl_reachability": crawl_reachability,
     "extract_corpus_text": extract_corpus_text,
     "pii_redacted_docs": pii_redacted_docs,
@@ -6361,6 +6578,7 @@ QUERIES = {
     "pagerank_corpus": pagerank_corpus,
     "shuffled_export": shuffled_export,
     "quality_model_scores": quality_model_scores,
+    "fasttext_doc_labels": fasttext_doc_labels,
     "delta_near_dup_docs": delta_near_dup_docs,
     "mixture_sampled_docs": mixture_sampled_docs,
     "weighted_doc_sample": weighted_doc_sample,
@@ -6465,6 +6683,8 @@ ORACLES = {
     "page_metadata": _PAGE_META_SQL,
     "extract_corpus_text": _EXTRACT_CORPUS_SQL,
     "crawl_reachability": _REACH_SQL,
+    "crawl_tiny_e2e": _CRAWL_E2E_SQL,
+    "crawl_extract_e2e": _CRAWL_EXTRACT_SQL,
     "pii_redacted_docs": _PII_SQL,
     "repetition_by_lang": _REPETITION_SQL,
     "contaminated_docs": _CONTAM_SQL,
@@ -6479,6 +6699,7 @@ ORACLES = {
     "pagerank_corpus": _pagerank_sql(3),
     "shuffled_export": _SHUFFLE_EXPORT_SQL,
     "quality_model_scores": _quality_model_sql(),
+    "fasttext_doc_labels": _FASTTEXT_SQL,
     "delta_near_dup_docs": _DELTA_NEAR_DUP_SQL,
     "mixture_sampled_docs": _mixture_sql(),
     "weighted_doc_sample": _WEIGHTED_SAMPLE_SQL,

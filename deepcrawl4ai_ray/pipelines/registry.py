@@ -464,3 +464,36 @@ def _quantile_gate(ds, group_col: str, score_col: str, q: float = 0.9):
         return t.filter(_pa.array(s >= tv))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+@register("enrich_fingerprints")
+def _enrich_fingerprints(ds, text_col: str = "text"):
+    """The per-page enrich chain of the extract pipeline (token count,
+    minhash signature, simhash, quality ratios) as ONE registry step, so
+    a crawl can FUSE it into its round pipeline (CrawlConfig.enrich_spec)
+    and publish already-enriched pages — saving the full corpus re-read
+    of a separate crawl-then-extract pass (reference streaming-results
+    UX, utils.py:272-300, generalized)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions import hashing as H
+        from ..functions.textstats import quality_batch
+
+        texts = t[text_col].to_pylist()
+        n_tok = pc.cast(pc.add(pc.count_substring(t[text_col], " "), 1), pa.int64())
+        # token hashes computed once per doc, shared by minhash + simhash
+        ths = [H.token_hashes(x) for x in texts]
+        sigs = [H.minhash_signature_fast(H.shingles(th), 64).tobytes() for th in ths]
+        simh = _np.array([H.simhash64(th) for th in ths], dtype=_np.uint64)
+        q = quality_batch(texts)
+        return (
+            t.append_column("n_tokens", n_tok)
+            .append_column("minhash", pa.array(sigs, pa.binary()))
+            .append_column("simhash", pa.array(simh))
+            .append_column("stopword_ratio", pa.array(q["stopword_ratio"]))
+            .append_column("alpha_ratio", pa.array(q["alpha_ratio"]))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -46,11 +46,24 @@ def stratified_sample(
         raise ValueError(f"keep_cols must include {group_col!r} and {id_col!r}")
 
     def prune(batch: pa.Table) -> pa.Table:
-        df = batch.select(cols).to_pandas()
-        df["_rk"] = _rank_key(df[id_col].to_numpy())
-        df = df.sort_values(["_rk", id_col], kind="mergesort")
-        df = df.groupby(group_col, sort=False).head(n)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # pure numpy per-group head-n (r5, was pandas groupby.head):
+        # group-major lexsort, position-in-group via boundary arithmetic
+        sel = batch.select(cols)
+        ids = sel[id_col].to_numpy(zero_copy_only=False)
+        rk = _rank_key(ids)
+        grp = np.asarray(sel[group_col].to_pylist(), dtype=object)
+        order = np.lexsort((ids, rk, grp))
+        gs = grp[order]
+        new = np.empty(len(gs), dtype=bool)
+        if len(gs):
+            new[0] = True
+            new[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        pos = np.arange(len(gs)) - starts[gid] if len(gs) else np.array([], dtype=np.int64)
+        keep = order[pos < n]
+        out = sel.take(pa.array(keep, pa.int64()))
+        return out.append_column("_rk", pa.array(rk[keep], pa.string()))
 
     def pick(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["_rk", id_col], kind="mergesort").head(n)
@@ -171,21 +184,31 @@ def stratified_targets_sample(
     tref = _ray.put({g: int(n) for g, n in targets.items()})
 
     def prune(batch: pa.Table) -> pa.Table:
+        # pure numpy per-group head-n(g) (r5, was pandas groupby.apply):
+        # group-major lexsort + boundary arithmetic; per-group targets
+        # looked up once on the UNIQUE group values, not per row
         tgt = _ray.get(tref)
-        # pin EVERY column's Arrow type from the input block so empty or
-        # partially-pruned blocks can't emit null-typed columns (pandas
-        # infers all-NaN object columns as null on conversion)
         schema = batch.select(cols).schema.append(pa.field("_rk", pa.string()))
-        df = batch.select(cols).to_pandas()
-        df = df[df[group_col].map(lambda g: tgt.get(g, 0) > 0)]
-        if df.empty:
+        sel = batch.select(cols)
+        if sel.num_rows == 0:
             return schema.empty_table()
-        df["_rk"] = _rank_key(df[id_col].to_numpy())
-        df = df.sort_values(["_rk", id_col], kind="mergesort")
-        df = df.groupby(group_col, sort=False, group_keys=False).apply(
-            lambda g: g.head(tgt[g.name])
-        )
-        return pa.Table.from_pandas(df, preserve_index=False, schema=schema)
+        ids = sel[id_col].to_numpy(zero_copy_only=False)
+        rk = _rank_key(ids)
+        grp = np.asarray(sel[group_col].to_pylist(), dtype=object)
+        order = np.lexsort((ids, rk, grp))
+        gs = grp[order]
+        new = np.empty(len(gs), dtype=bool)
+        new[0] = True
+        new[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        pos = np.arange(len(gs)) - starts[gid]
+        caps = np.array([tgt.get(gs[s], 0) for s in starts], dtype=np.int64)
+        keep = order[pos < caps[gid]]
+        if not len(keep):
+            return schema.empty_table()
+        out = sel.take(pa.array(keep, pa.int64()))
+        return out.append_column("_rk", pa.array(rk[keep], pa.string())).cast(schema)
 
     def pick(group: pd.DataFrame) -> pd.DataFrame:
         tgt = _ray.get(tref)

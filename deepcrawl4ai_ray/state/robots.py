@@ -54,5 +54,8 @@ class RobotsCache:
         dis = tbl.column("disallow").to_pylist()
         delay = tbl.column("crawl_delay_ms").to_pylist()
         for h, d, ms in zip(hosts, dis, delay):
-            rows[h] = (d or [], ms or DEFAULT_DELAY_MS)
+            # None → default, but an EXPLICIT crawl_delay_ms=0 is honored
+            # (``ms or DEFAULT`` coerced 0 → 1000, diverging from the SQL
+            # oracle's COALESCE — r4 advice)
+            rows[h] = (d or [], ms if ms is not None else DEFAULT_DELAY_MS)
         return cls(rows)

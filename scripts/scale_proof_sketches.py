@@ -110,8 +110,15 @@ def main() -> None:
     reg_rows = sum(
         pq_.read_metadata(f).num_rows for f in glob.glob(f"{hll_out}/*.parquet")
     )
-    # spot-check one host's registers reconstruct a sane estimate
-    sample = pq_.read_table(sorted(glob.glob(f"{hll_out}/*.parquet"))[0]).to_pandas()
+    # spot-check one host's registers reconstruct a sane estimate; Ray
+    # can emit an empty FIRST file — scan until a non-empty frame
+    sample = None
+    for f in sorted(glob.glob(f"{hll_out}/*.parquet")):
+        df_ = pq_.read_table(f).to_pandas()
+        if len(df_):
+            sample = df_
+            break
+    assert sample is not None, "register sink produced only empty files"
     hot = sample[sample["host"] == sample["host"].iloc[0]]
     sk = HyperLogLog(12)
     sk.registers[hot["reg"].to_numpy()] = hot["reg_rank"].to_numpy().astype(np.uint8)

@@ -562,3 +562,56 @@ class TestRecrawlFeedback:
             cold_seqs = g.loc[g.priority == 5, "fetch_seq"]
             if len(hot_seqs) and len(cold_seqs):
                 assert hot_seqs.max() < cold_seqs.min(), host
+
+
+class TestFusedEnrich:
+    """CrawlConfig.enrich_spec: the crawl publishes already-enriched
+    pages; output must be BYTE-EQUAL to crawl-then-extract (the separate
+    enrich pass over the published corpus)."""
+
+    def test_fused_equals_crawl_then_extract(self, ray_session, tiny_corpus):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.pipelines.registry import build_pipeline
+
+        spec = [{"step": "enrich_fingerprints"}]
+        _, fused = _run(tiny_corpus, "/tmp/dc4r_test/crawl_fused", enrich_spec=spec)
+        _, plain = _run(tiny_corpus, "/tmp/dc4r_test/crawl_plain")
+        # post-hoc pass over the published (un-enriched) corpus
+        post = (
+            build_pipeline(rd.from_arrow(plain), spec)
+            .to_pandas()
+            .sort_values("fetch_seq")
+            .reset_index(drop=True)
+        )
+        got = fused.to_pandas().sort_values("fetch_seq").reset_index(drop=True)
+        assert list(got.columns) == list(post.columns)
+        for c in got.columns:
+            a, b = got[c], post[c]
+            if a.dtype.kind == "f":
+                assert (a.to_numpy() == b.to_numpy()).all(), c  # byte-equal, not approx
+            else:
+                assert a.equals(b), c  # exact (handles bytes/lists/object)
+
+    def test_enrich_spec_checkpoints_and_resumes(self, ray_session, tiny_corpus):
+        """A resumed fused crawl keeps enriching: resume-twin equality on
+        the enriched columns."""
+        shutil.rmtree("/tmp/dc4r_test/crawl_fused_ckpt", ignore_errors=True)
+        spec = [{"step": "enrich_fingerprints"}]
+        cfg = CrawlConfig(**{**CFG, "checkpoint": True, "max_rounds": 2, "enrich_spec": spec})
+        c = Crawler(tiny_corpus, "/tmp/dc4r_test/crawl_fused_ckpt", cfg)
+        c.run()
+        c.kill_shards()
+        cfg2 = CrawlConfig(**{**CFG, "checkpoint": True, "max_rounds": 6, "enrich_spec": spec})
+        c2 = Crawler.resume(tiny_corpus, "/tmp/dc4r_test/crawl_fused_ckpt", cfg2)
+        c2.run()
+        c2.kill_shards()
+        resumed = read_crawl_output("/tmp/dc4r_test/crawl_fused_ckpt")
+        _, straight = _run(
+            tiny_corpus, "/tmp/dc4r_test/crawl_fused_straight", enrich_spec=spec
+        )
+        a = resumed.to_pandas().sort_values("url").reset_index(drop=True)
+        b = straight.to_pandas().sort_values("url").reset_index(drop=True)
+        assert a["url"].tolist() == b["url"].tolist()
+        for c_ in ("n_tokens", "simhash", "stopword_ratio", "minhash"):
+            assert a[c_].equals(b[c_]), c_

@@ -115,3 +115,95 @@ class TestCancel:
             e["event"] == "state" and e["state"] == "succeeded" for e in events
         )
         assert json.dumps(events[0])  # events are json-able (the SSE contract)
+
+
+class TestPushEvents:
+    """tail_job_events: the append-only event log + blocking tail (the
+    XREAD analog) — push, ordered, resume-safe, no status polling."""
+
+    def test_unit_append_read_resume(self, tmp_path):
+        from deepcrawl4ai_ray.events import append_event, read_events
+
+        p = str(tmp_path / "ev.jsonl")
+        append_event(p, event="a", n=1)
+        append_event(p, event="b", n=2)
+        evs, off = read_events(p)
+        assert [e["event"] for e in evs] == ["a", "b"]
+        assert all("ts" in e for e in evs)
+        # resume from the recorded offset: only NEW events arrive
+        append_event(p, event="c", n=3)
+        evs2, off2 = read_events(p, from_offset=off)
+        assert [e["event"] for e in evs2] == ["c"]
+        assert off2 > off
+        # torn final line (writer mid-append) is withheld, not mangled
+        with open(p, "a") as f:
+            f.write('{"event": "torn"')  # no newline, incomplete json
+        evs3, off3 = read_events(p, from_offset=off2)
+        assert evs3 == [] and off3 == off2
+        with open(p, "a") as f:
+            f.write(', "n": 4}\n')
+        evs4, _ = read_events(p, from_offset=off3)
+        assert [e["event"] for e in evs4] == ["torn"]
+
+    def test_tail_is_push_not_status_poll(self, tmp_path):
+        """Events flow through the log alone: a concurrent writer thread
+        appends while the tail blocks — no job.json, no manifest dir
+        exists at all, so nothing CAN be polled."""
+        import threading
+
+        from deepcrawl4ai_ray.events import append_event, tail_events
+
+        p = str(tmp_path / "only_log.jsonl")
+
+        def writer():
+            append_event(p, event="state", state="running")
+            for i in range(5):
+                time.sleep(0.02)
+                append_event(p, event="round", round=i)
+            append_event(p, event="state", state="succeeded")
+
+        t = threading.Thread(target=writer)
+        t.start()
+        got = list(tail_events(p, timeout=30))
+        t.join()
+        kinds = [e["event"] for e in got]
+        assert kinds[0] == "state" and kinds[-1] == "state"
+        assert [e["round"] for e in got if e["event"] == "round"] == list(range(5))
+        # offsets strictly increase (append order == yield order)
+        offs = [e["offset"] for e in got]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+    def test_job_event_log_order_and_resume(self, mgr):
+        jid = mgr.submit("crawl", {"corpus": ensure("tiny"), "config": {"num_shards": 2}})
+        got = list(mgr.tail_job_events(jid, timeout=180))
+        kinds = [e["event"] for e in got]
+        states = [e["state"] for e in got if e["event"] == "state"]
+        # strict lifecycle order, rounds strictly between running and terminal
+        assert states[0] == "queued" and states[1] == "running"
+        assert states[-1] == "succeeded"
+        ri = [i for i, e in enumerate(got) if e["event"] == "round"]
+        assert ri, "crawl rounds must push round events"
+        run_i = kinds.index("state", 1)  # index of 'running'
+        term_i = len(got) - 1
+        assert all(run_i < i < term_i for i in ri)
+        rounds = [got[i]["round"] for i in ri]
+        assert rounds == sorted(rounds)
+        # resume-safety: re-tailing from any event's offset replays exactly
+        # the suffix after that event
+        mid = got[len(got) // 2]
+        rest = list(mgr.tail_job_events(jid, from_offset=mid["offset"], timeout=30))
+        assert [e["offset"] for e in rest] == [e["offset"] for e in got[len(got) // 2 + 1 :]]
+
+    def test_cancel_queued_pushes_terminal_event(self, tmp_path, ray_session):
+        m = JobManager(str(tmp_path / "jobs2"), max_workers=1)
+        try:
+            # occupy the single worker slot so the next job stays queued
+            a = m.submit("query", {"name": "q1_lineitem_agg", "sf_dir": SF})
+            b = m.submit("query", {"name": "q1_lineitem_agg", "sf_dir": SF})
+            m.cancel(b)
+            got = list(m.tail_job_events(b, timeout=60))
+            states = [e["state"] for e in got if e["event"] == "state"]
+            assert states[0] == "queued" and states[-1] == "cancelled"
+            m.wait(a, timeout=120)
+        finally:
+            m.shutdown(wait=False)
