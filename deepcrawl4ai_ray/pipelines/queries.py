@@ -4210,6 +4210,83 @@ FROM documents ORDER BY url
 """
 
 
+def _ensure_warc_fixture(n_files: int = 4) -> str:
+    """tiny-corpus pages → a directory of full .warc.gz archives of
+    ``response`` records (HTTP block + WARC-Record-ID + payload digest),
+    deterministic and cached — the raw-capture twin of the WET fixture."""
+    import hashlib
+    import os as _os
+    import shutil
+
+    from ..sources.corpus import ensure
+    from ..sources.warc import write_warc_file
+
+    corpus = ensure("tiny")
+    st_key = corpus  # corpus dir is itself content-addressed + _DONE-gated
+    out_dir = f"/tmp/dc4r_warc/{hashlib.md5(st_key.encode()).hexdigest()[:12]}"
+    done = f"{out_dir}/_DONE"
+    if not _os.path.exists(done):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        _os.makedirs(out_dir, exist_ok=True)
+        t = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"]).to_pandas()
+        t = t.sort_values("url").reset_index(drop=True)
+        for k in range(n_files):
+            sel = t.iloc[k::n_files]
+            write_warc_file(
+                f"{out_dir}/part-{k:02d}.warc.gz",
+                sel["url"].tolist(),
+                sel["html"].tolist(),
+            )
+        open(done, "w").close()
+    return out_dir
+
+
+def warc_response_extract(sf_dir: str) -> pd.DataFrame:
+    """Common-Crawl RAW-capture ingestion (sources/warc
+    WarcResponseDatasource): full .warc.gz archives of ``response``
+    records are read back — HTTP status/headers/body split per record,
+    WARC-Payload-Digest and WARC-Record-ID verified — then the engine's
+    own extractor runs over the recovered html.  The oracle recomputes
+    md5(text)/octet_length(html) from the source corpus (byte-identical
+    extraction by construction) and pins digest_ok/record_id_ok = 1 for
+    EVERY record (the engine computes them by re-hashing; a corrupted
+    archive flips them — tested in test_warc.py)."""
+    from ..functions.extract import extract_text
+    from ..functions.hashing import md5_hex_many
+    from ..sources.warc import read_warc_responses
+
+    warc_dir = _ensure_warc_fixture()
+    ds = read_warc_responses(warc_dir)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "http_status": pc.cast(batch["http_status"], pa.int64()),
+                "text_md5": pa.array(md5_hex_many(texts), pa.string()),
+                "n_bytes": batch["content_length"],
+                "digest_ok": pc.cast(batch["digest_ok"], pa.int64()),
+                "record_id_ok": pc.cast(batch["record_id_ok"], pa.int64()),
+            }
+        )
+
+    df = ds.map_batches(fin, batch_format="pyarrow").to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+_WARC_RESPONSE_SQL = f"""
+SELECT url,
+       CAST(200 AS BIGINT) AS http_status,
+       md5(text) AS text_md5,
+       CAST(octet_length(html) AS BIGINT) AS n_bytes,
+       CAST(1 AS BIGINT) AS digest_ok,
+       CAST(1 AS BIGINT) AS record_id_ok
+FROM read_parquet('{_TINY_CORPUS}/pages/*.parquet')
+ORDER BY url
+"""
+
+
 def span_removed_docs(sf_dir: str) -> pd.DataFrame:
     """Duplicate-span REMOVAL (stages/dupspans.remove_duplicate_spans):
     the Lee et al. / RefinedWeb exact-substring cleaning step — every
@@ -6585,6 +6662,7 @@ QUERIES = {
     "dup_span_pairs": dup_span_pairs,
     "span_removed_docs": span_removed_docs,
     "wet_extract": wet_extract,
+    "warc_response_extract": warc_response_extract,
     "chunked_docs": chunked_docs,
     "crawl_snapshot_diff": crawl_snapshot_diff,
     "anchor_text_agg": anchor_text_agg,
@@ -6706,6 +6784,7 @@ ORACLES = {
     "dup_span_pairs": _DUP_SPANS_SQL,
     "span_removed_docs": _SPAN_REMOVED_SQL,
     "wet_extract": _WET_EXTRACT_SQL,
+    "warc_response_extract": _WARC_RESPONSE_SQL,
     "chunked_docs": _CHUNKED_DOCS_SQL,
     "crawl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "anchor_text_agg": _anchor_sql(),

@@ -233,9 +233,117 @@ def read_wet(
     )
 
 
+WARC_RESPONSE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("record_id", pa.string()),
+        ("http_status", pa.int32()),
+        ("content_type", pa.string()),
+        ("html", pa.binary()),
+        ("content_length", pa.int64()),
+        ("digest_ok", pa.bool_()),
+        ("record_id_ok", pa.bool_()),
+    ]
+)
+
+
+def _responses_to_table(records: List[dict]) -> pa.Table:
+    urls, ts, rids, stats, ctypes, bodies, lens, doks, roks = (
+        [], [], [], [], [], [], [], [], [],
+    )
+    for r in records:
+        h = r["headers"]
+        url = h.get("warc-target-uri")
+        date = h.get("warc-date")
+        status, http_headers, body = split_http_payload(r["payload"])
+        urls.append(url)
+        ts.append(_warc_date_to_us(date))
+        rids.append(h.get("warc-record-id", ""))
+        stats.append(status)
+        ctypes.append(http_headers.get("content-type", ""))
+        bodies.append(body)
+        lens.append(len(body))
+        claimed = h.get("warc-payload-digest")
+        doks.append(claimed is not None and claimed == payload_digest(body))
+        roks.append(
+            url is not None
+            and date is not None
+            and h.get("warc-record-id", "") == record_id_for(url, date)
+        )
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "record_id": pa.array(rids, pa.string()),
+            "http_status": pa.array(stats, pa.int32()),
+            "content_type": pa.array(ctypes, pa.string()),
+            "html": pa.array(bodies, pa.binary()),
+            "content_length": pa.array(lens, pa.int64()),
+            "digest_ok": pa.array(doks, pa.bool_()),
+            "record_id_ok": pa.array(roks, pa.bool_()),
+        }
+    )
+
+
+class WarcResponseDatasource(FileBasedDatasource):
+    """Ray datasource over full .warc.gz archives: streams ``response``
+    records, splits each payload's HTTP block (status, headers, entity
+    body) and VERIFIES the WARC-Payload-Digest and WARC-Record-ID
+    round-trip per record — real Common-Crawl raw captures ingest
+    through this path (one read task per archive, batches bound task
+    heap exactly like WetDatasource)."""
+
+    _FILE_EXTENSIONS = ["gz", "warc"]
+
+    def __init__(self, paths, *, batch_rows: int = 1024, **kwargs):
+        super().__init__(paths, **kwargs)
+        self._batch_rows = batch_rows
+
+    def _read_stream(self, f: "pa.NativeFile", path: str) -> Iterator[pa.Table]:
+        buf = open_warc_stream(f)
+        batch: List[dict] = []
+        for rec in parse_warc_records(buf):
+            if rec["headers"].get("warc-type") != "response":
+                continue
+            batch.append(rec)
+            if len(batch) >= self._batch_rows:
+                yield _responses_to_table(batch)
+                batch = []
+        if batch:
+            yield _responses_to_table(batch)
+
+
+def read_warc_responses(paths, batch_rows: int = 1024, **read_args) -> "ray.data.Dataset":
+    """``ray.data``-native WARC ``response`` reader → Dataset with
+    WARC_RESPONSE_SCHEMA (digest- and record-id-verified per record)."""
+    return ray.data.read_datasource(
+        WarcResponseDatasource(paths, batch_rows=batch_rows), **read_args
+    )
+
+
 # ---------------------------------------------------------------------------
 # Writer (test/bench fixture): pages table → spec-conformant WET files.
 # ---------------------------------------------------------------------------
+
+
+def payload_digest(body: bytes) -> str:
+    """``sha1:<base32>`` of the record payload (for ``response`` records:
+    the HTTP entity body) — the exact WARC-Payload-Digest form Common
+    Crawl archives carry (ISO 28500 §5.9, labelled digest)."""
+    import base64
+    import hashlib
+
+    return "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode("ascii")
+
+
+def record_id_for(url: str, date: str) -> str:
+    """Deterministic ``urn:uuid:…`` WARC-Record-ID (uuid5 over url|date)
+    — stable across writer runs so archives are byte-reproducible and
+    the reader can verify the ID round-trip."""
+    import uuid
+
+    return f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, f'{url}|{date}')}>"
 
 
 def _warc_record(headers: List[tuple], payload: bytes) -> bytes:
@@ -268,15 +376,18 @@ def write_wet_file(
     ]
     for i, (u, t) in enumerate(zip(urls, texts)):
         date = (dates[i] if dates else None) or "2020-01-01T00:00:00Z"
+        body = (t or "").encode("utf-8")
         recs.append(
             _warc_record(
                 [
                     ("WARC-Type", "conversion"),
+                    ("WARC-Record-ID", record_id_for(u, date)),
                     ("WARC-Target-URI", u),
                     ("WARC-Date", date),
                     ("Content-Type", "text/plain"),
+                    ("WARC-Payload-Digest", payload_digest(body)),
                 ],
-                (t or "").encode("utf-8"),
+                body,
             )
         )
     with open(path, "wb") as f:
@@ -317,9 +428,12 @@ def write_warc_file(
             _warc_record(
                 [
                     ("WARC-Type", "response"),
+                    ("WARC-Record-ID", record_id_for(u, date)),
                     ("WARC-Target-URI", u),
                     ("WARC-Date", date),
                     ("Content-Type", "application/http; msgtype=response"),
+                    # digest over the HTTP entity BODY (ISO 28500 §5.9)
+                    ("WARC-Payload-Digest", payload_digest(body)),
                 ],
                 http,
             )
