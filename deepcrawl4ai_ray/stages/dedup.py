@@ -617,6 +617,7 @@ def minhash_lsh_pairs(
     num_buckets: int = 32,
     payload_mode: str = "join",
     sig_col: "str | None" = None,
+    max_docs_per_key: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs from LSH band candidates → Dataset(id_a, id_b, val)
     with id_a < id_b, deduped across bands distributively (the pair set
@@ -668,6 +669,14 @@ def minhash_lsh_pairs(
             bks, idss = bk[order], ids[order]
             _, start, cnt = np.unique(bks, return_index=True, return_counts=True)
             multi = cnt >= 2
+            if max_docs_per_key is not None:
+                # mega-bucket cap (the simhash/dupspans discipline): an
+                # all-duplicates corpus puts thousands of docs in ONE
+                # band bucket and the clique emission goes O(m^2) — the
+                # 3x stress proof filled 200+ GB of payload-join spill
+                # without this.  Capped buckets generate no pairs;
+                # default None = exact (the oracle-checked config).
+                multi &= cnt <= max_docs_per_key
             out_a: List[np.ndarray] = []
             out_b: List[np.ndarray] = []
             for s, c in zip(start[multi], cnt[multi]):
@@ -744,6 +753,8 @@ def minhash_lsh_pairs(
         sigss = g["sig"].to_numpy()[order]
         _, start, cnt = np.unique(bks, return_index=True, return_counts=True)
         multi = cnt >= 2
+        if max_docs_per_key is not None:  # mega-bucket cap, see exact path
+            multi &= cnt <= max_docs_per_key
         rows_a: List[int] = []
         rows_b: List[int] = []
         vals: List[float] = []

@@ -85,11 +85,15 @@ def dsir_lambda(
     evaluated per batch via pandas.eval (e.g. "doc_id % 7 == 0")."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        mask = df.eval(is_target_expr).to_numpy(dtype=bool)
+        # pandas only for the expression eval, and only over the slim
+        # non-text columns (the text payload never round-trips to pandas
+        # unless the expression itself references it — r4 advice #3)
+        ev = batch if text_col in is_target_expr else batch.drop_columns([text_col])
+        mask = ev.to_pandas().eval(is_target_expr).to_numpy(dtype=bool)
+        texts = batch[text_col].to_pylist()
         tgt = np.zeros(num_buckets, dtype=np.int64)
         raw = np.zeros(num_buckets, dtype=np.int64)
-        for is_t, text in zip(mask, df[text_col]):
+        for is_t, text in zip(mask, texts):
             f = _gram_buckets(text, num_buckets)
             if len(f):
                 (tgt if is_t else raw)[:] += np.bincount(f, minlength=num_buckets)
@@ -125,10 +129,14 @@ def dsir_topk(
 
     def score(batch: pa.Table) -> pa.Table:
         lam_v = cached_get(lam_ref, slot="dsir_lambda")
-        df = batch.to_pandas()
-        sub = df[df.eval(raw_expr).to_numpy(dtype=bool)]
+        # eval over slim columns only; text stays in Arrow (r4 advice #3)
+        ev = batch if text_col in raw_expr else batch.drop_columns([text_col])
+        mask = ev.to_pandas().eval(raw_expr).to_numpy(dtype=bool)
+        sub = batch.filter(pa.array(mask))
         ids, ws, gs = [], [], []
-        for doc_id, text in zip(sub[id_col].to_numpy(), sub[text_col]):
+        for doc_id, text in zip(
+            sub[id_col].to_numpy(zero_copy_only=False), sub[text_col].to_pylist()
+        ):
             f = _gram_buckets(text, num_buckets)
             if not len(f):
                 continue  # no features — no evidence; outside the pool (SQL twin)

@@ -1805,3 +1805,32 @@ class TestPackSequencesEmpty:
         df = to_pandas(out)
         assert len(df) == 0
         assert list(df.columns) == ["doc_id", "n_tokens", "tok_start", "seq_first", "seq_last"]
+
+
+class TestMinhashMegaBucketCap:
+    """minhash_lsh_pairs(max_docs_per_key=...): band buckets above the
+    cap generate no pairs (the simhash/dupspans discipline) — default
+    None keeps exact semantics."""
+
+    def test_cap_drops_mega_bucket_pairs_only(self):
+        from deepcrawl4ai_ray.stages.dedup import minhash_lsh_pairs
+
+        # 12 identical docs (one mega band bucket) + 2 near-dup docs
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = [(i, base) for i in range(12)]
+        long = " ".join(f"w{i}" for i in range(24))
+        docs += [(100, long), (101, long.rsplit(" ", 1)[0])]  # j = 22/23
+        df = pd.DataFrame(docs, columns=["doc_id", "text"])
+        kw = dict(threshold=0.5, num_perm=16, bands=4, k=2, verify="exact")
+        exact = (
+            minhash_lsh_pairs(_ds(df), "doc_id", "text", **kw)
+            .to_pandas()
+        )
+        capped = (
+            minhash_lsh_pairs(_ds(df), "doc_id", "text", max_docs_per_key=8, **kw)
+            .to_pandas()
+        )
+        # uncapped: the 12-clique (66 pairs) + the planted pair
+        assert len(exact) == 66 + 1
+        # capped: mega bucket suppressed, planted pair survives
+        assert sorted(map(tuple, capped[["id_a", "id_b"]].to_numpy())) == [(100, 101)]
