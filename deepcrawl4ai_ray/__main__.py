@@ -55,6 +55,19 @@ def main(argv=None):
     c.add_argument("--abort-file", default=None, help="touch this file to abort the in-flight round (rolls back; resume re-runs it)")
     c.add_argument("--http-gateway", default=None, help="fetch pages over this HTTP gateway (HttpPageStore) instead of the corpus parquet")
     c.add_argument("--bucket-cache-actors", type=int, default=0, help="disk-mode locality: route bucket reads through N cache actors")
+    c.add_argument(
+        "--enrich",
+        default=None,
+        help="FUSE extract/enrich into the crawl rounds: JSON step spec "
+        '(e.g. \'[{"step": "enrich_fingerprints"}]\') applied to page '
+        "rows before each round's atomic publish",
+    )
+    c.add_argument(
+        "--events-file",
+        default=None,
+        help="append one JSON event line here per published round (the "
+        "push channel `jobs events` tails)",
+    )
 
     t = sub.add_parser("tail", help="stream crawl progress as NDJSON (manifest tail)")
     t.add_argument("--out", required=True)
@@ -91,6 +104,15 @@ def main(argv=None):
     jr.add_argument("--root", required=True)
     jr.add_argument("--max-workers", type=int, default=4)
     jr.add_argument("batch_file")
+    je = jsub.add_parser(
+        "events",
+        help="PUSH-tail a job's append-only event log as NDJSON (the "
+        "XREAD analog; resume with --from-offset)",
+    )
+    je.add_argument("--root", required=True)
+    je.add_argument("job_id")
+    je.add_argument("--from-offset", type=int, default=0)
+    je.add_argument("--timeout", type=float, default=None)
 
     args = p.parse_args(argv)
 
@@ -116,6 +138,8 @@ def main(argv=None):
             max_retries=args.max_retries,
             stop_file=args.stop_file,
             abort_file=args.abort_file,
+            enrich_spec=json.loads(args.enrich) if args.enrich else [],
+            events_file=args.events_file,
         )
         if args.http_gateway and args.bucket_cache_actors:
             p.error("--http-gateway and --bucket-cache-actors are mutually exclusive: "
@@ -163,6 +187,18 @@ def main(argv=None):
 
     if args.cmd == "jobs":
         from .jobs import JobManager
+
+        if args.jobs_cmd == "events":
+            # push tail: no Ray session, no polling of job.json — pure
+            # O(new bytes) reads of the append-only log
+            from .jobs import JobRegistry
+
+            reg = JobRegistry(args.root)
+            for ev in reg.tail_job_events(
+                args.job_id, from_offset=args.from_offset, timeout=args.timeout
+            ):
+                print(json.dumps(ev, default=str), flush=True)
+            return 0
 
         if args.jobs_cmd in ("status", "list", "cancel"):
             # registry-only operations: no Ray session needed (the cancel
