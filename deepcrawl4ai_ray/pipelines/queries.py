@@ -3210,7 +3210,7 @@ def host_components(sf_dir: str) -> pd.DataFrame:
     from ..functions.urlnorm import host_of
     from ..sources.corpus import ensure
     from ..stages.dedup import connected_components
-    from ..stages.join import hash_join
+    from ..stages.join import lookup_join
 
     corpus = ensure("tiny")
     pages = rd.read_parquet(f"{corpus}/pages", columns=["url", "html"])
@@ -3252,19 +3252,23 @@ def host_components(sf_dir: str) -> pd.DataFrame:
     def first_row(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
+    # materialized: consumed by BOTH label joins below
     mapping = (
         edges.map_batches(vocab, batch_format="pyarrow")
         .groupby("h")
         .map_groups(first_row)
+        .materialize()
     )
 
     cc = connected_components(edges)  # (node, component) int63 labels
-    labeled = hash_join(cc, mapping, on="node", right_on="h", num_buckets=8)
+    # unique-keyed host vocabulary → guarded broadcast lookup (zero
+    # shuffle when it fits; bucketed hash_join past the 3M-row budget)
+    labeled = lookup_join(cc, mapping, on="node", right_on="h")
     roots = mapping.map_batches(
         lambda t: pa.table({"component": t["h"], "root_host": t["host"]}),
         batch_format="pyarrow",
     )
-    out = hash_join(labeled, roots, on="component", num_buckets=8).to_pandas()
+    out = lookup_join(labeled, roots, on="component").to_pandas()
     return (
         out[["host", "root_host"]].sort_values("host").reset_index(drop=True)
     )
@@ -6475,6 +6479,104 @@ ORDER BY u.url
 """
 
 
+def corpus_report(sf_dir: str) -> pd.DataFrame:
+    """COMPOSED per-language corpus report — the dataset-card table a
+    training run consumes: volume (token_stats_by_lang), quality
+    (quality_by_lang mean token length), the Gopher gate's survivor
+    count (gopher_quality_gate) and the exact-dedup redundancy rate
+    (stages/dedup.exact_dedup_losers → lang attach via the guarded
+    lookup_join → one partial-agg groupby), joined per lang.  Each
+    input is an already-oracle-green pipeline; this query checks their
+    INTERACTION under ONE SQL — the webgraph_report composition
+    discipline applied to the documents table."""
+    from ..stages.dedup import exact_dedup_losers
+    from ..stages.join import lookup_join
+
+    tok = token_stats_by_lang(sf_dir)
+    qual = quality_by_lang(sf_dir)[["lang", "avg_mean_token_len"]]
+    gopher = gopher_quality_gate(sf_dir)[["lang", "n_kept"]].rename(
+        columns={"n_kept": "n_gopher_kept"}
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    losers = exact_dedup_losers(
+        docs.select_columns(["doc_id", "text"]), "doc_id", "text"
+    )
+    slim = docs.select_columns(["doc_id", "lang"])
+    per_lang = partial_grouped_sum(
+        lookup_join(losers, slim, on="doc_id"), ["lang"], count_alias="n_dup_losers"
+    ).to_pandas()
+
+    out = tok.merge(qual, on="lang").merge(gopher, on="lang")
+    if "lang" in per_lang.columns:  # a dup-free corpus yields an empty
+        out = out.merge(per_lang[["lang", "n_dup_losers"]], on="lang", how="left")
+    else:  # column-less frame (Ray drops all-empty blocks)
+        out["n_dup_losers"] = 0
+    out["n_dup_losers"] = out["n_dup_losers"].fillna(0).astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _corpus_report_sql() -> str:
+    R = _GOPHER_RULES
+    stop_list = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+    return f"""
+WITH tokstats AS (
+  SELECT lang,
+         CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_docs,
+         ROUND(SUM(length(text) - length(replace(text, ' ', '')) + 1) * 1.0 / COUNT(*), 4) AS avg_tokens,
+         ROUND(AVG((length(text) - (length(text) - length(replace(text, ' ', ''))))
+                   / ((length(text) - length(replace(text, ' ', ''))) + 1.0)), 4) AS avg_mean_token_len
+  FROM documents GROUP BY lang
+),
+tok AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '\\w+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, lang, len(w) AS n_tok,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE length(array_to_string(w, '')) * 1.0 / len(w) END AS mwl,
+         len(list_filter(w, x -> x IN ({stop_list}))) AS n_stop,
+         [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS g2,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)] AS g3
+  FROM tok
+),
+t2 AS (
+  SELECT doc_id, MAX(c) AS maxc FROM (
+    SELECT doc_id, gram, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+),
+t3 AS (
+  SELECT doc_id, 1.0 - COUNT(DISTINCT gram) * 1.0 / COUNT(*) AS dup3
+  FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY doc_id
+),
+gopher AS (
+  SELECT g.lang, CAST(SUM(CASE WHEN
+      g.n_tok BETWEEN {R["min_tok"]} AND {R["max_tok"]}
+      AND g.mwl >= {R["min_wl"]} AND g.mwl <= {R["max_wl"]}
+      AND NOT ((CASE WHEN g.n_tok >= 2 THEN 2.0 * t2.maxc / g.n_tok ELSE 0.0 END) > {R["max_rep"]}
+               OR COALESCE(t3.dup3, 0.0) > {R["max_rep"]})
+      AND g.n_stop >= {R["min_stop"]}
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_kept
+  FROM g LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+  GROUP BY g.lang
+),
+dup AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_dup_losers
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+  GROUP BY d.lang
+)
+SELECT t.lang, t.total_tokens, t.n_docs, t.avg_tokens, t.avg_mean_token_len,
+       gp.n_gopher_kept, COALESCE(dp.n_dup_losers, 0) AS n_dup_losers
+FROM tokstats t
+JOIN gopher gp ON gp.lang = t.lang
+LEFT JOIN dup dp ON dp.lang = t.lang
+ORDER BY t.lang
+"""
+
+
 def webgraph_report(sf_dir: str) -> pd.DataFrame:
     """COMPOSED per-host web-graph report — the host authority/density
     table a crawl scheduler consumes: inlink shape (link_degree_stats),
@@ -6698,6 +6800,7 @@ QUERIES = {
     "link_clustering": link_clustering,
     "robots_audit": robots_audit,
     "webgraph_report": webgraph_report,
+    "corpus_report": corpus_report,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
 }
@@ -6802,6 +6905,7 @@ ORACLES = {
     "link_clustering": _LINK_CLUSTERING_SQL,
     "robots_audit": _ROBOTS_AUDIT_SQL,
     "webgraph_report": _webgraph_sql(3),
+    "corpus_report": _corpus_report_sql(),
     "gopher_quality_gate": _gopher_sql(),
     "training_data_pipeline": _training_pipeline_sql(),
     "hits_corpus": _hits_sql(2),

@@ -497,3 +497,42 @@ def _enrich_fingerprints(ds, text_col: str = "text"):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register("fasttext_label")
+def _fasttext_label(
+    ds,
+    vectors_path: str,
+    labels_path: str,
+    text_col: str = "text",
+    keep_label: "str | None" = None,
+    concurrency: int = 4,
+):
+    """Classify every row with a fastText ``.vec`` model (the M6
+    content-filter family's learned member — stages/fasttext.py):
+    appends ``label``/``logit``; with ``keep_label`` the step FILTERS to
+    rows whose argmax label matches (the fastText-gated corpus filter
+    shape, e.g. FineWeb-2's language/quality gates)."""
+    import ray as _ray
+
+    from ..stages.fasttext import FastTextScoreStage, load_fasttext_model
+
+    model_ref = _ray.put(load_fasttext_model(vectors_path, labels_path))
+
+    class Tag(FastTextScoreStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            scored = super().__call__(batch)
+            out = batch.append_column("label", scored["label"]).append_column(
+                "logit", scored["logit"]
+            )
+            if keep_label is not None:
+                out = out.filter(pc.equal(out["label"], keep_label))
+            return out
+
+    return ds.map_batches(
+        Tag,
+        fn_constructor_kwargs={"model_ref": model_ref, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=1024,
+    )

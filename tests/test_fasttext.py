@@ -175,3 +175,38 @@ class TestClassify:
         assert len(out) == 64
         # 8 blocks / batch_size 8 -> >=8 batches, but only 2 actor inits
         assert ray.get(counter.get.remote()) == 2
+
+
+class TestRegistryStep:
+    def test_fasttext_label_step_and_keep_filter(self, tmp_path):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.pipelines.registry import build_pipeline
+        from deepcrawl4ai_ray.stages.fasttext import save_vec
+
+        vp = save_vec(str(tmp_path / "v.vec"), ["good", "bad"],
+                      np.array([[1.0, 0.0], [0.0, 1.0]]))
+        lp = save_vec(
+            str(tmp_path / "l.vec"),
+            ["__label__keep", "__label__drop"],
+            np.array([[2.0, -2.0], [-2.0, 2.0]]),
+        )
+        df = pd.DataFrame(
+            {"doc_id": [0, 1, 2], "text": ["good good", "bad bad", "good bad"]}
+        )
+        spec = lambda extra: [{"step": "fasttext_label", "params": {
+            "vectors_path": vp, "labels_path": lp, "concurrency": 2, **extra}}]
+        tagged = (
+            build_pipeline(rd.from_pandas(df), spec({}))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert tagged["label"].tolist() == ["keep", "drop", "drop"]
+        # 'good bad': mean=(0.5,0.5) -> both logits 0.0 -> tie -> 'drop' (lex)
+        assert tagged["logit"].tolist() == [2.0, 2.0, 0.0]
+        kept = (
+            build_pipeline(rd.from_pandas(df), spec({"keep_label": "keep"}))
+            .to_pandas()
+        )
+        assert kept["doc_id"].tolist() == [0]
+        # original columns survive the filter step
+        assert set(kept.columns) >= {"doc_id", "text", "label", "logit"}

@@ -1834,3 +1834,38 @@ class TestMinhashMegaBucketCap:
         assert len(exact) == 66 + 1
         # capped: mega bucket suppressed, planted pair survives
         assert sorted(map(tuple, capped[["id_a", "id_b"]].to_numpy())) == [(100, 101)]
+
+
+class TestDupLosersPerLang:
+    """The corpus_report dup branch: exact_dedup_losers -> lang attach
+    via lookup_join -> per-lang rollup, with PLANTED duplicates (the sf
+    corpora are dup-free, so the gate never exercises losers > 0)."""
+
+    def test_planted_duplicates_rollup(self):
+        from deepcrawl4ai_ray.stages.agg import partial_grouped_sum
+        from deepcrawl4ai_ray.stages.dedup import exact_dedup_losers
+        from deepcrawl4ai_ray.stages.join import lookup_join
+
+        rows = []
+        # en: text "aaa" x3 (2 losers), "bbb" x1; de: "ccc" x2 (1 loser)
+        for i, (lang, text) in enumerate(
+            [("en", "aaa"), ("en", "aaa"), ("en", "aaa"), ("en", "bbb"),
+             ("de", "ccc"), ("de", "ccc"), ("fr", "ddd")]
+        ):
+            rows.append((i, lang, text))
+        df = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+        docs = _ds(df).repartition(3)
+        losers = exact_dedup_losers(
+            docs.select_columns(["doc_id", "text"]), "doc_id", "text"
+        )
+        per_lang = (
+            partial_grouped_sum(
+                lookup_join(losers, docs.select_columns(["doc_id", "lang"]), on="doc_id"),
+                ["lang"],
+                count_alias="n_dup_losers",
+            )
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        assert per_lang.set_index("lang")["n_dup_losers"].to_dict() == {"de": 1, "en": 2}
