@@ -6479,6 +6479,110 @@ ORDER BY u.url
 """
 
 
+_IMAGE_FIXTURE_DIR = "/tmp/dc4r_images/v1"
+
+
+def _ensure_image_fixture(n: int = 400) -> str:
+    """Deterministic REAL-format image fixture: n images, alternating
+    PPM(P6)/BMP(24-bit), pixels a doc_id-seeded gradient; the parquet
+    stores payload + the encode-time truth (width/height/fmt/pixel md5)
+    — the WET/WARC fixture discipline for media payloads."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ..stages.imagecodec import encode_bmp24, encode_ppm, pixel_md5
+
+    done = f"{_IMAGE_FIXTURE_DIR}/_DONE"
+    if not _os.path.exists(done):
+        import shutil as _sh
+
+        _sh.rmtree(_IMAGE_FIXTURE_DIR, ignore_errors=True)
+        _os.makedirs(_IMAGE_FIXTURE_DIR, exist_ok=True)
+        ids, payloads, ws, hs, fmts, digs = [], [], [], [], [], []
+        for i in range(n):
+            w = 16 + (i * 7) % 48
+            h = 16 + (i * 5) % 32
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            arr = np.stack(
+                [
+                    (xx * 3 + i) % 256,
+                    (yy * 5 + 2 * i) % 256,
+                    (xx + yy + 7 * i) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            if i % 2 == 0:
+                payloads.append(encode_ppm(arr))
+                fmts.append("ppm")
+            else:
+                payloads.append(encode_bmp24(arr))
+                fmts.append("bmp")
+            ids.append(i)
+            ws.append(w)
+            hs.append(h)
+            digs.append(pixel_md5(arr))
+        _pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(payloads, pa.binary()),
+                    "width": pa.array(ws, pa.int64()),
+                    "height": pa.array(hs, pa.int64()),
+                    "fmt": pa.array(fmts, pa.string()),
+                    "pix_md5_expected": pa.array(digs, pa.string()),
+                }
+            ),
+            f"{_IMAGE_FIXTURE_DIR}/images.parquet",
+        )
+        open(done, "w").close()
+    return _IMAGE_FIXTURE_DIR
+
+
+def image_real_decode_meta(sf_dir: str) -> pd.DataFrame:
+    """REAL image decoding (stages/imagecodec): pure-numpy PPM(P6) and
+    24-bit-BMP parsers run in an actor pool over real encoded payloads;
+    per-image pixel digests recomputed AFTER decode must match the
+    encode-time truth (pix_ok — the WARC-payload-digest discipline for
+    media).  The oracle reads the fixture's stored truth columns: the
+    engine's decode output hash-matching them proves the format
+    round-trip, bit for bit.  Compressed formats (JPEG/PNG) remain the
+    documented stub in stages/multimodal.py."""
+    from ..stages.imagecodec import RealImageDecodeStage
+
+    fixture = _ensure_image_fixture()
+    ds = rd.read_parquet(f"{fixture}/images.parquet")
+    out = ds.map_batches(
+        RealImageDecodeStage,
+        fn_constructor_kwargs={"payload_col": "payload", "id_col": "doc_id"},
+        batch_format="pyarrow",
+        concurrency=4,
+        batch_size=128,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": t["width"],
+                "height": t["height"],
+                "fmt": t["fmt"],
+                "pix_md5": t["pix_md5"],
+                "pix_ok": pc.cast(t["pix_ok"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_IMAGE_REAL_DECODE_SQL = f"""
+SELECT doc_id, width, height, fmt,
+       pix_md5_expected AS pix_md5,
+       CAST(1 AS BIGINT) AS pix_ok
+FROM read_parquet('{_IMAGE_FIXTURE_DIR}/images.parquet')
+ORDER BY doc_id
+"""
+
+
 def corpus_report(sf_dir: str) -> pd.DataFrame:
     """COMPOSED per-language corpus report — the dataset-card table a
     training run consumes: volume (token_stats_by_lang), quality
@@ -6801,6 +6905,7 @@ QUERIES = {
     "robots_audit": robots_audit,
     "webgraph_report": webgraph_report,
     "corpus_report": corpus_report,
+    "image_real_decode_meta": image_real_decode_meta,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
 }
@@ -6906,6 +7011,7 @@ ORACLES = {
     "robots_audit": _ROBOTS_AUDIT_SQL,
     "webgraph_report": _webgraph_sql(3),
     "corpus_report": _corpus_report_sql(),
+    "image_real_decode_meta": _IMAGE_REAL_DECODE_SQL,
     "gopher_quality_gate": _gopher_sql(),
     "training_data_pipeline": _training_pipeline_sql(),
     "hits_corpus": _hits_sql(2),

@@ -3,10 +3,14 @@
 Images/audio/video are carried as Arrow ``binary`` columns with typed
 metadata — the reference's ``media`` dicts (triggers.py:221-225) become
 columns.  The decode libraries (PIL/ffmpeg/librosa) are NOT in this
-container, so the decode kernel is a clearly-marked deterministic stub
-(``FAKE_DECODE=True``) — the Ray-side plumbing (schema, batch sizing,
-actor signature, output layout) is real and tested.  Swap ``_decode``
-for a real decoder on a cluster with the libs installed.
+container, so the decode kernel for COMPRESSED formats is a
+clearly-marked deterministic stub (``FAKE_DECODE=True``) — the Ray-side
+plumbing (schema, batch sizing, actor signature, output layout) is real
+and tested.  Swap ``_decode`` for a real decoder on a cluster with the
+libs installed.  UNCOMPRESSED formats have a fully REAL path:
+stages/imagecodec.py decodes PPM(P6) and 24-bit BMP in pure numpy with
+per-image pixel-digest verification (``image_real_decode_meta`` is
+oracle-green over real encoded payloads).
 
 Batch-size note: large binary payloads need SMALL batch_size so
 batch × concurrency fits worker heaps; callers pass batch_size
