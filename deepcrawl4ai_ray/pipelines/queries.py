@@ -6583,6 +6583,204 @@ ORDER BY doc_id
 """
 
 
+_AUDIO_FIXTURE_DIR = "/tmp/dc4r_audio/v1"
+
+
+def _ensure_audio_fixture(n: int = 300, n_windows: int = 4, rate: int = 16000) -> str:
+    """Deterministic REAL-format WAV fixture: n mono PCM16 files with
+    doc_id-seeded integer sawtooth samples; the truth parquet stores the
+    per-window features computed by an INDEPENDENT serial loop at encode
+    time, so the oracle checks BOTH the RIFF round-trip and the engine's
+    vectorized feature kernel."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ..stages.audiocodec import encode_wav_pcm16
+
+    done = f"{_AUDIO_FIXTURE_DIR}/_DONE"
+    if not _os.path.exists(done):
+        import shutil as _sh
+
+        _sh.rmtree(_AUDIO_FIXTURE_DIR, ignore_errors=True)
+        _os.makedirs(_AUDIO_FIXTURE_DIR, exist_ok=True)
+        ids, payloads = [], []
+        t_id, t_w, t_sq, t_cnt, t_zc = [], [], [], [], []
+        for i in range(n):
+            ln = 800 + (i * 37) % 400
+            t = np.arange(ln, dtype=np.int64)
+            samples = (((t * (i % 7 + 3)) % 2001) - 1000).astype(np.int16)
+            ids.append(i)
+            payloads.append(encode_wav_pcm16(samples, rate))
+            # independent serial truth
+            s = samples.astype(int).tolist()
+            for j in range(n_windows):
+                lo, hi = j * ln // n_windows, (j + 1) * ln // n_windows
+                win = s[lo:hi]
+                zc = 0
+                for a, b in zip(win, win[1:]):
+                    if (a > 0 and b < 0) or (a < 0 and b > 0):
+                        zc += 1
+                t_id.append(i)
+                t_w.append(j)
+                t_sq.append(sum(x * x for x in win))
+                t_cnt.append(len(win))
+                t_zc.append(zc)
+        _pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            ),
+            f"{_AUDIO_FIXTURE_DIR}/audio.parquet",
+        )
+        _pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(t_id, pa.int64()),
+                    "window_idx": pa.array(t_w, pa.int64()),
+                    "sumsq": pa.array(t_sq, pa.int64()),
+                    "n_samples": pa.array(t_cnt, pa.int64()),
+                    "zero_cross": pa.array(t_zc, pa.int64()),
+                    "sample_rate": pa.array([rate] * len(t_id), pa.int64()),
+                }
+            ),
+            f"{_AUDIO_FIXTURE_DIR}/truth.parquet",
+        )
+        open(done, "w").close()
+    return _AUDIO_FIXTURE_DIR
+
+
+def audio_wav_features(sf_dir: str) -> pd.DataFrame:
+    """REAL audio decoding (stages/audiocodec): a from-scratch RIFF/WAV
+    PCM16 parser (chunk walk, word alignment, channel-0 downmix) feeds
+    vectorized per-window features — integer-exact mean-square energy
+    (sumsq, n_samples) and zero-crossing counts — in an actor pool.
+    The oracle reads the fixture's encode-time truth computed by an
+    independent serial loop: hash equality proves the WAV round-trip
+    AND the vectorized kernel.  Compressed audio remains the documented
+    stub (stages/multimodal.py)."""
+    from ..stages.audiocodec import WavFeatureStage
+
+    fixture = _ensure_audio_fixture()
+    ds = rd.read_parquet(f"{fixture}/audio.parquet")
+    out = ds.map_batches(
+        WavFeatureStage,
+        fn_constructor_kwargs={"payload_col": "payload", "id_col": "doc_id"},
+        batch_format="pyarrow",
+        concurrency=4,
+        batch_size=64,
+    ).to_pandas()
+    return out.sort_values(["doc_id", "window_idx"]).reset_index(drop=True)
+
+
+_AUDIO_WAV_SQL = f"""
+SELECT doc_id, window_idx, sumsq, n_samples, zero_cross, sample_rate
+FROM read_parquet('{_AUDIO_FIXTURE_DIR}/truth.parquet')
+ORDER BY doc_id, window_idx
+"""
+
+
+_VIDEO_FIXTURE_DIR = "/tmp/dc4r_video/v1"
+
+
+def _ensure_video_fixture(n: int = 120, k: int = 4) -> str:
+    """Deterministic REAL-format Y4M fixture: n clips with doc_id-seeded
+    frame counts/geometry and gradient luma; the truth parquet stores the
+    sampled-frame features from an independent serial computation."""
+    import hashlib as _hl
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ..stages.videocodec import encode_y4m
+
+    done = f"{_VIDEO_FIXTURE_DIR}/_DONE"
+    if not _os.path.exists(done):
+        import shutil as _sh
+
+        _sh.rmtree(_VIDEO_FIXTURE_DIR, ignore_errors=True)
+        _os.makedirs(_VIDEO_FIXTURE_DIR, exist_ok=True)
+        ids, payloads = [], []
+        t_id, t_f, t_w, t_h, t_lm, t_md5 = [], [], [], [], [], []
+        for i in range(n):
+            nf = 2 + (i * 3) % 9
+            w = 16 + 2 * ((i * 5) % 8)
+            h = 8 + 2 * ((i * 7) % 6)
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            frames = np.stack(
+                [((xx * 2 + yy * 3 + 11 * i + 17 * f) % 256) for f in range(nf)]
+            ).astype(np.uint8)
+            ids.append(i)
+            payloads.append(encode_y4m(frames))
+            # independent serial truth for the k evenly-spaced samples
+            if nf <= k:
+                idxs = list(range(nf))
+            else:
+                idxs = sorted({j * (nf - 1) // (k - 1) for j in range(k)})
+            for fi in idxs:
+                luma = frames[fi]
+                t_id.append(i)
+                t_f.append(fi)
+                t_w.append(w)
+                t_h.append(h)
+                t_lm.append(int(sum(int(x) for x in luma.ravel())) * 100 // (w * h))
+                t_md5.append(_hl.md5(luma.tobytes()).hexdigest())
+        _pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            ),
+            f"{_VIDEO_FIXTURE_DIR}/clips.parquet",
+        )
+        _pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(t_id, pa.int64()),
+                    "frame_idx": pa.array(t_f, pa.int64()),
+                    "width": pa.array(t_w, pa.int64()),
+                    "height": pa.array(t_h, pa.int64()),
+                    "luma_mean_x100": pa.array(t_lm, pa.int64()),
+                    "luma_md5": pa.array(t_md5, pa.string()),
+                }
+            ),
+            f"{_VIDEO_FIXTURE_DIR}/truth.parquet",
+        )
+        open(done, "w").close()
+    return _VIDEO_FIXTURE_DIR
+
+
+def video_frame_samples(sf_dir: str) -> pd.DataFrame:
+    """REAL video frame sampling (stages/videocodec): a from-scratch Y4M
+    (YUV4MPEG2) parser walks frame markers and extracts k evenly-spaced
+    luma planes — unsampled frames are skipped by size, so per-clip work
+    is O(header + k·frame) — with integer-exact per-frame features and
+    luma digests hash-checked against an independent encode-time truth.
+    Compressed video remains the documented stub (stages/multimodal.py)."""
+    from ..stages.videocodec import Y4mFrameSampleStage
+
+    fixture = _ensure_video_fixture()
+    ds = rd.read_parquet(f"{fixture}/clips.parquet")
+    out = ds.map_batches(
+        Y4mFrameSampleStage,
+        fn_constructor_kwargs={"payload_col": "payload", "id_col": "doc_id"},
+        batch_format="pyarrow",
+        concurrency=4,
+        batch_size=32,
+    ).to_pandas()
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+_VIDEO_FRAME_SQL = f"""
+SELECT doc_id, frame_idx, width, height, luma_mean_x100, luma_md5
+FROM read_parquet('{_VIDEO_FIXTURE_DIR}/truth.parquet')
+ORDER BY doc_id, frame_idx
+"""
+
+
 def corpus_report(sf_dir: str) -> pd.DataFrame:
     """COMPOSED per-language corpus report — the dataset-card table a
     training run consumes: volume (token_stats_by_lang), quality
@@ -6906,6 +7104,8 @@ QUERIES = {
     "webgraph_report": webgraph_report,
     "corpus_report": corpus_report,
     "image_real_decode_meta": image_real_decode_meta,
+    "audio_wav_features": audio_wav_features,
+    "video_frame_samples": video_frame_samples,
     "nfc_normalized_docs": nfc_normalized_docs,
     "ccnet_pipeline": ccnet_pipeline,
 }
@@ -7012,6 +7212,8 @@ ORACLES = {
     "webgraph_report": _webgraph_sql(3),
     "corpus_report": _corpus_report_sql(),
     "image_real_decode_meta": _IMAGE_REAL_DECODE_SQL,
+    "audio_wav_features": _AUDIO_WAV_SQL,
+    "video_frame_samples": _VIDEO_FRAME_SQL,
     "gopher_quality_gate": _gopher_sql(),
     "training_data_pipeline": _training_pipeline_sql(),
     "hits_corpus": _hits_sql(2),

@@ -7,10 +7,12 @@ container, so the decode kernel for COMPRESSED formats is a
 clearly-marked deterministic stub (``FAKE_DECODE=True``) — the Ray-side
 plumbing (schema, batch sizing, actor signature, output layout) is real
 and tested.  Swap ``_decode`` for a real decoder on a cluster with the
-libs installed.  UNCOMPRESSED formats have a fully REAL path:
-stages/imagecodec.py decodes PPM(P6) and 24-bit BMP in pure numpy with
-per-image pixel-digest verification (``image_real_decode_meta`` is
-oracle-green over real encoded payloads).
+libs installed.  UNCOMPRESSED formats have fully REAL paths:
+stages/imagecodec.py (PPM(P6) + 24-bit BMP, pixel-digest verified),
+stages/audiocodec.py (RIFF/WAV PCM16 + vectorized window features) and
+stages/videocodec.py (Y4M frame sampling, skip-not-copy) — each with an
+oracle-green query over real encoded payloads (image_real_decode_meta,
+audio_wav_features, video_frame_samples).
 
 Batch-size note: large binary payloads need SMALL batch_size so
 batch × concurrency fits worker heaps; callers pass batch_size
