@@ -247,6 +247,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "knn_join_top5",
         "hll_user_registers",
         "cms_user_est",
+        "corpus_report",
+        "image_real_decode_meta",
+        "audio_wav_features",
     ]
     for name in bench_queries:
         t0 = time.time()
