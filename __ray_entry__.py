@@ -44,7 +44,11 @@ implementation file → queries() key → check type).  Summary:
   bpe_token_stats (RE2 sub-word counts), quality_by_lang,
   doc_fingerprints, simhash, lang_id_counts (bigram language ID)
 - multimodal binary columns .............. image_decode_meta,
-  frame_samples (stubbed decode, real actor-pool plumbing)
+  frame_samples (stubbed compressed decode, real actor-pool plumbing);
+  REAL uncompressed codecs: image_real_decode_meta (PPM/BMP,
+  pixel-digest verified), audio_wav_features (RIFF/WAV PCM16 +
+  vectorized window features), video_frame_samples (Y4M skip-not-copy
+  frame sampling)
 - as-of join / rolling windows ........... asof_last_click,
   events_rolling_sum
 - deterministic hash sampling ............ hash_sampled_events
@@ -68,6 +72,11 @@ implementation file → queries() key → check type).  Summary:
 - JSON field extraction .................. props_k_stats
 - part/supplier rollups .................. parts_by_brand,
   supplier_balance_by_nation
+- r5 additions ........................... fasttext_doc_labels (real
+  .vec model-file inference), warc_response_extract (digest-verified
+  raw-capture ingestion), crawl_extract_e2e (FUSED crawl→extract
+  rounds), crawl_tiny_e2e (now oracle-green against the closure),
+  corpus_report (composed per-language dataset card)
 """
 
 from __future__ import annotations

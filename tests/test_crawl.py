@@ -615,3 +615,34 @@ class TestFusedEnrich:
         assert a["url"].tolist() == b["url"].tolist()
         for c_ in ("n_tokens", "simhash", "stopword_ratio", "minhash"):
             assert a[c_].equals(b[c_]), c_
+
+
+class TestEventsAcrossResume:
+    def test_round_events_continue_in_order_after_resume(self, ray_session, tiny_corpus):
+        """The push log is append-only across checkpoint-resume: the
+        resumed crawl appends its rounds to the SAME file, in round
+        order, with no duplicates for already-published rounds."""
+        import json as _json
+
+        out = "/tmp/dc4r_test/crawl_events_resume"
+        ev = out + "_events.jsonl"
+        shutil.rmtree(out, ignore_errors=True)
+        try:
+            os.remove(ev)
+        except FileNotFoundError:
+            pass
+        cfg = CrawlConfig(**{**CFG, "checkpoint": True, "max_rounds": 2, "events_file": ev})
+        c = Crawler(tiny_corpus, out, cfg)
+        c.run()
+        c.kill_shards()
+        n_first = sum(1 for _ in open(ev))
+        assert n_first == 2
+        cfg2 = CrawlConfig(**{**CFG, "checkpoint": True, "max_rounds": 6, "events_file": ev})
+        c2 = Crawler.resume(tiny_corpus, out, cfg2)
+        c2.run()
+        c2.kill_shards()
+        events = [_json.loads(l) for l in open(ev)]
+        rounds = [e["round"] for e in events if e["event"] == "round"]
+        # strictly increasing, no duplicates, resumes at round 2
+        assert rounds == sorted(set(rounds))
+        assert rounds[0] == 0 and rounds[n_first] == 2
