@@ -114,6 +114,15 @@ def main(argv=None):
     je.add_argument("--from-offset", type=int, default=0)
     je.add_argument("--timeout", type=float, default=None)
 
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP surface over a job registry: status/list/cancel JSON + "
+        "SSE event streams (server.py; reference job.py SSE framing)",
+    )
+    sv.add_argument("--root", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8750)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen-corpus":
@@ -184,6 +193,13 @@ def main(argv=None):
             out = out.to_pandas()
         print(out.to_string() if hasattr(out, "to_string") else out)
         return 0
+
+    if args.cmd == "serve":
+        from .server import main as serve_main
+
+        return serve_main(
+            ["--root", args.root, "--host", args.host, "--port", str(args.port)]
+        )
 
     if args.cmd == "jobs":
         from .jobs import JobManager
