@@ -135,3 +135,30 @@ class TestSse:
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(srv, "/jobs/ghost/events")
         assert e.value.code == 404
+
+
+class TestLiveJobIntegration:
+    def test_sse_streams_a_real_crawl_job(self, tmp_path, ray_session):
+        """End to end: submit a crawl through JobManager, consume its
+        lifecycle over HTTP SSE while it runs — queued → running →
+        round* → succeeded, stream EOF at terminal."""
+        from deepcrawl4ai_ray.jobs import JobManager
+        from deepcrawl4ai_ray.sources.corpus import ensure
+
+        mgr = JobManager(str(tmp_path / "reg2"), max_workers=1)
+        s = JobsHttpServer(mgr.root).start()
+        try:
+            jid = mgr.submit(
+                "crawl", {"corpus": ensure("tiny"), "config": {"num_shards": 2}}
+            )
+            with _get(s, f"/jobs/{jid}/events?timeout=180") as r:
+                frames = _parse_sse(r)
+            states = [f[2]["state"] for f in frames if f[1] == "state"]
+            assert states[0] == "queued" and states[-1] == "succeeded"
+            assert any(f[1] == "round" for f in frames)
+            # status endpoint agrees post-hoc
+            with _get(s, f"/jobs/{jid}") as r:
+                assert json.loads(r.read())["state"] == "succeeded"
+        finally:
+            s.stop()
+            mgr.shutdown(wait=False)
