@@ -410,3 +410,73 @@ class TestCrossEngineKeys:
                 params=[int(i), int(w)],
             ).fetchone()[0]
             assert g == want  # exact float equality — IEEE ops only
+
+
+class TestCodecRoundTrips:
+    """Property round-trips for the r5 real-format codecs: encode→decode
+    is identity for EVERY array in the supported domain."""
+
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_ppm_identity(self, h, w, seed):
+        from deepcrawl4ai_ray.stages.imagecodec import decode_ppm, encode_ppm
+
+        arr = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(decode_ppm(encode_ppm(arr)), arr)
+
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_bmp_identity(self, h, w, seed):
+        from deepcrawl4ai_ray.stages.imagecodec import decode_bmp24, encode_bmp24
+
+        arr = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(decode_bmp24(encode_bmp24(arr)), arr)
+
+    @given(
+        st.integers(min_value=0, max_value=200),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_wav_identity(self, n, seed, rate):
+        from deepcrawl4ai_ray.stages.audiocodec import decode_wav_pcm16, encode_wav_pcm16
+
+        s = (
+            np.random.default_rng(seed)
+            .integers(-(2**15), 2**15, size=n)
+            .astype(np.int16)
+        )
+        got, got_rate = decode_wav_pcm16(encode_wav_pcm16(s, rate))
+        np.testing.assert_array_equal(got, s)
+        assert got_rate == rate
+
+    @given(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_y4m_identity(self, n, h2, w2, seed):
+        from deepcrawl4ai_ray.stages.videocodec import encode_y4m, probe_y4m, sample_frames
+
+        h, w = 2 * h2, 2 * w2  # 4:2:0 needs even dims
+        f = (
+            np.random.default_rng(seed)
+            .integers(0, 256, size=(n, h, w))
+            .astype(np.uint8)
+        )
+        raw = encode_y4m(f)
+        assert probe_y4m(raw) == (w, h, n)
+        _, _, frames = sample_frames(raw, k=max(n, 1))
+        assert [i for i, _ in frames] == list(range(n))
+        for i, luma in frames:
+            np.testing.assert_array_equal(luma, f[i])
