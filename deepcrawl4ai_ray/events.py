@@ -28,10 +28,15 @@ def append_event(path: str, **fields) -> dict:
     """Append one event line (adds ``ts``).  One write() call —
     concurrent appenders from any process interleave whole lines."""
     fields.setdefault("ts", time.time())
-    line = json.dumps(fields, default=str) + "\n"
+    data = (json.dumps(fields, default=str) + "\n").encode("utf-8")
     fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
     try:
-        os.write(fd, line.encode("utf-8"))
+        # loop on short writes (signal interruption / disk pressure): a
+        # partial line would otherwise sit torn in the log forever
+        view = memoryview(data)
+        while view:
+            n = os.write(fd, view)
+            view = view[n:]
     finally:
         os.close(fd)
     return fields
@@ -60,7 +65,14 @@ def read_events(path: str, from_offset: int = 0) -> tuple:
         try:
             ev = json.loads(raw)
         except json.JSONDecodeError:
-            break  # torn or corrupt — stop before it, next drain retries
+            # a COMPLETE (newline-terminated) but invalid line is corrupt,
+            # not torn — skip past it, otherwise every tail stalls at this
+            # offset forever in a busy poll
+            consumed = end
+            continue
+        if not isinstance(ev, dict):  # valid JSON but not an event: skip
+            consumed = end
+            continue
         ev["offset"] = from_offset + end
         events.append(ev)
         consumed = end

@@ -95,6 +95,16 @@ class _JobWorker:
         import traceback
 
         meta_path = os.path.join(job_dir, "job.json")
+        # honor a cross-process cancel that landed between the
+        # dispatcher's queued-check and this actor starting: the cancel
+        # already wrote the TERMINAL state + event, so flipping to
+        # running here would both resurrect a cancelled job and append
+        # events after the terminal one (breaking tail_events' contract).
+        # (A sub-ms TOCTOU window remains between this read and the
+        # write below — full closure needs file locking; the in-process
+        # JobManager.cancel path is already lock-serialized.)
+        if _read_json(meta_path).get("state") == "cancelled":
+            return "cancelled"
         meta = _update_json(meta_path, state="running", started_at=_now())
         _push_state(job_dir, meta["id"], "running")
         try:
@@ -289,7 +299,20 @@ class JobRegistry:
         Events arrive strictly in append order; each carries ``offset``
         (the XREAD last_id analog) — pass it back as ``from_offset`` to
         resume after a disconnect without loss or replay.  Returns after
-        the terminal ``state`` event."""
+        the terminal ``state`` event.  Unknown job ids raise
+        FileNotFoundError immediately (a typo'd id would otherwise block
+        forever on a log that will never exist)."""
+        if not os.path.exists(self._meta_path(job_id)):
+            raise FileNotFoundError(f"no such job {job_id!r} under {self.root}")
+        # a job already terminal only DRAINS: emit what exists past the
+        # offset and return — never block waiting for events that will
+        # not come (the EventSource-reconnect-after-EOF shape)
+        from .events import read_events
+
+        if _read_json(self._meta_path(job_id)).get("state") in TERMINAL:
+            events, _ = read_events(_events_path(self._dir(job_id)), from_offset)
+            yield from events
+            return
         yield from tail_events(
             _events_path(self._dir(job_id)), from_offset=from_offset, timeout=timeout
         )

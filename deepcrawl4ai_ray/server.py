@@ -71,8 +71,11 @@ def _make_handler(registry: JobRegistry):
                         return self._not_found()
                 if len(parts) == 3 and parts[0] == "jobs" and parts[2] == "events":
                     return self._sse(parts[1], url)
-            except BrokenPipeError:
-                return
+            except (BrokenPipeError, ConnectionResetError):
+                return  # client went away mid-stream
+            except TimeoutError:
+                return  # tail timeout: stream simply ends (client reconnects
+                # with Last-Event-ID; a terminal job drains without blocking)
             self._not_found()
 
         def do_POST(self) -> None:  # noqa: N802

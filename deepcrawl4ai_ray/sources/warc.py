@@ -256,7 +256,14 @@ def _responses_to_table(records: List[dict]) -> pa.Table:
         h = r["headers"]
         url = h.get("warc-target-uri")
         date = h.get("warc-date")
-        status, http_headers, body = split_http_payload(r["payload"])
+        try:
+            status, http_headers, body = split_http_payload(r["payload"])
+        except WarcFormatError:
+            # one malformed response record must FLAG, not abort the
+            # whole archive's read task (real Common-Crawl files carry
+            # occasional truncated captures): status -1, raw payload
+            # kept as the body, digests necessarily fail
+            status, http_headers, body = -1, {}, r["payload"]
         urls.append(url)
         ts.append(_warc_date_to_us(date))
         rids.append(h.get("warc-record-id", ""))

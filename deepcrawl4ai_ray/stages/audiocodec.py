@@ -57,8 +57,10 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
         (csize,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
-            if csize < 16:
-                raise AudioFormatError(f"fmt chunk too small ({csize})")
+            if csize < 16 or len(body) < 16:
+                raise AudioFormatError(
+                    f"fmt chunk too small/truncated (declared {csize}, got {len(body)})"
+                )
             fmt_info = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             if len(body) != csize:
@@ -72,6 +74,8 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, channels, rate, _byte_rate, _block, bits = fmt_info
     if audio_fmt != 1 or bits != 16:
         raise AudioFormatError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    if len(data) % 2:  # odd byte count cannot be int16 samples
+        raise AudioFormatError(f"data chunk has odd length {len(data)}")
     samples = np.frombuffer(data, dtype="<i2")
     if channels > 1:
         samples = samples[::channels]  # channel 0
@@ -126,7 +130,9 @@ class WavFeatureStage:
         for i, p in zip(ids, payloads):
             try:
                 samples, rate = decode_wav_pcm16(p)
-            except AudioFormatError:
+            except (AudioFormatError, struct.error, ValueError):
+                # belt and braces: ANY malformed payload flags, never
+                # kills the task (the class docstring's contract)
                 out["id"].append(i)
                 out["w"].append(-1)
                 out["sumsq"].append(0)

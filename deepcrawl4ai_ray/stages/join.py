@@ -112,6 +112,19 @@ def broadcast_filter(
 _MAX_LOOKUP_BROADCAST_ROWS = 3_000_000
 
 
+def broadcast_lookup_table(right: "ray.data.Dataset"):
+    """Collect a (materialized) small right side ONCE → (object ref,
+    column names) for sharing across several :func:`lookup_join` calls
+    against the same table (e.g. both degree attachments of the triangle
+    family) — one driver pull + one object-store copy instead of one per
+    join.  Returns None when the right side has no recoverable blocks."""
+    parts = [t for t in ray.get(right.to_arrow_refs()) if t.num_columns > 0]
+    if not parts:
+        return None
+    rt = pa.concat_tables(parts, promote_options="default").combine_chunks()
+    return ray.put(rt), list(rt.schema.names)
+
+
 def lookup_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -120,6 +133,7 @@ def lookup_join(
     rename: Optional[dict] = None,
     max_broadcast_rows: int = _MAX_LOOKUP_BROADCAST_ROWS,
     num_buckets: int = 32,
+    right_ref=None,
 ) -> "ray.data.Dataset":
     """INNER join that attaches the value columns of a UNIQUE-keyed
     right side onto ``left`` — guarded broadcast with shuffle fallback
@@ -140,20 +154,33 @@ def lookup_join(
     """
     rkey = right_on or on
     rename = rename or {}
-    # materialize once: count() executes the lineage anyway, and both the
-    # broadcast collect and the fallback join re-consume it
-    right = right.materialize()
-    if right.count() <= max_broadcast_rows:
-        parts = [t for t in ray.get(right.to_arrow_refs()) if t.num_columns > 0]
-        rt = (
-            pa.concat_tables(parts, promote_options="default").combine_chunks()
-            if parts
-            else None
-        )
-        if rt is None:
-            return left.limit(0)
-        val_cols = [c for c in rt.schema.names if c != rkey]
-        ref = ray.put(rt)
+    if right_ref is None:
+        # materialize once: count() executes the lineage anyway, and both
+        # the broadcast collect and the fallback join re-consume it
+        right = right.materialize()
+    if right_ref is not None or right.count() <= max_broadcast_rows:
+        prepared = right_ref if right_ref is not None else broadcast_lookup_table(right)
+        if prepared is None:
+            # empty right with no recoverable blocks: emit an empty
+            # dataset with the CONTRACT schema (left cols + renamed right
+            # value cols) — left.limit(0) alone would silently drop the
+            # value columns the non-empty path appends
+            r_schema = right.schema()
+            l_schema = left.schema()
+            if r_schema is None or l_schema is None:
+                raise ValueError(
+                    "lookup_join: empty input lost its schema — seed it "
+                    "with a schema-pinned empty block (_seed_empty) first"
+                )
+            fields = [(n, _arrow_type(t)) for n, t in zip(l_schema.names, l_schema.types)]
+            fields += [
+                (rename.get(n, n), _arrow_type(t))
+                for n, t in zip(r_schema.names, r_schema.types)
+                if n != rkey
+            ]
+            return ray.data.from_arrow(pa.schema(fields).empty_table())
+        ref, names = prepared
+        val_cols = [c for c in names if c != rkey]
         slot = f"lookup:{on}->{rkey}:{','.join(val_cols)}"
 
         def attach(batch: pa.Table) -> pa.Table:

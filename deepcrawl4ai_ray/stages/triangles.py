@@ -84,16 +84,31 @@ def triangle_corners(edges_ds, src: str = "src", dst: str = "dst", _und_deg_pair
     """Dataset of one row per triangle: (x, y, z) corner node ids in
     (degree, id) orientation order.  See module docstring for the plan.
     """
-    from .join import bloom_semi_anti, lookup_join, shuffle_coalesce
+    from .join import (
+        _MAX_LOOKUP_BROADCAST_ROWS,
+        bloom_semi_anti,
+        broadcast_lookup_table,
+        lookup_join,
+        shuffle_coalesce,
+    )
 
     und, deg = _und_deg_pair if _und_deg_pair is not None else _und_deg(edges_ds, src, dst)
 
     # attach order keys to both endpoints, then orient low -> high; the
     # degree table is unique-keyed so lookup_join applies: broadcast
-    # index_in when it fits (zero shuffle), bucketed hash_join at
-    # 10^10-node scale
-    j1 = lookup_join(und, deg, on="a", right_on="node", rename={"deg": "deg_a"})
-    j2 = lookup_join(j1, deg, on="b", right_on="node", rename={"deg": "deg_b"})
+    # index_in when it fits (zero shuffle; collected + put ONCE and
+    # shared by both attachments), bucketed hash_join at 10^10-node scale
+    deg_ref = (
+        broadcast_lookup_table(deg)
+        if deg.count() <= _MAX_LOOKUP_BROADCAST_ROWS
+        else None
+    )
+    j1 = lookup_join(
+        und, deg, on="a", right_on="node", rename={"deg": "deg_a"}, right_ref=deg_ref
+    )
+    j2 = lookup_join(
+        j1, deg, on="b", right_on="node", rename={"deg": "deg_b"}, right_ref=deg_ref
+    )
 
     def orient(t: pa.Table) -> pa.Table:
         da = t["deg_a"].to_numpy(zero_copy_only=False)
@@ -193,7 +208,7 @@ def triangle_corners(edges_ds, src: str = "src", dst: str = "dst", _und_deg_pair
     # exists.  Guarded: a small edge set ships ONCE as an exact broadcast
     # value set (is_in per wedge batch, zero shuffle); past the budget,
     # the bloom-prescreened exact semi-join (the 10^10-edge path)
-    from .join import _MAX_LOOKUP_BROADCAST_ROWS, broadcast_filter
+    from .join import broadcast_filter
 
     n_edges = oriented.count()  # free: oriented is materialized
     if n_edges == 0:
@@ -203,7 +218,9 @@ def triangle_corners(edges_ds, src: str = "src", dst: str = "dst", _und_deg_pair
         key_list = (
             pa.concat_tables(parts)["k"].combine_chunks().to_pylist() if parts else []
         )
-        tri = broadcast_filter(keyed, "k", ray.put(sorted(key_list)), keep_in=True)
+        # no driver-side sorted(): broadcast_filter's per-worker
+        # pa.array(sorted(...)) normalizes anyway (r5 review)
+        tri = broadcast_filter(keyed, "k", ray.put(key_list), keep_in=True)
     else:
         tri = bloom_semi_anti(keyed, "k", keys, "k", keep_in=True)
     return tri.map_batches(lambda t: t.select(["x", "y", "z"]), batch_format="pyarrow")

@@ -53,12 +53,15 @@ def _parse_header(payload: bytes) -> tuple[int, int, int, str, int]:
     w = h = None
     cs = "C420"
     for tok in payload[:nl].split(b" ")[1:]:
-        if tok[:1] == b"W":
-            w = int(tok[1:])
-        elif tok[:1] == b"H":
-            h = int(tok[1:])
-        elif tok[:1] == b"C":
-            cs = tok.decode("ascii")
+        try:
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"C":
+                cs = tok.decode("ascii")
+        except (ValueError, UnicodeDecodeError):
+            raise VideoFormatError(f"bad Y4M header token {tok[:20]!r}")
     if not w or not h:
         raise VideoFormatError("Y4M header missing W/H geometry")
     if cs.startswith("C420"):

@@ -107,3 +107,42 @@ class TestFeatures:
         )
         assert (out[out.doc_id == 0]["window_idx"].tolist()) == [0, 1, 2, 3]
         assert out[out.doc_id == 1]["window_idx"].tolist() == [-1]
+
+
+class TestReviewFixes:
+    def test_truncated_fmt_chunk_flags_not_crashes(self, ray_session):
+        """fmt chunk declaring 16 bytes but truncated: the stage must
+        emit the window_idx=-1 flag row, never raise struct.error."""
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.audiocodec import (
+            AudioFormatError,
+            WavFeatureStage,
+            decode_wav_pcm16,
+        )
+
+        bad = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+        with pytest.raises(AudioFormatError):
+            decode_wav_pcm16(bad)
+        df = pd.DataFrame({"doc_id": [0], "payload": [bad]})
+        out = (
+            rd.from_pandas(df)
+            .map_batches(WavFeatureStage, batch_format="pyarrow", concurrency=1)
+            .to_pandas()
+        )
+        assert out["window_idx"].tolist() == [-1]
+
+    def test_odd_data_chunk_raises_audio_error(self):
+        from deepcrawl4ai_ray.stages.audiocodec import (
+            AudioFormatError,
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+        )
+
+        raw = bytearray(encode_wav_pcm16(_sig(4)))
+        # shrink data chunk by one byte (odd length), fix declared size
+        di = bytes(raw).index(b"data")
+        struct.pack_into("<I", raw, di + 4, 7)
+        raw = raw[:-1]
+        with pytest.raises(AudioFormatError, match="odd length"):
+            decode_wav_pcm16(bytes(raw))

@@ -207,3 +207,44 @@ class TestPushEvents:
             m.wait(a, timeout=120)
         finally:
             m.shutdown(wait=False)
+
+
+class TestReviewFixes:
+    """r5 self-review hardening: corrupt-line skip, bad-id fail-fast,
+    terminal drain without blocking."""
+
+    def test_corrupt_complete_line_skipped_not_stalled(self, tmp_path):
+        from deepcrawl4ai_ray.events import append_event, read_events
+
+        p = str(tmp_path / "ev.jsonl")
+        append_event(p, event="a")
+        with open(p, "a") as f:
+            f.write("NOT JSON AT ALL\n")  # complete but invalid line
+            f.write("[1, 2, 3]\n")  # valid JSON, not an event dict
+        append_event(p, event="b")
+        evs, off = read_events(p)
+        assert [e["event"] for e in evs] == ["a", "b"]
+        # offset advanced PAST the corrupt lines (no permanent stall)
+        evs2, _ = read_events(p, from_offset=off)
+        assert evs2 == []
+
+    def test_tail_unknown_job_raises_immediately(self, tmp_path, ray_session):
+        m = JobManager(str(tmp_path / "jobsx"), max_workers=1)
+        try:
+            with pytest.raises(FileNotFoundError, match="no such job"):
+                list(m.tail_job_events("nope"))
+        finally:
+            m.shutdown(wait=False)
+
+    def test_terminal_job_drains_without_blocking(self, mgr):
+        jid = mgr.submit("query", {"name": "q1_lineitem_agg", "sf_dir": SF})
+        mgr.wait(jid, timeout=120)
+        t0 = time.time()
+        evs = list(mgr.tail_job_events(jid))  # no timeout needed: drains
+        assert time.time() - t0 < 5
+        states = [e["state"] for e in evs if e["event"] == "state"]
+        assert states[-1] == "succeeded"
+        # resume PAST the terminal event also returns immediately, empty
+        t0 = time.time()
+        rest = list(mgr.tail_job_events(jid, from_offset=evs[-1]["offset"]))
+        assert rest == [] and time.time() - t0 < 5

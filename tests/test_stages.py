@@ -1869,3 +1869,37 @@ class TestDupLosersPerLang:
             .reset_index(drop=True)
         )
         assert per_lang.set_index("lang")["n_dup_losers"].to_dict() == {"de": 1, "en": 2}
+
+
+class TestLookupJoinEmptyRight:
+    def test_empty_right_keeps_contract_schema(self):
+        import pyarrow as _pa
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.join import lookup_join
+
+        left = _ds(pd.DataFrame({"k": ["a", "b"], "v": [1, 2]}))
+        empty_right = rd.from_arrow(
+            _pa.table({"node": _pa.array([], _pa.string()), "deg": _pa.array([], _pa.int64())})
+        )
+        out = lookup_join(left, empty_right, on="k", right_on="node", rename={"deg": "d"})
+        assert out.count() == 0
+        assert out.schema().names == ["k", "v", "d"]
+
+    def test_shared_right_ref_identical_to_per_call(self):
+        from deepcrawl4ai_ray.stages.join import broadcast_lookup_table, lookup_join
+
+        left = pd.DataFrame({"k": ["a", "b", "c"], "v": [1, 2, 3]})
+        right = pd.DataFrame({"node": ["a", "c"], "deg": [10, 30]})
+        rds = _ds(right).materialize()
+        ref = broadcast_lookup_table(rds)
+        a = (
+            lookup_join(_ds(left), rds, on="k", right_on="node", right_ref=ref)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        b = (
+            lookup_join(_ds(left), rds, on="k", right_on="node")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert a["k"].tolist() == ["a", "c"]

@@ -76,3 +76,26 @@ class TestY4m:
         )
         assert out[out.doc_id == 0]["frame_idx"].tolist() == [0, 1, 2, 4]
         assert out[out.doc_id == 1]["frame_idx"].tolist() == [-1]
+
+
+class TestReviewFixes:
+    def test_non_numeric_header_token_is_format_error(self, ray_session):
+        import ray.data as rd
+
+        from deepcrawl4ai_ray.stages.videocodec import (
+            VideoFormatError,
+            Y4mFrameSampleStage,
+            probe_y4m,
+        )
+
+        bad = b"YUV4MPEG2 Wabc H16 F25:1\nFRAME\n" + b"\x00" * 8
+        with pytest.raises(VideoFormatError, match="bad Y4M header token"):
+            probe_y4m(bad)
+        # and the stage flags instead of crashing
+        df = pd.DataFrame({"doc_id": [0], "payload": [bad]})
+        out = (
+            rd.from_pandas(df)
+            .map_batches(Y4mFrameSampleStage, batch_format="pyarrow", concurrency=1)
+            .to_pandas()
+        )
+        assert out["frame_idx"].tolist() == [-1]

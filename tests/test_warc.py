@@ -279,3 +279,39 @@ class TestWarcResponseDatasource:
         got = read_warc_responses([bad]).to_pandas().sort_values("url").reset_index(drop=True)
         assert got["digest_ok"].tolist() == [True, False, True]
         assert got["record_id_ok"].all()  # ids untouched
+
+
+class TestMalformedResponseRecord:
+    def test_bad_http_block_flags_record_not_archive(self, ray_session, tmp_path):
+        """One response record whose payload is not an HTTP block must
+        yield a flagged row (status -1, digests false) while the rest of
+        the archive reads normally — never abort the read task."""
+        import gzip as _gz
+
+        from deepcrawl4ai_ray.sources.warc import (
+            _warc_record,
+            read_warc_responses,
+            write_warc_file,
+        )
+
+        urls = ["https://m.example/a", "https://m.example/b"]
+        p = write_warc_file(str(tmp_path / "ok.warc.gz"), urls, ["<html>A</html>", "<html>B</html>"])
+        # append a response record whose payload has NO HTTP header block
+        junk = _warc_record(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Target-URI", "https://m.example/broken"),
+                ("WARC-Date", "2020-01-01T00:00:00Z"),
+            ],
+            b"this is not an http response",
+        )
+        with open(p, "ab") as f:
+            f.write(_gz.compress(junk, mtime=0))
+        got = read_warc_responses([p]).to_pandas().sort_values("url").reset_index(drop=True)
+        assert len(got) == 3
+        ok = got[got.url != "https://m.example/broken"]
+        assert ok["digest_ok"].all() and (ok["http_status"] == 200).all()
+        bad = got[got.url == "https://m.example/broken"].iloc[0]
+        assert bad["http_status"] == -1
+        assert not bad["digest_ok"] and not bad["record_id_ok"]
+        assert bad["html"] == b"this is not an http response"
