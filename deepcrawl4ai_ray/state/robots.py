@@ -59,3 +59,106 @@ class RobotsCache:
             # oracle's COALESCE — r4 advice)
             rows[h] = (d or [], ms if ms is not None else DEFAULT_DELAY_MS)
         return cls(rows)
+
+
+def parse_robots_txt(
+    text: str | bytes, user_agent: str = "deepcrawl4ai-ray"
+) -> RobotsPolicy:
+    """Parse REAL ``robots.txt`` text → :class:`RobotsPolicy` — the
+    Robots Exclusion Protocol per RFC 9309 §2, from scratch (the parquet
+    robots table is the fixture form; a live crawler receives bytes):
+
+    * records are ``field: value`` lines; ``#`` starts a comment;
+      unknown fields are ignored (§2.2.4)
+    * ``User-agent`` lines open a GROUP; consecutive UA lines share the
+      following rules; matching is case-insensitive substring-of-token
+      with ``*`` as the wildcard group (§2.2.1)
+    * the MOST SPECIFIC matching group wins (longest UA token match,
+      ``*`` = specificity 0); only that group's rules apply
+    * ``Disallow:`` with an empty value means allow-all (no prefix)
+    * ``Crawl-delay`` (the de-facto extension) is read in SECONDS
+      (fractions allowed) → ``crawl_delay_ms``
+
+    Returns the permissive default policy for empty/unparseable input —
+    RFC 9309 §2.3.1.3: an unavailable robots.txt means crawl-all (this
+    parser never raises; a 5xx-fetch policy decision belongs to the
+    caller).
+    """
+    if isinstance(text, (bytes, bytearray)):
+        text = text.decode("utf-8", "replace")
+    ua = user_agent.lower()
+
+    groups: list[tuple[list[str], list[str], float | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[str] = []
+    cur_delay: float | None = None
+    in_group_rules = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules, cur_delay, in_group_rules
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+        in_group_rules = False
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_rules:  # a UA line after rules starts a NEW group
+                flush()
+            cur_agents.append(value.lower())
+        elif field == "disallow":
+            in_group_rules = True
+            if value:
+                cur_rules.append(value)
+        elif field == "crawl-delay":
+            in_group_rules = True
+            try:
+                cur_delay = float(value)
+            except ValueError:
+                pass  # malformed extension value: ignore (§2.2.4)
+        elif field in ("allow", "sitemap"):
+            in_group_rules = field == "allow"  # known fields; rules unused here
+    flush()
+
+    best: tuple[int, list[str], float | None] | None = None
+    for agents, rules, delay in groups:
+        for a in agents:
+            if a == "*":
+                spec = 0
+            elif a and a in ua:
+                spec = len(a)
+            else:
+                continue
+            if best is None or spec > best[0]:
+                best = (spec, rules, delay)
+    if best is None:
+        return RobotsPolicy()
+    _, rules, delay = best
+    delay_ms = DEFAULT_DELAY_MS if delay is None else int(delay * 1000)
+    return RobotsPolicy(rules, delay_ms)
+
+
+def robots_table_from_texts(hosts: Sequence[str], texts: Sequence[str], user_agent: str = "deepcrawl4ai-ray"):
+    """(host, robots.txt bytes) pairs → the engine's robots Arrow table
+    (host, disallow list<string>, crawl_delay_ms) — the ingestion bridge
+    from live robots.txt responses to RobotsCache.from_arrow."""
+    import pyarrow as pa
+
+    dis, delays = [], []
+    for t in texts:
+        p = parse_robots_txt(t, user_agent)
+        dis.append(p.disallow)
+        delays.append(p.crawl_delay_ms)
+    return pa.table(
+        {
+            "host": pa.array(list(hosts), pa.string()),
+            "disallow": pa.array(dis, pa.list_(pa.string())),
+            "crawl_delay_ms": pa.array(delays, pa.int64()),
+        }
+    )

@@ -410,3 +410,74 @@ class TestCountMinSketch:
             CountMinSketch(6, 2048)  # > 64/11 rows
         with _pytest.raises(ValueError):
             CountMinSketch(4, 4096)  # slice wider than 11 bits
+
+
+class TestRobotsTxtParser:
+    """parse_robots_txt: RFC 9309 group semantics over real robots.txt
+    text — the ingestion bridge to the parquet policy table."""
+
+    def test_group_selection_most_specific_wins(self):
+        from deepcrawl4ai_ray.state.robots import parse_robots_txt
+
+        txt = """
+# global
+User-agent: *
+Disallow: /private/
+Crawl-delay: 2
+
+User-agent: deepcrawl4ai-ray
+Disallow: /api/
+Crawl-delay: 0.5
+"""
+        p = parse_robots_txt(txt)  # specific group wins entirely
+        assert p.disallow == ["/api/"]
+        assert p.crawl_delay_ms == 500
+        assert p.allows("https://h.x/private/a")  # global rules NOT merged
+        assert not p.allows("https://h.x/api/v1")
+        # an unrelated agent falls back to *
+        q = parse_robots_txt(txt, user_agent="otherbot")
+        assert q.disallow == ["/private/"]
+        assert q.crawl_delay_ms == 2000
+
+    def test_shared_ua_lines_and_new_group_after_rules(self):
+        from deepcrawl4ai_ray.state.robots import parse_robots_txt
+
+        txt = (
+            "User-agent: alpha\nUser-agent: beta\nDisallow: /x/\n"
+            "User-agent: gamma\nDisallow: /y/\n"
+        )
+        assert parse_robots_txt(txt, user_agent="alpha").disallow == ["/x/"]
+        assert parse_robots_txt(txt, user_agent="beta").disallow == ["/x/"]
+        assert parse_robots_txt(txt, user_agent="gamma").disallow == ["/y/"]
+        # no matching group and no *: permissive default
+        d = parse_robots_txt(txt, user_agent="delta")
+        assert d.disallow == [] and d.crawl_delay_ms == 1000
+
+    def test_comments_empty_disallow_and_garbage(self):
+        from deepcrawl4ai_ray.state.robots import parse_robots_txt
+
+        txt = (
+            "User-agent: * # everyone\nDisallow:   # empty = allow all\n"
+            "NoSuchField: x\nnot a record line\nCrawl-delay: soon\n"
+        )
+        p = parse_robots_txt(txt)
+        assert p.disallow == [] and p.crawl_delay_ms == 1000
+        assert parse_robots_txt("").allows("https://h.x/a")
+        assert parse_robots_txt(b"\xff\xfe binary junk").crawl_delay_ms == 1000
+
+    def test_table_bridge_round_trips_into_cache(self):
+        import pyarrow as pa  # noqa: F401
+
+        from deepcrawl4ai_ray.state.robots import (
+            RobotsCache,
+            robots_table_from_texts,
+        )
+
+        tbl = robots_table_from_texts(
+            ["a.x", "b.x"],
+            ["User-agent: *\nDisallow: /p/\nCrawl-delay: 3\n", ""],
+        )
+        cache = RobotsCache.from_arrow(tbl)
+        assert not cache.get("a.x").allows("https://a.x/p/1")
+        assert cache.get("a.x").crawl_delay_ms == 3000
+        assert cache.get("b.x").allows("https://b.x/anything")
