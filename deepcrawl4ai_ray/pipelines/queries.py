@@ -6447,6 +6447,55 @@ def robots_audit(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def robots_txt_round_trip(sf_dir: str) -> pd.DataFrame:
+    """REAL robots.txt TEXT round-trip under the gate: each host's
+    policy row is rendered to canonical robots.txt text
+    (state/robots.render_robots_txt), parsed back by the from-scratch
+    RFC 9309 parser (parse_robots_txt), and the PARSED policies audit
+    every corpus URL — output and oracle identical to robots_audit, so
+    a hash match proves text render → parse → enforce loses nothing vs
+    the parquet policy path the fetch actors use."""
+    import pyarrow.parquet as pq_
+
+    from ..sources.corpus import ensure
+    from ..state.robots import (
+        RobotsCache,
+        RobotsPolicy,
+        render_robots_txt,
+        robots_table_from_texts,
+    )
+
+    corpus = ensure("tiny")
+    tbl = pq_.read_table(f"{corpus}/robots.parquet")
+    base = RobotsCache.from_arrow(tbl)
+    hosts = tbl.column("host").to_pylist()
+    texts = [render_robots_txt(base.get(h)) for h in hosts]
+    cache_ref = ray.put(RobotsCache.from_arrow(robots_table_from_texts(hosts, texts)))
+    urls = rd.read_parquet(f"{corpus}/pages", columns=["url"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        from ..functions.urlnorm import host_of
+        from ..stages.join import cached_get
+
+        cache = cached_get(cache_ref, "robots_txt_round_trip")
+        us = batch["url"].to_pylist()
+        pols = [cache.get(host_of(u)) for u in us]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "allowed": pa.array(
+                    np.array([p.allows(u) for p, u in zip(pols, us)], dtype=np.int32)
+                ),
+                "crawl_delay_ms": pa.array(
+                    np.array([p.crawl_delay_ms for p in pols], dtype=np.int64)
+                ),
+            }
+        )
+
+    out = urls.map_batches(audit, batch_format="pyarrow").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 _ROBOTS_AUDIT_SQL = rf"""
 WITH urls AS (
   -- contract-aligned with the engine's RobotsPolicy (r4 advice): scheme
@@ -7101,6 +7150,7 @@ QUERIES = {
     "link_triangles": link_triangles,
     "link_clustering": link_clustering,
     "robots_audit": robots_audit,
+    "robots_txt_round_trip": robots_txt_round_trip,
     "webgraph_report": webgraph_report,
     "corpus_report": corpus_report,
     "image_real_decode_meta": image_real_decode_meta,
@@ -7209,6 +7259,7 @@ ORACLES = {
     "link_triangles": _LINK_TRIANGLES_SQL,
     "link_clustering": _LINK_CLUSTERING_SQL,
     "robots_audit": _ROBOTS_AUDIT_SQL,
+    "robots_txt_round_trip": _ROBOTS_AUDIT_SQL,
     "webgraph_report": _webgraph_sql(3),
     "corpus_report": _corpus_report_sql(),
     "image_real_decode_meta": _IMAGE_REAL_DECODE_SQL,

@@ -140,8 +140,21 @@ def parse_robots_txt(
     if best is None:
         return RobotsPolicy()
     _, rules, delay = best
-    delay_ms = DEFAULT_DELAY_MS if delay is None else int(delay * 1000)
+    # round, don't truncate: 0.333 s parses as 332.999…94 in binary
+    delay_ms = DEFAULT_DELAY_MS if delay is None else int(round(delay * 1000))
     return RobotsPolicy(rules, delay_ms)
+
+
+def render_robots_txt(policy: RobotsPolicy) -> str:
+    """RobotsPolicy → canonical ``robots.txt`` text (the writer half of
+    the round-trip; Crawl-delay emitted in seconds)."""
+    lines = ["User-agent: *"]
+    for d in policy.disallow:
+        lines.append(f"Disallow: {d}")
+    if not policy.disallow:
+        lines.append("Disallow:")
+    lines.append(f"Crawl-delay: {policy.crawl_delay_ms / 1000:g}")
+    return "\n".join(lines) + "\n"
 
 
 def robots_table_from_texts(hosts: Sequence[str], texts: Sequence[str], user_agent: str = "deepcrawl4ai-ray"):
